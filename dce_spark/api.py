@@ -1,0 +1,154 @@
+"""Public Python API — mirrors the reference's Python surface 1:1
+(contracts-python/src/lib.rs:504-516), with DataFrames where the
+reference takes PyArrow batches:
+
+  reference                      ->  dce_spark
+  parse_contract_yaml/toml           parse_contract_yaml/toml
+  validate_contract                  validate_contract (definition only)
+  validate_batch(yaml, batch, ...)   validate_df(spark, df, contract, ...)
+  validate_batches                   validate_df on union (Spark unions lazily)
+  validate_schema_only               validate_schema_only
+  validate_quality_only              validate_quality_only
+  validate_ml_only                   validate_ml_only
+  profile_batch                      profile_df
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import compiler, parser
+from .checks.profile import profile_df as _profile_df
+from .contract import Contract, QualityChecks
+from .report import ValidationReport
+
+__all__ = [
+    "parse_contract_yaml",
+    "parse_contract_toml",
+    "parse_contract_file",
+    "validate_contract",
+    "validate_df",
+    "validate_dfs",
+    "validate_schema_only",
+    "validate_quality_only",
+    "validate_ml_only",
+    "profile_df",
+]
+
+
+def parse_contract_yaml(text: str) -> Contract:
+    return parser.parse_yaml(text)
+
+
+def parse_contract_toml(text: str) -> Contract:
+    return parser.parse_toml(text)
+
+
+def parse_contract_file(path: str) -> Contract:
+    return parser.parse_file(path)
+
+
+def validate_contract(contract: Contract | str) -> list[str]:
+    """Definition-only validation; returns a list of problems (empty = ok)."""
+    if isinstance(contract, str):
+        try:
+            parser.parse_str(contract)
+            return []
+        except ValueError as e:
+            return [str(e)]
+    return contract.validate_definition()
+
+
+def _as_contract(contract: Contract | str) -> Contract:
+    return parser.parse_str(contract) if isinstance(contract, str) else contract
+
+
+def validate_df(
+    spark: SparkSession,
+    df: DataFrame,
+    contract: Contract | str,
+    strict: bool = False,
+    schema_only: bool = False,
+    sample_size: Optional[int] = None,
+    now: Optional[datetime] = None,
+) -> ValidationReport:
+    ctx = compiler.ValidationContext(
+        strict=strict, schema_only=schema_only, sample_size=sample_size, now=now
+    )
+    return compiler.validate_df(spark, df, _as_contract(contract), ctx)
+
+
+def validate_dfs(
+    spark: SparkSession,
+    dfs: Iterable[DataFrame],
+    contract: Contract | str,
+    **kwargs: Any,
+) -> ValidationReport:
+    """Validate several frames as one dataset. The reference clones every
+    row to concatenate batches (lib.rs:344-369); Spark unions lazily."""
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("validate_dfs requires at least one DataFrame")
+    df = dfs[0]
+    for other in dfs[1:]:
+        df = df.unionByName(other)
+    return validate_df(spark, df, contract, **kwargs)
+
+
+def validate_schema_only(
+    spark: SparkSession, df: DataFrame, contract: Contract | str
+) -> ValidationReport:
+    return validate_df(spark, df, contract, schema_only=True)
+
+
+def _subset_contract(contract: Contract, keep: str) -> Contract:
+    qc = contract.quality_checks or QualityChecks()
+    if keep == "quality":
+        sub = QualityChecks(
+            completeness=qc.completeness,
+            uniqueness=qc.uniqueness,
+            freshness=qc.freshness,
+        )
+    elif keep == "ml":
+        sub = QualityChecks(ml_checks=qc.ml_checks)
+    else:
+        raise ValueError(keep)
+    return Contract(
+        version=contract.version,
+        name=contract.name,
+        owner=contract.owner,
+        description=contract.description,
+        schema=contract.schema,
+        quality_checks=sub,
+        sla=contract.sla,
+    )
+
+
+def validate_quality_only(
+    spark: SparkSession,
+    df: DataFrame,
+    contract: Contract | str,
+    now: Optional[datetime] = None,
+) -> ValidationReport:
+    c = _subset_contract(_as_contract(contract), "quality")
+    report = compiler.validate_df(
+        spark, df, c, compiler.ValidationContext(now=now)
+    )
+    report.checks = [r for r in report.checks if r.category == "quality"]
+    return report
+
+
+def validate_ml_only(
+    spark: SparkSession, df: DataFrame, contract: Contract | str
+) -> ValidationReport:
+    c = _subset_contract(_as_contract(contract), "ml")
+    report = compiler.validate_df(spark, df, c, compiler.ValidationContext())
+    report.checks = [r for r in report.checks if r.category == "ml"]
+    return report
+
+
+def profile_df(df: DataFrame, approx: bool = False, columns: list[str] | None = None):
+    return _profile_df(df, approx=approx, columns=columns)

@@ -1,0 +1,179 @@
+"""Quality checks: completeness, uniqueness, freshness.
+
+All three compile into the fused single-pass aggregation:
+
+- completeness: ``COUNT(col) / COUNT(*)`` per field
+  (reference: datafusion_engine.rs:439-471, one query per field there).
+- uniqueness: ``COUNT(*) - COUNT(DISTINCT (c1, ..., cn))``
+  (datafusion_engine.rs:473-489). We lock the reference's *SQL-path*
+  null semantics (SURVEY §2.4 A3): COUNT(DISTINCT ...) ignores rows
+  with any NULL key while COUNT(*) counts them, so NULL-keyed rows
+  count as duplicates. The reference's row path disagrees with its own
+  SQL path here; we follow the SQL path.
+- freshness: ``now - MAX(metric) <= max_delay`` with an *injected*
+  ``now`` for determinism (the reference hardcodes wall-clock
+  Utc::now(), custom.rs:114 — untestable; deliberately not reproduced).
+
+Note on COUNT(DISTINCT) at scale: this is an exact distinct (shuffle on
+the key). For monitoring-style use where exactness is not required,
+``approx=True`` swaps in HLL ``approx_count_distinct`` which is a
+single-pass, no-expand aggregate.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..contract import CompletenessCheck, FreshnessCheck, UniquenessCheck
+from ..functions import parse_duration_seconds, to_timestamp_multi
+from ..report import CheckResult, Severity
+from .probe import AggProbe
+
+__all__ = ["completeness_probes", "uniqueness_probe", "freshness_probe"]
+
+_TOTAL_ALIAS = "__total__"
+
+
+def total_expr():
+    return F.count(F.lit(1)).alias(_TOTAL_ALIAS)
+
+
+def completeness_probes(check: CompletenessCheck, df: DataFrame) -> list[AggProbe]:
+    actual = set(df.columns)
+    probes = []
+    for fname in check.fields:
+        if fname not in actual:
+            continue  # presence check reports the miss
+        alias = f"__comp__{fname}"
+        expr = F.count(F.col(fname)).alias(alias)  # COUNT(col) skips nulls
+
+        def make_eval(name: str, a: str, threshold: float):
+            def evaluate(vals):
+                total = vals[_TOTAL_ALIAS] or 0
+                non_null = vals[a] or 0
+                ratio = (non_null / total) if total else 1.0
+                ok = ratio >= threshold
+                return CheckResult(
+                    name=f"quality.completeness:{name}",
+                    category="quality",
+                    passed=ok,
+                    severity=Severity.ERROR,
+                    field=name,
+                    observed={"ratio": ratio, "non_null": non_null, "total": total},
+                    threshold=threshold,
+                    message=(
+                        ""
+                        if ok
+                        else f"completeness of '{name}' is {ratio:.4f}, "
+                        f"below threshold {threshold}"
+                    ),
+                )
+
+            return evaluate
+
+        probes.append(
+            AggProbe(
+                name=f"quality.completeness:{fname}",
+                category="quality",
+                exprs=[expr],
+                evaluate=make_eval(fname, alias, check.threshold),
+                fields=[fname],
+            )
+        )
+    return probes
+
+
+def uniqueness_probe(
+    check: UniquenessCheck, df: DataFrame, approx: bool = False
+) -> AggProbe | None:
+    cols = [f for f in check.fields if f in df.columns]
+    if not cols:
+        return None
+    alias = "__uniq__" + "_".join(cols)
+    distinct = (
+        F.approx_count_distinct(F.struct(*cols))
+        if approx
+        else F.count_distinct(*[F.col(c) for c in cols])
+    )
+
+    def evaluate(vals):
+        total = vals[_TOTAL_ALIAS] or 0
+        n_distinct = vals[alias] or 0
+        dupes = total - n_distinct
+        ok = dupes == 0
+        return CheckResult(
+            name="quality.uniqueness:" + ",".join(cols),
+            category="quality",
+            passed=ok,
+            severity=Severity.ERROR,
+            field=",".join(cols),
+            observed={"duplicates": dupes, "distinct": n_distinct, "total": total},
+            message=(
+                ""
+                if ok
+                else f"found {dupes} duplicate rows for key ({', '.join(cols)})"
+            ),
+        )
+
+    return AggProbe(
+        name="quality.uniqueness",
+        category="quality",
+        exprs=[distinct.alias(alias)],
+        evaluate=evaluate,
+        fields=cols,
+    )
+
+
+def freshness_probe(
+    check: FreshnessCheck, df: DataFrame, now: datetime | None = None
+) -> AggProbe | None:
+    if check.metric not in df.columns:
+        return None
+    max_delay_s = parse_duration_seconds(check.max_delay)
+    now = now or datetime.now(timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
+    dtype = dict((f.name, f.dataType) for f in df.schema.fields)[check.metric]
+    alias = f"__fresh__{check.metric}"
+    ts = to_timestamp_multi(F.col(check.metric), dtype)
+    expr = F.max(F.unix_timestamp(ts)).alias(alias)
+
+    def evaluate(vals):
+        max_epoch = vals[alias]
+        if max_epoch is None:
+            return CheckResult(
+                name=f"quality.freshness:{check.metric}",
+                category="quality",
+                passed=False,
+                severity=Severity.ERROR,
+                field=check.metric,
+                observed={"max_ts": None},
+                message=f"freshness metric '{check.metric}' has no parseable values",
+            )
+        lag = now.timestamp() - max_epoch
+        ok = lag <= max_delay_s
+        return CheckResult(
+            name=f"quality.freshness:{check.metric}",
+            category="quality",
+            passed=ok,
+            severity=Severity.ERROR,
+            field=check.metric,
+            observed={"max_ts_epoch": max_epoch, "lag_seconds": lag},
+            threshold=max_delay_s,
+            message=(
+                ""
+                if ok
+                else f"data is stale: newest '{check.metric}' is {lag:.0f}s old, "
+                f"max allowed {check.max_delay} ({max_delay_s:.0f}s)"
+            ),
+        )
+
+    return AggProbe(
+        name=f"quality.freshness:{check.metric}",
+        category="quality",
+        exprs=[expr],
+        evaluate=evaluate,
+        fields=[check.metric],
+    )

@@ -1,0 +1,177 @@
+"""Contract compiler/executor: Contract + DataFrame -> ValidationReport.
+
+Execution plan (contrast reference pipeline at engine.rs:141-200 /
+datafusion_engine.rs:114-172, which issues one SQL statement per field
+per check — O(fields x checks) scans):
+
+  stage 0  presence + declared-type checks      (metadata only, 0 jobs)
+  stage 1  ONE fused ``df.agg(...)`` scan covering nullability,
+           constraints, completeness, uniqueness, freshness, and
+           target-leakage correlation                      (1 job)
+  stage 2  grouped ML checks (class balance, null-rate-by-group,
+           temporal split, no-overlap, feature drift)  (1 job each)
+  stage 3  custom SQL checks via spark.sql              (1 job each)
+
+Pipeline-order semantics kept from the reference: strict mode stops
+after schema errors (engine.rs:234-237); schema_only skips everything
+past stage 1's nullability portion; sample_size takes the first N rows
+(LIMIT view semantics, file_reader.rs:60-70).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .contract import Contract
+from .report import ValidationReport, ValidationStats
+from .checks import custom as custom_checks
+from .checks import ml as ml_checks
+from .checks import quality as quality_checks
+from .checks import schema as schema_checks
+from .checks.constraints import constraint_probes
+from .checks.probe import AggProbe
+
+__all__ = ["ValidationContext", "validate_df"]
+
+
+@dataclass
+class ValidationContext:
+    """Options for one validation run (reference: validator.rs:88-100),
+    plus an injectable clock for deterministic freshness."""
+
+    strict: bool = False
+    schema_only: bool = False
+    sample_size: Optional[int] = None
+    now: Optional[datetime] = None
+    approx_distinct: bool = False  # HLL instead of exact COUNT(DISTINCT)
+    metadata: dict[str, Any] = dc_field(default_factory=dict)
+
+
+def _run_fused(df: DataFrame, probes: list[AggProbe], need_total: bool) -> dict[str, Any]:
+    exprs = []
+    if need_total:
+        exprs.append(quality_checks.total_expr())
+    for p in probes:
+        exprs.extend(p.exprs)
+    if not exprs:
+        return {}
+    return df.agg(*exprs).collect()[0].asDict()
+
+
+def validate_df(
+    spark: SparkSession,
+    df: DataFrame,
+    contract: Contract,
+    context: ValidationContext | None = None,
+) -> ValidationReport:
+    ctx = context or ValidationContext()
+    t0 = time.monotonic()
+    report = ValidationReport()
+
+    # ---- stage 0: metadata-only schema checks (no Spark jobs)
+    for r in schema_checks.presence_checks(contract, df):
+        report.add(r, strict=ctx.strict)
+    for r in schema_checks.type_checks(contract, df):
+        report.add(r, strict=ctx.strict)
+
+    if ctx.sample_size is not None:
+        df = df.limit(ctx.sample_size)
+
+    qc = contract.quality_checks
+    ml = qc.ml_checks if qc else None
+
+    # ---- build fused probes
+    null_probes = schema_checks.nullability_probes(contract, df)
+    fused: list[AggProbe] = list(null_probes)
+    schema_stage_errors = not all(c.passed for c in report.checks)
+
+    if not ctx.schema_only and not (ctx.strict and schema_stage_errors):
+        fused.extend(constraint_probes(contract, df))
+        if qc:
+            if qc.completeness:
+                fused.extend(quality_checks.completeness_probes(qc.completeness, df))
+            if qc.uniqueness:
+                p = quality_checks.uniqueness_probe(
+                    qc.uniqueness, df, approx=ctx.approx_distinct
+                )
+                if p:
+                    fused.append(p)
+            if qc.freshness:
+                p = quality_checks.freshness_probe(qc.freshness, df, now=ctx.now)
+                if p:
+                    fused.append(p)
+        if ml and ml.target_leakage:
+            fused.extend(ml_checks.target_leakage_probes(ml.target_leakage, df))
+
+    # cache iff more than one data pass will run
+    grouped_needed = bool(
+        not ctx.schema_only
+        and ml
+        and (
+            ml.class_balance
+            or ml.null_rate_by_group
+            or ml.temporal_split
+            or ml.no_overlap
+            or ml.feature_drift
+        )
+    ) or bool(not ctx.schema_only and qc and qc.custom_checks)
+    cached = False
+    if grouped_needed and fused:
+        df = df.cache()
+        cached = True
+
+    # ---- stage 1: the single fused scan
+    records = 0
+    try:
+        vals = _run_fused(df, fused, need_total=True)
+        if vals:
+            records = vals.get("__total__", 0) or 0
+            for p in fused:
+                report.add(p.evaluate(vals), strict=ctx.strict)
+        elif not ctx.schema_only:
+            records = df.count()
+
+        strict_stop = ctx.strict and not report.passed
+        fields_checked = {f for p in fused for f in p.fields}
+        constraints_evaluated = sum(p.constraints for p in fused)
+
+        # ---- stage 2: grouped ML checks
+        if ml and not ctx.schema_only and not strict_stop:
+            if ml.class_balance:
+                report.add(ml_checks.class_balance_check(ml.class_balance, df), ctx.strict)
+            if ml.null_rate_by_group:
+                for r in ml_checks.null_rate_by_group_check(ml.null_rate_by_group, df):
+                    report.add(r, ctx.strict)
+            if ml.temporal_split:
+                report.add(ml_checks.temporal_split_check(ml.temporal_split, df), ctx.strict)
+            if ml.no_overlap:
+                report.add(ml_checks.no_overlap_check(ml.no_overlap, df), ctx.strict)
+            if ml.feature_drift:
+                for r in ml_checks.feature_drift_check(ml.feature_drift, df):
+                    report.add(r, ctx.strict)
+
+        # ---- stage 3: custom SQL checks
+        if qc and qc.custom_checks and not ctx.schema_only and not strict_stop:
+            for c in qc.custom_checks:
+                report.add(
+                    custom_checks.run_custom_check(
+                        spark, df, c, contract_name=contract.name, strict=ctx.strict
+                    ),
+                    ctx.strict,
+                )
+    finally:
+        if cached:
+            df.unpersist()
+
+    report.stats = ValidationStats(
+        records_validated=records,
+        fields_checked=len(fields_checked) if fused else 0,
+        constraints_evaluated=constraints_evaluated if fused else 0,
+        duration_ms=int((time.monotonic() - t0) * 1000),
+    )
+    return report

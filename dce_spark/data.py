@@ -1,0 +1,53 @@
+"""Test-data loading: the driver's synthetic TPC-H-ish tables.
+
+The driver's parquet files store timestamps as INT64 TIMESTAMP(NANOS),
+which Spark's vectorized reader rejects. We read them with
+``spark.sql.legacy.parquet.nanosAsLong`` and convert nanos -> native
+TimestampType via exact integer division (``div``, not ``/`` — double
+division loses precision above 2^53 nanos).
+
+Session timezone is pinned to UTC so epoch-second comparisons against
+engines with naive timestamps (the DuckDB oracle) are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["configure", "load_table", "TS_COLUMNS", "TABLES"]
+
+TS_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; nano-timestamp columns become native
+    TimestampType (microsecond precision, truncated)."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

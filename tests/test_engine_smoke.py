@@ -1,0 +1,94 @@
+"""End-to-end smoke: a realistic contract over the events table."""
+
+from datetime import datetime, timezone
+
+from dce_spark import parse_contract_yaml, validate_df
+from dce_spark.data import load_table
+
+CONTRACT = """
+version: "1.0.0"
+name: events
+owner: data-eng
+description: synthetic events stream
+
+schema:
+  format: parquet
+  location: /root/testdata/sf0.001/events.parquet
+  fields:
+    - name: event_id
+      type: int64
+      nullable: false
+    - name: ts
+      type: timestamp
+      nullable: false
+    - name: user_id
+      type: int64
+      nullable: false
+    - name: event_type
+      type: string
+      nullable: false
+      constraints:
+        - type: allowedvalues
+          values: [view, click, purchase, signup, error]
+    - name: value
+      type: float64
+      constraints:
+        - type: range
+          min: -1000000
+          max: 1000000
+    - name: props
+      type: string
+      constraints:
+        - type: pattern
+          regex: "^\\\\{.*"
+
+quality_checks:
+  completeness:
+    threshold: 0.99
+    fields: [event_id, ts, user_id, event_type]
+  uniqueness:
+    fields: [event_id]
+  freshness:
+    max_delay: 1w
+    metric: ts
+  custom_checks:
+    - name: no_negative_event_ids
+      definition: "SELECT COUNT(*) FROM data WHERE event_id < 0"
+      severity: error
+    - name: boolean_protocol
+      definition: "SELECT COUNT(*) = 0 FROM data WHERE user_id < 0"
+      severity: warning
+"""
+
+NOW = datetime(2024, 2, 1, tzinfo=timezone.utc)
+
+
+def test_contract_passes_on_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    report = validate_df(spark, df, CONTRACT, now=NOW)
+    assert report.errors == []
+    assert report.passed
+    assert report.stats.records_validated == df.count()
+    cats = report.by_category()
+    assert set(cats) >= {"schema", "constraints", "quality", "custom"}
+    # every check individually passed
+    assert all(c.passed for c in report.checks), [
+        (c.name, c.message) for c in report.checks if not c.passed
+    ]
+
+
+def test_contract_fails_when_stale(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    report = validate_df(
+        spark, df, CONTRACT, now=datetime(2025, 1, 1, tzinfo=timezone.utc)
+    )
+    assert not report.passed
+    fresh = [c for c in report.checks if c.name.startswith("quality.freshness")]
+    assert len(fresh) == 1 and not fresh[0].passed
+
+
+def test_schema_only_runs_no_quality(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    report = validate_df(spark, df, CONTRACT, schema_only=True)
+    assert report.passed
+    assert all(c.category == "schema" for c in report.checks)
