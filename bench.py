@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_runtime", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is forced with the noop sink (full execution, no driver
+collect overhead). The contract-validation workload runs the flagship
+contract (fused single-pass agg + grouped checks) over events.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: TPC-H-style joins/aggs, dedup, similarity, text, PSI
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "class_balance_events",
+    "psi_total_lineitem",
+    "profile_customer",
+    "dedup_minhash_lsh_documents",
+    "dedup_jaccard_documents",
+    "dedup_simhash_documents",
+    "embedding_cosine_topk",
+    "embedding_knn_join",
+    "text_stats_documents",
+    "multimodal_payload_stats",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dce-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dce_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/readers with a trivial job (not timed)
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.monotonic()
+        force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship contract validation (fused pass + grouped + custom SQL)
+    from datetime import datetime, timezone
+
+    import __spark_entry__ as E
+    from dce_spark import validate_df
+    from dce_spark.data import load_table
+
+    t0 = time.monotonic()
+    report = validate_df(
+        spark,
+        load_table(spark, SF_DIR, "events"),
+        E._FLAGSHIP_CONTRACT,
+        now=datetime(2024, 2, 1, tzinfo=timezone.utc),
+    )
+    timings["contract_validate_events"] = round(time.monotonic() - t0, 3)
+    assert report.stats.records_validated > 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("/")[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

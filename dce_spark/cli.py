@@ -1,0 +1,184 @@
+"""CLI: ``dce-spark validate|check|init`` — mirrors the reference binary
+(crates/contracts_cli/src/main.rs:20-83).
+
+- validate <contract> [--strict] [--schema-only] [--sample-size N]
+  [--format text|json] : parse contract, bind its declared source, run
+  the full check pipeline; exit code 1 on failure (validate.rs:104-106).
+- check <contract> : parse + definition validation + summary
+  (check.rs:8-67).
+- init <format> <location> [--name ...] [-o file] : infer a contract
+  from a live table's schema (init.rs:10-89 does this for Iceberg; here
+  any readable source works).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import yaml
+
+from . import api, parser as contract_parser, sources
+from .compiler import ValidationContext, validate_df
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("dce-spark-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _render_text(report) -> str:
+    lines = []
+    status = "PASSED" if report.passed else "FAILED"
+    lines.append(f"Validation {status}")
+    s = report.stats
+    lines.append(
+        f"  records={s.records_validated} fields={s.fields_checked} "
+        f"constraints={s.constraints_evaluated} duration_ms={s.duration_ms}"
+    )
+    for e in report.errors:
+        lines.append(f"  ERROR: {e}")
+    for w in report.warnings:
+        lines.append(f"  WARN:  {w}")
+    for c in report.checks:
+        mark = "ok" if c.passed else "FAIL"
+        lines.append(f"  [{mark}] {c.name}")
+    return "\n".join(lines)
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    contract = contract_parser.parse_file(args.contract)
+    spark = _spark()
+    try:
+        try:
+            df = sources.load_contract_source(spark, contract)
+        except Exception as e:
+            if args.schema_only:
+                raise
+            # unsupported format -> schema-only fallback, like the
+            # reference CLI (validate.rs:88-98)
+            print(f"warning: cannot read source ({e}); schema-only validation", file=sys.stderr)
+            problems = contract.validate_definition()
+            print("contract definition " + ("OK" if not problems else f"invalid: {problems}"))
+            return 0 if not problems else 1
+        ctx = ValidationContext(
+            strict=args.strict,
+            schema_only=args.schema_only,
+            sample_size=args.sample_size,
+        )
+        report = validate_df(spark, df, contract, ctx)
+        if args.format == "json":
+            print(report.to_json())
+        else:
+            print(_render_text(report))
+        return 0 if report.passed else 1
+    finally:
+        spark.stop()
+
+
+def cmd_check(args: argparse.Namespace) -> int:
+    try:
+        contract = contract_parser.parse_file(args.contract)
+    except Exception as e:
+        print(f"contract invalid: {e}")
+        return 1
+    qc = contract.quality_checks
+    n_constraints = sum(len(f.constraints) for f in contract.schema.fields)
+    print(f"contract '{contract.name}' v{contract.version} owned by {contract.owner}: OK")
+    print(f"  fields: {len(contract.schema.fields)}  constraints: {n_constraints}")
+    if qc:
+        enabled = [
+            n
+            for n, v in [
+                ("completeness", qc.completeness),
+                ("uniqueness", qc.uniqueness),
+                ("freshness", qc.freshness),
+                ("custom_checks", qc.custom_checks),
+                ("ml_checks", qc.ml_checks),
+            ]
+            if v
+        ]
+        print(f"  quality checks: {', '.join(enabled) if enabled else 'none'}")
+    if contract.sla:
+        print(
+            f"  sla: availability={contract.sla.availability} "
+            f"response_time={contract.sla.response_time}"
+        )
+    return 0
+
+
+def cmd_init(args: argparse.Namespace) -> int:
+    spark = _spark()
+    try:
+        schema = sources.infer_contract_schema(spark, args.format, args.location)
+        doc = {
+            "version": "1.0.0",
+            "name": args.name,
+            "owner": args.owner,
+            "description": args.description,
+            "schema": {
+                "format": schema.format,
+                "location": schema.location,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": f.type,
+                        "nullable": f.nullable,
+                    }
+                    for f in schema.fields
+                ],
+            },
+        }
+        text = yaml.safe_dump(doc, sort_keys=False)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(text)
+            print(f"wrote {args.output}")
+        else:
+            print(text)
+        return 0
+    finally:
+        spark.stop()
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dce-spark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("validate", help="validate data against a contract")
+    v.add_argument("contract")
+    v.add_argument("--strict", action="store_true")
+    v.add_argument("--schema-only", action="store_true")
+    v.add_argument("--sample-size", type=int, default=None)
+    v.add_argument("--format", choices=["text", "json"], default="text")
+    v.set_defaults(func=cmd_validate)
+
+    c = sub.add_parser("check", help="parse and summarize a contract")
+    c.add_argument("contract")
+    c.set_defaults(func=cmd_check)
+
+    i = sub.add_parser("init", help="infer a contract from a table")
+    i.add_argument("format")
+    i.add_argument("location")
+    i.add_argument("--name", default="inferred")
+    i.add_argument("--owner", default="unknown")
+    i.add_argument("--description", default="inferred contract")
+    i.add_argument("-o", "--output", default=None)
+    i.set_defaults(func=cmd_init)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of these over naive pairwise comparison):
+
+- exact: hash-groupBy on a content fingerprint — one shuffle on the
+  digest, no pairwise work.
+- n-gram Jaccard: inverted-index self-join on shingles (only documents
+  *sharing* a shingle ever meet), then count-based Jaccard. Never a
+  cross join. Common-shingle skew is the known hazard at 100 TB —
+  ``max_shingle_freq`` drops stop-shingles (df-cut), the standard fix.
+- MinHash-LSH: per-document signatures via min-over-hash aggregates,
+  banded into buckets; candidate pairs only within equal band buckets.
+  All hashing is md5-based so results are engine-portable (oracle-
+  checkable) and stable across runs/cluster sizes.
+- SimHash: per-document bit-majority fingerprint; near-dups share
+  fingerprints (or differ in few bits). One groupBy per doc.
+
+Everything is built-in expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "shingles_col",
+    "exact_duplicates",
+    "jaccard_candidate_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+]
+
+from .text import fingerprint_col, tokens_col
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (array<string>)."""
+    toks = tokens_col(F.lower(text))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of documents with identical normalized text.
+
+    Returns (fingerprint, n_docs, doc_ids) for every group with >1 doc.
+    Shuffles on the 16-byte digest, not the document text.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold. ``max_shingle_freq`` drops shingles occurring
+    in more than that many documents before the join (skew guard).
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("__id").alias("ia"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("ib"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b"), F.col("jaccard")
+        )
+    )
+    return out
+
+
+def _hash_expr(seed: int, col: Column) -> Column:
+    """Portable keyed hash: md5 of 'seed:value'. Lexicographic min over
+    these hex digests is a valid MinHash (any uniform hash with a total
+    order works)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), col).cast("binary"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: one min-aggregate per hash seed,
+    single shuffle on doc id. Returns (id, h0..h{k-1})."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(_hash_expr(i, F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures -> band buckets ->
+    pairs sharing any bucket. Returns distinct (doc_a, doc_b), a < b.
+
+    At scale: the only join is bucket-equality on a 32-hex key; a hot
+    bucket means near-identical boilerplate — cap with a per-bucket
+    count filter upstream if needed.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts).cast("binary")).alias("bkey"))
+        )
+    buckets = sigs.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint (default 16-bit for portability) from distinct
+    word hashes: bit j of the fingerprint is the majority vote of bit j
+    across word digests. Pure expressions: explode words -> per-bit
+    signed sums -> recombine. Returns (id, simhash bigint).
+
+    Bit j is derived from hex digit j of md5(word): its high bit
+    (digit in 8..f). Engine-portable: any md5 implementation agrees.
+    """
+    assert bits <= 32
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens_col(F.lower(F.col(text_col))))).alias("w"),
+    ).withColumn("h", F.md5(F.col("w").cast("binary")))
+    # vote_j = sum over words of +1 if bit set else -1
+    aggs = [
+        F.sum(
+            F.when(
+                F.substring(F.col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            )
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = words.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return votes.select(F.col(id_col), fp.alias("simhash"))

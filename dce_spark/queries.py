@@ -1,0 +1,1023 @@
+"""Named query catalog: every operator from SURVEY.md §2 (+ extensions)
+as a (Spark callable, DuckDB oracle SQL) pair over the driver testdata.
+
+Determinism conventions (so Spark and DuckDB hash-match exactly):
+
+- counts/sums of integers -> BIGINT on both sides (DuckDB SUM(int) is
+  HUGEINT -> explicit CAST).
+- sums of doubles are order-dependent in any parallel engine, AND
+  double->DECIMAL quantization rounds differently across engines; so
+  both sides quantize each addend to a fixed quantum with
+  ``round(x * scale)`` (pure IEEE double ops, identical everywhere),
+  sum exactly as BIGINT, and divide back: identical bits under any
+  partitioning. Scales chosen so |sum*scale| < 2^53.
+- ratios of two exact integers divide as doubles (IEEE division of
+  identical operands is identical) — no rounding needed.
+- genuinely float-accumulated values (corr, PSI's ln, cosine) are
+  rounded to 6 digits on both sides.
+- timestamps compare as epoch *seconds* (BIGINT): Spark session tz is
+  pinned UTC; the files store TIMESTAMP(NANOS) which both engines
+  truncate identically (see dce_spark/data.py).
+- top-k orders by (rounded value, unique id) so ties are stable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .data import load_table
+from .ext import dedup as X_dedup
+from .ext import multimodal as X_mm
+from .ext import similarity as X_sim
+from .ext import text as X_text
+
+# injected "now" for freshness determinism: 2024-02-01 00:00:00 UTC
+NOW_EPOCH = 1706745600
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _qsum(col, scale: float) -> F.Column:
+    """Order-independent, engine-portable sum of a double expression:
+    quantize each addend to 1/scale, sum exactly in int64, divide back."""
+    return F.sum(F.round(col * F.lit(scale)).cast("long")).cast("double") / F.lit(scale)
+
+
+def _qsum_sql(expr: str, scale: float) -> str:
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}"
+    )
+
+
+# =====================================================================
+# §2.4 A1 — row count
+# =====================================================================
+
+
+@register(
+    "row_count_lineitem",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+    "A1: COUNT(*) (datafusion_engine.rs:1176-1194)",
+)
+def row_count_lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# =====================================================================
+# §2.2 P2 — nullability (fused null counts)
+# =====================================================================
+
+
+@register(
+    "null_counts_events",
+    """SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_id,
+              CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user_id,
+              CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_type,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value
+       FROM events""",
+    "P2: per-field null counts, fused into ONE agg (vs one query per field "
+    "in the reference, datafusion_engine.rs:288-310)",
+)
+def null_counts_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}")
+            for c in ["event_id", "ts", "user_id", "event_type", "value"]
+        ]
+    )
+
+
+# =====================================================================
+# §2.2 P3 — allowed-values violations
+# =====================================================================
+
+
+@register(
+    "allowed_values_violations_orders",
+    """SELECT CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+              AND CAST(o_orderstatus AS VARCHAR) NOT IN ('O','F')) AS BIGINT) AS n_violations
+       FROM orders""",
+    "P3: set-membership filter (datafusion_engine.rs:347-371); 'P' rows violate",
+)
+def allowed_values_violations_orders(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    c = F.col("o_orderstatus")
+    bad = c.isNotNull() & ~c.cast("string").isin("O", "F")
+    return df.agg(F.sum(bad.cast("long")).alias("n_violations"))
+
+
+# =====================================================================
+# §2.2 P4 — numeric range violations
+# =====================================================================
+
+
+@register(
+    "range_violations_lineitem",
+    """SELECT CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+              AND (CAST(l_quantity AS DOUBLE) < 5 OR CAST(l_quantity AS DOUBLE) > 45)) AS BIGINT)
+              AS n_violations
+       FROM lineitem""",
+    "P4: range filter (datafusion_engine.rs:373-392)",
+)
+def range_violations_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity").cast("double")
+    bad = F.col("l_quantity").isNotNull() & ((c < 5) | (c > 45))
+    return df.agg(F.sum(bad.cast("long")).alias("n_violations"))
+
+
+# =====================================================================
+# §2.2 P5 — regex pattern violations (unanchored search semantics)
+# =====================================================================
+
+
+@register(
+    "pattern_violations_events",
+    """SELECT CAST(count(*) FILTER (WHERE event_type IS NOT NULL
+              AND NOT regexp_matches(event_type, '^(view|click|purchase|signup)$')) AS BIGINT)
+              AS n_violations
+       FROM events""",
+    "P5: regex filter; rlike==regexp_matches search semantics "
+    "(reference row path, constraints.rs:252); 'error' rows violate",
+)
+def pattern_violations_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    c = F.col("event_type")
+    bad = c.isNotNull() & ~c.rlike("^(view|click|purchase|signup)$")
+    return df.agg(F.sum(bad.cast("long")).alias("n_violations"))
+
+
+# =====================================================================
+# §2.4 A2 — completeness ratios (fused)
+# =====================================================================
+
+
+@register(
+    "completeness_events",
+    """SELECT CAST(count(event_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r_event_id,
+              CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r_value,
+              CAST(count(props) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r_props
+       FROM events""",
+    "A2: COUNT(col)/COUNT(*) per field in one pass (datafusion_engine.rs:439-471)",
+)
+def completeness_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    total = F.count(F.lit(1)).cast("double")
+    return df.agg(
+        *[
+            (F.count(F.col(c)).cast("double") / total).alias(f"r_{c}")
+            for c in ["event_id", "value", "props"]
+        ]
+    )
+
+
+# =====================================================================
+# §2.4 A3 — uniqueness / duplicate counts
+# =====================================================================
+
+
+@register(
+    "uniqueness_dupes_lineitem",
+    """SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dupes,
+              CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct
+       FROM lineitem""",
+    "A3: COUNT(*) - COUNT(DISTINCT composite) (datafusion_engine.rs:473-489)",
+)
+def uniqueness_dupes_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")).alias(
+            "dupes"
+        ),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("n_distinct"),
+    )
+
+
+@register(
+    "distinct_users_events",
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events",
+    "A10: exact distinct count",
+)
+def distinct_users_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+# =====================================================================
+# §2.4 A4 — freshness (MAX timestamp vs injected now)
+# =====================================================================
+
+
+@register(
+    "freshness_events",
+    f"""SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch,
+               CAST({NOW_EPOCH} - floor(epoch(max(ts))) AS BIGINT) AS lag_seconds
+        FROM events""",
+    "A4: MAX(metric) + lag vs injected now (custom.rs:180-279; wall-clock "
+    "deliberately replaced by an injected constant)",
+)
+def freshness_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    mx = F.max(F.unix_timestamp(F.col("ts")))
+    return df.agg(
+        mx.alias("max_ts_epoch"), (F.lit(NOW_EPOCH) - mx).alias("lag_seconds")
+    )
+
+
+# =====================================================================
+# §2.4 A5 — Pearson correlation (target leakage)
+# =====================================================================
+
+
+@register(
+    "corr_lineitem_qty_price",
+    """SELECT round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qp,
+              CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) AS BIGINT) AS n
+       FROM lineitem""",
+    "A5: corr() aggregate (datafusion_engine.rs:518-571), rounded 6dp",
+)
+def corr_lineitem_qty_price(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return df.agg(
+        F.round(F.corr(q, p), 6).alias("corr_qp"),
+        F.sum((q.isNotNull() & p.isNotNull()).cast("long")).alias("n"),
+    )
+
+
+# =====================================================================
+# §2.4 A6 + §2.3 J1 — class balance: grouped count + global proportion
+# =====================================================================
+
+
+@register(
+    "class_balance_events",
+    """SELECT CAST(event_type AS VARCHAR) AS label,
+              CAST(count(*) AS BIGINT) AS cnt,
+              CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS proportion
+       FROM events WHERE event_type IS NOT NULL
+       GROUP BY event_type""",
+    "A6/J1: grouped counts + proportion of total via window "
+    "(reference uses CROSS JOIN on the total, datafusion_engine.rs:583-594)",
+)
+def class_balance_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy()
+    return (
+        df.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "proportion", F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")
+        )
+    )
+
+
+# =====================================================================
+# §2.4 A7 — null rate by group (synthetic nulls: value < 1 -> NULL)
+# =====================================================================
+
+
+@register(
+    "null_rate_by_group_events",
+    """SELECT CAST(event_type AS VARCHAR) AS grp,
+              CAST(sum(CASE WHEN (CASE WHEN value < 1 THEN NULL ELSE value END) IS NULL
+                       THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS null_rate,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events WHERE event_type IS NOT NULL
+       GROUP BY event_type""",
+    "A7: grouped null-rate (datafusion_engine.rs:950-1058); nulls are "
+    "synthesized (value<1) because the testdata has none",
+)
+def null_rate_by_group_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value"))
+    return (
+        df.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("grp"))
+        .agg(
+            (
+                F.sum(masked.isNull().cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("null_rate"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# =====================================================================
+# §2.4 A8 — temporal split bounds (min/max ts per group)
+# =====================================================================
+
+
+@register(
+    "temporal_bounds_events",
+    """SELECT CAST(event_type AS VARCHAR) AS split,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+              CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch
+       FROM events WHERE event_type IS NOT NULL
+       GROUP BY event_type""",
+    "A8: per-split min/max timestamp (ml.rs:184-279 — row-only in the reference)",
+)
+def temporal_bounds_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp(F.col("ts"))
+    return (
+        df.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("split"))
+        .agg(F.min(ep).alias("min_ts_epoch"), F.max(ep).alias("max_ts_epoch"))
+    )
+
+
+# =====================================================================
+# §2.3 J3 — no-overlap: keys spanning multiple splits
+# =====================================================================
+
+
+@register(
+    "overlap_users_events",
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+       FROM events WHERE event_type IS NOT NULL
+       GROUP BY user_id HAVING count(DISTINCT event_type) > 1""",
+    "J3: groupBy(key).count_distinct(split) > 1 — distributed no-overlap "
+    "(the reference's in-memory HashSet intersection, ml.rs:92-177, "
+    "cannot scale; this shuffles once)",
+)
+def overlap_users_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n_types"))
+        .filter(F.col("n_types") > 1)
+    )
+
+
+# =====================================================================
+# §2.5 W1 — NTILE equal-frequency binning (deterministic total order)
+# =====================================================================
+
+
+@register(
+    "ntile_bins_lineitem",
+    """SELECT CAST(bin AS BIGINT) AS bin,
+              CAST(count(*) AS BIGINT) AS cnt,
+              min(l_quantity) AS min_q,
+              max(l_quantity) AS max_q
+       FROM (SELECT l_quantity,
+                    ntile(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS bin
+             FROM lineitem)
+       GROUP BY bin""",
+    "W1: NTILE(10) equal-frequency binning (datafusion_engine.rs:710-741). "
+    "Tie-broken by (l_orderkey, l_linenumber) for a deterministic total "
+    "order. Single-partition window — parity probe only; the scale path "
+    "is approxQuantile (see ml.feature_drift).",
+)
+def ntile_bins_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    return (
+        df.select("l_quantity", F.ntile(10).over(w).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+        )
+    )
+
+
+# =====================================================================
+# §2.5 W2/W3 — PSI drift: equal-width bins + per-bin PSI terms
+# =====================================================================
+
+_PSI_CTE = """
+WITH src AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x, l_returnflag AS flag
+  FROM lineitem WHERE l_returnflag IN ('A', 'N') AND l_extendedprice IS NOT NULL
+), stats AS (
+  SELECT min(x) AS mn, max(x) AS mx FROM src WHERE flag = 'A'
+), binned AS (
+  SELECT least(greatest(CAST(floor((x - mn) / ((mx - mn) / 10)) AS BIGINT), 0), 9) AS bin, flag
+  FROM src, stats
+), counts AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         CAST(sum(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+  FROM binned GROUP BY bin
+), totals AS (
+  SELECT CAST(sum(ref_cnt) AS BIGINT) AS rt, CAST(sum(cur_cnt) AS BIGINT) AS ct FROM counts
+)
+"""
+
+
+def _psi_frames(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    src = df.filter(
+        F.col("l_returnflag").isin("A", "N") & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.col("l_extendedprice").cast("double").alias("x"), F.col("l_returnflag").alias("flag")
+    )
+    stats = src.filter(F.col("flag") == "A").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = src.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)).cast(
+                    "long"
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "flag",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("flag") == "A").cast("long")).alias("ref_cnt"),
+        F.sum((F.col("flag") == "N").cast("long")).alias("cur_cnt"),
+    )
+    w = Window.partitionBy()
+    with_tot = counts.withColumn("rt", F.sum("ref_cnt").over(w)).withColumn(
+        "ct", F.sum("cur_cnt").over(w)
+    )
+    ref_pct = F.col("ref_cnt").cast("double") / F.col("rt").cast("double")
+    cur_pct = F.col("cur_cnt").cast("double") / F.col("ct").cast("double")
+    term = (cur_pct - ref_pct) * F.log((cur_pct + 1e-6) / (ref_pct + 1e-6))
+    return with_tot, ref_pct, cur_pct, term
+
+
+@register(
+    "psi_bins_lineitem",
+    _PSI_CTE
+    + """SELECT c.bin,
+              c.ref_cnt, c.cur_cnt,
+              round((c.cur_cnt / t.ct - c.ref_cnt / t.rt)
+                    * ln((c.cur_cnt / t.ct + 1e-6) / (c.ref_cnt / t.rt + 1e-6)), 6) AS psi_term
+       FROM counts c, totals t""",
+    "W2/W3: equal-width binning + per-bin PSI terms between returnflag "
+    "A (ref) and N (cur). Equal-width (not NTILE) is the documented "
+    "scale-friendly convention (SURVEY §7.3).",
+)
+def psi_bins_lineitem(spark, sf_dir):
+    with_tot, ref_pct, cur_pct, term = _psi_frames(spark, sf_dir)
+    return with_tot.select(
+        "bin", "ref_cnt", "cur_cnt", F.round(term, 6).alias("psi_term")
+    )
+
+
+@register(
+    "psi_total_lineitem",
+    _PSI_CTE
+    + """SELECT round(CAST(sum((c.cur_cnt / t.ct - c.ref_cnt / t.rt)
+                    * ln((c.cur_cnt / t.ct + 1e-6) / (c.ref_cnt / t.rt + 1e-6))) AS DOUBLE), 6) AS psi
+       FROM counts c, totals t""",
+    "W3: total PSI (datafusion_engine.rs:923-943 formula, eps=1e-6)",
+)
+def psi_total_lineitem(spark, sf_dir):
+    with_tot, ref_pct, cur_pct, term = _psi_frames(spark, sf_dir)
+    return with_tot.agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+# =====================================================================
+# §2.6 O1-O3 — top-k with deterministic ordering
+# =====================================================================
+
+
+@register(
+    "topk_orders_by_price",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "O1-O3: ORDER BY + LIMIT (TakeOrdered in Spark — per-partition top-k, "
+    "no global sort)",
+)
+def topk_orders_by_price(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# §2.8 — custom SQL pass-through
+# =====================================================================
+
+
+@register(
+    "custom_sql_events",
+    "SELECT CAST(count(*) AS BIGINT) AS n_violations FROM events WHERE value < 0",
+    "custom SQL check protocol: user SELECT over the registered view "
+    "(custom.rs:285-397)",
+)
+def custom_sql_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    df.createOrReplaceTempView("data")
+    return spark.sql("SELECT count(*) AS n_violations FROM data WHERE value < 0")
+
+
+# =====================================================================
+# §2.4 A9 — profile (fused single-pass per-column stats)
+# =====================================================================
+
+
+@register(
+    "profile_customer",
+    f"""SELECT CAST(count(*) AS BIGINT) AS row_count,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS d_custkey,
+               CAST(count(DISTINCT c_nationkey) AS BIGINT) AS d_nationkey,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS d_mktsegment,
+               CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_acctbal,
+               min(c_acctbal) AS min_acctbal,
+               max(c_acctbal) AS max_acctbal,
+               {_qsum_sql('c_acctbal', 1e6)} / CAST(count(c_acctbal) AS DOUBLE) AS mean_acctbal
+        FROM customer""",
+    "A9: profile_batch equivalent (contracts-python/src/lib.rs:419-491) as "
+    "one fused agg",
+)
+def profile_customer(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_distinct("c_custkey").alias("d_custkey"),
+        F.count_distinct("c_nationkey").alias("d_nationkey"),
+        F.count_distinct("c_mktsegment").alias("d_mktsegment"),
+        F.sum(bal.isNull().cast("long")).alias("n_null_acctbal"),
+        F.min(bal).alias("min_acctbal"),
+        F.max(bal).alias("max_acctbal"),
+        (_qsum(bal, 1e6) / F.count(bal).cast("double")).alias("mean_acctbal"),
+    )
+
+
+# =====================================================================
+# TPC-H-style headliners (joins + heavy aggregation; bench queries)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+              {_qsum_sql('l_quantity', 1e6)} AS sum_qty,
+              {_qsum_sql('l_extendedprice', 1e4)} AS sum_base_price,
+              {_qsum_sql('l_extendedprice * (1 - l_discount)', 1e4)} AS sum_disc_price,
+              {_qsum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 1e4)} AS sum_charge,
+              {_qsum_sql('l_quantity', 1e6)} / CAST(count(*) AS DOUBLE) AS avg_qty,
+              {_qsum_sql('l_discount', 1e6)} / CAST(count(*) AS DOUBLE) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2024-01-25 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+    "TPC-H Q1-style pricing summary; quantized-exact sums so results are "
+    "partitioning-independent",
+)
+def q1_pricing_summary(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _qsum(F.col("l_quantity"), 1e6).alias("sum_qty"),
+            _qsum(F.col("l_extendedprice"), 1e4).alias("sum_base_price"),
+            _qsum(disc_price, 1e4).alias("sum_disc_price"),
+            _qsum(charge, 1e4).alias("sum_charge"),
+            (_qsum(F.col("l_quantity"), 1e6) / F.count(F.lit(1)).cast("double")).alias(
+                "avg_qty"
+            ),
+            (_qsum(F.col("l_discount"), 1e6) / F.count(F.lit(1)).cast("double")).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    f"""SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+              {_qsum_sql('l.l_extendedprice * (1 - l.l_discount)', 1e4)} AS revenue,
+              CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "TPC-H Q3-style: selective dim filter -> fact joins -> top-k revenue. "
+    "customer is broadcast; lineitem never shuffles for the join.",
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ord_sel = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    return (
+        # filtered customers broadcast; AQE decides the orders side
+        l.join(ord_sel, l.l_orderkey == ord_sel.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    f"""SELECT n.n_name,
+              {_qsum_sql('l.l_extendedprice * (1 - l.l_discount)', 1e4)} AS revenue
+       FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                     JOIN customer c ON c.c_nationkey = n.n_nationkey
+                     JOIN orders o ON o.o_custkey = c.c_custkey
+                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                     JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+       WHERE r.r_name = 'REGION_0'
+       GROUP BY n.n_name""",
+    "TPC-H Q5-style: star join with all dims broadcast; one shuffle total "
+    "(the final groupBy)",
+)
+def q5_nation_revenue(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    ord_dim = o.join(dims, o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_nationkey", "n_name"
+    )
+    sup = s.select("s_suppkey", "s_nationkey")
+    return (
+        l.join(ord_dim, l.l_orderkey == ord_dim.o_orderkey)
+        .join(F.broadcast(sup), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("n_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# =====================================================================
+# EXT: text analysis
+# =====================================================================
+
+
+@register(
+    "text_stats_documents",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
+                   THEN CAST(length(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+                   ELSE 0.0 END AS chars_per_token
+       FROM documents""",
+    "ext/text: per-doc token & char statistics (whitespace + BPE-ish regex "
+    "tokenizers), pure JVM expressions",
+)
+def text_stats_documents(spark, sf_dir):
+    return X_text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_documents",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              round(CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','on','for','with'], t))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+              round(CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio
+       FROM (SELECT doc_id, text,
+                    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> lower(t)) AS toks
+             FROM documents)""",
+    "ext/text: stopword + punctuation ratios (quality-filter primitives)",
+)
+def text_quality_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        F.round(X_text.stopword_ratio_col(t), 6).alias("stopword_ratio"),
+        F.round(X_text.punct_ratio_col(t), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "lang_stats_documents",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+       FROM documents GROUP BY lang""",
+    "ext/text: corpus language distribution",
+)
+def lang_stats_documents(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+@register(
+    "fingerprint_documents",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       FROM documents""",
+    "ext/text: normalized-text md5 fingerprint (dedup key)",
+)
+def fingerprint_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", X_text.fingerprint_col(F.col("text")).alias("fp"))
+
+
+# =====================================================================
+# EXT: deduplication
+# =====================================================================
+
+
+@register(
+    "dedup_exact_documents",
+    """SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+       FROM (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents)
+       GROUP BY fp HAVING count(*) > 1""",
+    "ext/dedup: exact duplicate groups by content fingerprint "
+    "(hash-groupBy; shuffles 16-byte digests, not text)",
+)
+def dedup_exact_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select(X_text.fingerprint_col(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+  FROM toks
+)
+"""
+
+
+@register(
+    "dedup_jaccard_documents",
+    _SHINGLE_CTE
+    + """, sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+       CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) AS jaccard
+FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.common AS DOUBLE) / CAST(sa.sz + sb.sz - p.common AS DOUBLE) >= 0.5""",
+    "ext/dedup: exact word-3gram Jaccard >= 0.5 via inverted-index join "
+    "(documents only meet on shared shingles — never a cross join)",
+)
+def dedup_jaccard_documents(spark, sf_dir):
+    return X_dedup.jaccard_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _minhash_oracle() -> str:
+    hash_aggs = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""", sigs AS (
+  SELECT doc_id,
+         {hash_aggs}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+{band_selects}
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+    )
+
+
+@register(
+    "dedup_minhash_lsh_documents",
+    _minhash_oracle(),
+    "ext/dedup: MinHash(8 hashes)-LSH(4 bands x 2 rows) candidate pairs. "
+    "md5-based hashing makes signatures engine-portable; min over hex "
+    "digests is a valid MinHash (uniform hash + total order).",
+)
+def dedup_minhash_lsh_documents(spark, sf_dir):
+    return X_dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        "CAST(sum(CASE WHEN substring(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END) AS BIGINT) AS v{j}".format(p=j + 1, j=j)
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(w) AS h FROM words
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes"""
+
+
+@register(
+    "dedup_simhash_documents",
+    _simhash_oracle(),
+    "ext/dedup: 16-bit SimHash fingerprint (bit-majority over word md5 "
+    "digests); near-dup docs land on nearby fingerprints",
+)
+def dedup_simhash_documents(spark, sf_dir):
+    return X_dedup.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+# =====================================================================
+# EXT: embedding similarity search
+# =====================================================================
+
+_COS_EXPR = """list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))"""
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               round({_COS_EXPR}, 6) AS cos_sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "ext/similarity: exact brute-force cosine top-10 for query vec_id=0. "
+    "Spark plan: literal (broadcast) query vector, one narrow pass + "
+    "TakeOrdered — zero shuffles of the corpus.",
+)
+def embedding_cosine_topk(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in df.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return X_sim.cosine_topk(df.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "embedding_knn_join",
+    f"""WITH scored AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 round({_COS_EXPR}, 6) AS cos_sim
+          FROM embeddings e, embeddings q
+          WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        )
+        SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank,
+               cos_sim
+        FROM scored
+        QUALIFY rank <= 5""",
+    "ext/similarity: exact k-NN join (5 queries x corpus) via broadcast "
+    "nested loop + per-query window top-k",
+)
+def embedding_knn_join(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = X_sim.knn_join_topk(df, queries, k=5, exclude_self=True)
+    return out.select("q_id", "vec_id", "rank", "cos_sim")
+
+
+@register(
+    "embedding_centroids_by_label",
+    f"""SELECT CAST(label AS BIGINT) AS label, CAST(t.pos AS BIGINT) AS pos,
+              {_qsum_sql('CAST(embedding[t.pos + 1] AS DOUBLE)', 1e9)}
+                / CAST(count(*) AS DOUBLE) AS centroid
+       FROM embeddings, range(0, 64) t(pos)
+       GROUP BY label, t.pos""",
+    "ext/similarity: per-label centroid (IVF coarse quantizer training "
+    "step) — posexplode + decimal-exact elementwise mean",
+)
+def embedding_centroids_by_label(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    return (
+        df.select(F.col("label").cast("long").alias("label"), F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                _qsum(F.col("v").cast("double"), 1e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("centroid")
+        )
+        .select("label", F.col("pos").cast("long").alias("pos"), "centroid")
+    )
+
+
+# =====================================================================
+# EXT: multimodal plumbing (mapInPandas over opaque payloads)
+# =====================================================================
+
+
+@register(
+    "multimodal_payload_stats",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              md5(text) AS digest
+       FROM documents""",
+    "ext/multimodal: Arrow-batched mapInPandas byte stats over opaque "
+    "payloads (text bytes stand in for media; the decode step is the "
+    "documented stub). Oracle checks the plumbing end-to-end.",
+)
+def multimodal_payload_stats(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    wrapped = X_mm.attach_payload(df, "text", media_type="text")
+    return X_mm.payload_stats(wrapped, "doc_id")
+
+
+# =====================================================================
+# entry points used by __spark_entry__
+# =====================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

@@ -1,0 +1,95 @@
+"""Contract enforcement on Structured Streaming sources.
+
+``validate_stream``: readStream -> foreachBatch -> the same contract
+compiler that serves batch (one fused agg per micro-batch + grouped
+checks), reports handed to a callback. Exactly-once per batch comes
+from foreachBatch's batch_id.
+
+``streaming_quality_aggregates``: continuous per-window quality metrics
+(row counts, null counts, violation counts) as a watermarked windowed
+aggregation — the idiomatic Spark shape for "freshness/completeness
+over the last N minutes" SLA monitoring, with late data handled by the
+watermark instead of the reference's (unimplemented) SLA block.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..compiler import ValidationContext, validate_df
+from ..contract import Contract
+from ..report import ValidationReport
+
+
+def validate_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    contract: Contract,
+    on_report: Callable[[int, ValidationReport], None],
+    context: Optional[ValidationContext] = None,
+    **write_stream_opts,
+):
+    """Enforce ``contract`` on every micro-batch of ``stream_df``.
+
+    Returns the started StreamingQuery. The caller's ``on_report`` gets
+    (batch_id, ValidationReport) per micro-batch; raise inside it to
+    fail the query (poison-batch semantics up to the caller).
+    """
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        report = validate_df(spark, batch_df, contract, context)
+        on_report(batch_id, report)
+
+    writer = stream_df.writeStream.foreachBatch(per_batch)
+    for k, v in write_stream_opts.items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def streaming_quality_aggregates(
+    stream_df: DataFrame,
+    contract: Contract,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Windowed quality metrics stream: per event-time window, row count
+    plus per-non-nullable-field null counts and per-constraint violation
+    counts — the contract's row-local checks as a continuous aggregate.
+
+    Output schema: window_start, window_end, n_rows, then one column per
+    check (null counts: ``nulls_<field>``; violations:
+    ``viol_<field>_<i>``). Late rows beyond the watermark are dropped by
+    Spark's state eviction rather than corrupting closed windows.
+    """
+    from ..checks.constraints import violation_expr
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for f in contract.schema.fields:
+        if not f.nullable and f.name in stream_df.columns:
+            aggs.append(
+                F.sum(F.col(f.name).isNull().cast("long")).alias(f"nulls_{f.name}")
+            )
+    for f in contract.schema.fields:
+        if f.name not in stream_df.columns:
+            continue
+        for i, c in enumerate(f.constraints):
+            aggs.append(
+                F.sum(violation_expr(F.col(f.name), c).cast("long")).alias(
+                    f"viol_{f.name}_{i}"
+                )
+            )
+    win = F.window(F.col(ts_col), window_duration)
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win)
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "*",
+        )
+        .drop("window")
+    )
