@@ -64,14 +64,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warm the JVM/readers with a trivial job (not timed)
+    # warm the JVM/readers and the Python worker pool (not timed):
+    # the first mapInPandas pays ~1s x n_workers of pandas imports
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    import pandas as _pd
+
+    warm = spark.range(0, int(CPUS) * 4, 1, int(CPUS))
+    warm.mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
         t0 = time.monotonic()
         force(fn(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # operator-internal persists are scoped to their query
+        spark.catalog.clearCache()
 
     # flagship contract validation (fused pass + grouped + custom SQL)
     from datetime import datetime, timezone

@@ -131,8 +131,18 @@ def validate_df(
         vals = _run_fused(df, fused, need_total=True)
         if vals:
             records = vals.get("__total__", 0) or 0
-            for p in fused:
+            # schema-stage probes (nullability) evaluate first: in strict
+            # mode a schema failure suppresses the later stages' results,
+            # matching the reference's early exit (engine.rs:234-237) —
+            # the fused scan already paid for them, but the report must
+            # not include them.
+            schema_probes = [p for p in fused if p.category == "schema"]
+            other_probes = [p for p in fused if p.category != "schema"]
+            for p in schema_probes:
                 report.add(p.evaluate(vals), strict=ctx.strict)
+            if not (ctx.strict and not report.passed):
+                for p in other_probes:
+                    report.add(p.evaluate(vals), strict=ctx.strict)
         elif not ctx.schema_only:
             records = df.count()
 

@@ -34,15 +34,34 @@ __all__ = [
 from .text import fingerprint_col, tokens_col
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (array<string>)."""
-    toks = tokens_col(F.lower(text))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column (array<string>).
+
+    ``toks`` MUST be a plain column reference, not a computed
+    expression: anything captured inside a higher-order-function lambda
+    is re-evaluated per element, which turns an O(tokens) shingling
+    into O(tokens^2) regex splits.
+    """
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (array<string>).
+
+    Convenience form for ad-hoc use; pipelines should tokenize into a
+    real column first and call :func:`shingles_from_tokens` (see note
+    there about lambda capture cost).
+    """
+    return shingles_from_tokens(tokens_col(F.lower(text)), n)
 
 
 def exact_duplicates(
@@ -64,12 +83,29 @@ def exact_duplicates(
     )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread the CPU-heavy per-document expression work across cores.
+
+    A small corpus often arrives as a single input split; shingling +
+    hashing is compute-bound, so scale-out must not depend on file
+    layout. At cluster scale the input has many splits and this
+    round-robin repartition is a cheap, byte-proportional shuffle of
+    (id, text) only.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("sh"),
+    pruned = _parallelize(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
+    toks = pruned.select(
+        "__id", tokens_col(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return toks.select(
+        "__id",
+        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh"),
     )
 
 
@@ -87,7 +123,12 @@ def jaccard_candidate_pairs(
     jaccard >= threshold. ``max_shingle_freq`` drops shingles occurring
     in more than that many documents before the join (skew guard).
     """
-    sh = _shingle_table(df, text_col, id_col, n)
+    # cached + eagerly materialized: reused by the size aggregate and
+    # BOTH sides of the self-join. Without the eager count, the two join
+    # sides race to compute the same cache blocks and serialize on
+    # block-manager locks; with it, every consumer reads warm cache.
+    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sh.count()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         rare = (
@@ -167,9 +208,14 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts).cast("binary")).alias("bkey"))
         )
-    buckets = sigs.select(
-        F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    buckets = (
+        sigs.select(
+            F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
+        )
+        .select("__id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .persist()  # both sides of the self-join reuse this
+    )
+    buckets.count()  # eager: see jaccard_candidate_pairs on the cache race
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -198,8 +244,9 @@ def simhash(
     (digit in 8..f). Engine-portable: any md5 implementation agrees.
     """
     assert bits <= 32
-    words = df.select(
-        F.col(id_col).alias("__id"),
+    pruned = _parallelize(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
+    words = pruned.select(
+        "__id",
         F.explode(F.array_distinct(tokens_col(F.lower(F.col(text_col))))).alias("w"),
     ).withColumn("h", F.md5(F.col("w").cast("binary")))
     # vote_j = sum over words of +1 if bit set else -1

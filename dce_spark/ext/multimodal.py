@@ -46,6 +46,14 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure payload batches are spread across cores before Python
+    workers — a single input split must not serialize the whole corpus
+    through one Arrow pipe."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def attach_payload(
     df: DataFrame, source_col: str, media_type: str = "image", fmt: str | None = None
 ) -> DataFrame:
@@ -78,7 +86,7 @@ def payload_stats(df: DataFrame, id_col: str, payload_col: str = "payload") -> D
             T.StructField("digest", T.StringType(), False),
         ]
     )
-    pruned = df.select(id_col, payload_col)
+    pruned = _spread(df.select(id_col, payload_col))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,7 +141,7 @@ def extract_image_features(
     The Arrow batch shape, schema, and pruning are production-real; only
     the per-payload decode is stubbed (``fake=True`` for tests).
     """
-    pruned = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+    pruned = _spread(df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("p")))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,7 +178,7 @@ def sample_frames(
             T.StructField("ts_ms", T.LongType(), False),
         ]
     )
-    pruned = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+    pruned = _spread(df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("p")))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -702,6 +702,93 @@ def q5_nation_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "q6_revenue_delta",
+    f"""SELECT {_qsum_sql('l_extendedprice * l_discount', 1e4)} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
+          AND l_shipdate < TIMESTAMP '2024-01-20 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24""",
+    "TPC-H Q6-style filter-only aggregation: every predicate reaches the "
+    "parquet scan (pushdown probe)",
+)
+def q6_revenue_delta(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.filter(
+        (F.col("l_shipdate") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(_qsum(F.col("l_extendedprice") * F.col("l_discount"), 1e4).alias("revenue"))
+
+
+@register(
+    "sessionization_events",
+    """WITH gaps AS (
+         SELECT user_id,
+                CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       )
+       SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(new_session) AS BIGINT) AS n_sessions
+       FROM gaps GROUP BY user_id""",
+    "ext: sessionization via lag window (30-min gap rule) — the "
+    "ranking/lag window family the reference lacks entirely; one shuffle "
+    "on user_id",
+)
+def sessionization_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts"))
+    new_session = (
+        F.when(
+            F.lag(F.col("ts")).over(w).isNull()
+            | ((ep - F.lag(ep).over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        df.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "uniqueness_per_day_orders",
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) AS repeat_customers
+       FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')""",
+    "A3+scope: per-day uniqueness — implements the reference's declared-"
+    "but-inert uniqueness `scope` field (contract.rs:218-219) as real "
+    "grouped semantics",
+)
+def uniqueness_per_day_orders(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return (
+        df.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.count(F.lit(1)) - F.count_distinct("o_custkey")).alias(
+                "repeat_customers"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # EXT: text analysis
 # =====================================================================
@@ -984,6 +1071,90 @@ def embedding_centroids_by_label(spark, sf_dir):
             ).alias("centroid")
         )
         .select("label", F.col("pos").cast("long").alias("pos"), "centroid")
+    )
+
+
+@register(
+    "top_words_documents",
+    """SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+             FROM documents)
+       GROUP BY w ORDER BY cnt DESC, w LIMIT 20""",
+    "ext/text: corpus top-20 word frequencies (map-side explode + one "
+    "shuffle + TakeOrdered)",
+)
+def top_words_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    from .ext.text import tokens_col
+
+    return (
+        df.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("w"))
+        .limit(20)
+    )
+
+
+@register(
+    "lang_guess_documents",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(*) FILTER (WHERE en_hits >= 1) AS BIGINT) AS n_guessed_en
+       FROM (SELECT lang,
+                    len(list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> lower(t)),
+                                    t -> list_contains(['the','a','of','to','and','in','is','on','for','with'], t))) AS en_hits
+             FROM documents)
+       GROUP BY lang""",
+    "ext/text: stopword-hit language heuristic vs the labeled lang column "
+    "(n-gram/stopword language-ID primitive)",
+)
+def lang_guess_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    from .ext.text import STOPWORDS, tokens_col
+
+    toks = F.transform(tokens_col(F.col("text")), lambda t: F.lower(t))
+    en_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    return (
+        df.select("lang", en_hits.alias("en_hits"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("en_hits") >= 1).cast("long")).alias("n_guessed_en"),
+        )
+    )
+
+
+_PAIR_COS_EXPR = """list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+               round({_PAIR_COS_EXPR}, 6) AS cos_sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round({_PAIR_COS_EXPR}, 6) >= 0.95""",
+    "ext/dedup: embedding-cosine near-duplicate pairs (>=0.95). This is "
+    "the brute-force O(n^2) oracle form; the scale path buckets by IVF "
+    "cell / LSH sign bits first so only same-bucket pairs meet.",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    from .ext.similarity import cosine_col
+
+    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.95)
     )
 
 

@@ -1,0 +1,75 @@
+"""CLI black-box tests (mirrors crates/contracts_cli/tests/cli_tests.rs
+via subprocess + in-process arg parsing)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+GOOD = """
+version: "1.0.0"
+name: events
+owner: data-eng
+schema:
+  format: parquet
+  location: {loc}
+  fields:
+    - name: event_id
+      type: int64
+      nullable: false
+    - name: event_type
+      type: string
+quality_checks:
+  completeness:
+    threshold: 0.5
+    fields: [event_type]
+"""
+
+BAD_DEF = """
+version: "1.0.0"
+name: events
+owner: data-eng
+schema:
+  fields: []
+"""
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "dce_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+def test_check_good(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(GOOD.format(loc="/tmp/nonexistent.parquet"))
+    r = run_cli("check", str(p))
+    assert r.returncode == 0
+    assert "OK" in r.stdout
+    assert "completeness" in r.stdout
+
+
+def test_check_bad(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(BAD_DEF)
+    r = run_cli("check", str(p))
+    assert r.returncode == 1
+    assert "invalid" in r.stdout
+
+
+@pytest.mark.slow
+def test_validate_json_output(tmp_path, sf_dir):
+    # events table read raw (nanos ts column is just a long here, and the
+    # contract only references non-ts fields)
+    p = tmp_path / "c.yml"
+    p.write_text(GOOD.format(loc=f"{sf_dir}/events.parquet"))
+    r = run_cli("validate", str(p), "--format", "json")
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout[r.stdout.index("{") :])
+    assert report["passed"] is True
+    assert report["stats"]["records_validated"] > 0

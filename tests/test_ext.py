@@ -1,0 +1,192 @@
+"""Extension operators: dedup, similarity, text, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dce_spark.ext import dedup as X_dedup
+from dce_spark.ext import multimodal as X_mm
+from dce_spark.ext import similarity as X_sim
+from dce_spark.ext import text as X_text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    other = "completely different content about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # exact dup of 1
+            Row(doc_id=3, text=near),  # near dup of 1/2
+            Row(doc_id=4, text=other),
+            Row(doc_id=5, text="  " + base + "  "),  # whitespace-normalized dup
+        ]
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    groups = X_dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 5]  # normalization catches 5
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in X_dedup.jaccard_candidate_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_df_cut(spark, docs):
+    # dropping ubiquitous shingles must not invent pairs
+    pairs = X_dedup.jaccard_candidate_pairs(
+        docs, threshold=0.9, max_shingle_freq=10
+    ).collect()
+    assert all(r["jaccard"] >= 0.9 for r in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in X_dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 5) in pairs
+    # doc 4 shares no shingles: can never be a candidate
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+            for r in X_dedup.minhash_signatures(docs, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]  # identical shingle sets -> identical sigs
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree >= 4  # near dups agree on most hashes
+
+
+def test_simhash(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in X_dedup.simhash(docs).collect()}
+    assert fps[1] == fps[2] == fps[5]
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near <= ham_far
+    assert all(0 <= v < 2**16 for v in fps.values())
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk(spark, vecs):
+    out = X_sim.cosine_topk(vecs, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert out[0]["cos_sim"] == 1.0
+    assert out[1]["cos_sim"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_knn_join(spark, vecs):
+    qs = vecs.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = X_sim.knn_join_topk(vecs, qs, k=2, exclude_self=True).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    assert sorted(by_q[0]) == [(1, 1), (2, 4)]
+    assert sorted(by_q[2])[0] == (1, 4)
+
+
+def test_ivf_topk(spark, vecs):
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]
+    out = X_sim.ivf_topk(vecs, [1.0, 0.05, 0.0], centroids, k=5, nprobe=1).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids and 1 in ids
+    assert 3 not in ids  # pruned: lives in the opposite cell
+    # nprobe widens the search
+    out2 = X_sim.ivf_topk(vecs, [1.0, 0.05, 0.0], centroids, k=5, nprobe=3).collect()
+    assert len(out2) == 5
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! 42 times.")])
+    r = X_text.text_stats(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_chars"] == 23
+    # hello , world ! 42 times . -> 7 BPE-ish tokens
+    assert r["n_bpe_tokens"] == 7
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat with a hat and a bat for a rat in a vat today ok"),
+            Row(doc_id=2, text="!!! ### $$$ %%%"),
+            Row(doc_id=3, text="word"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in X_text.text_quality(df).collect()}
+    assert out[1]["quality_score"] > 0.5
+    assert out[2]["quality_score"] == 0.0
+    assert out[3]["quality_score"] < 0.2
+    for r in out.values():
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello  World"), Row(doc_id=2, text=" hello world ")]
+    )
+    fps = [r[1] for r in df.select("doc_id", X_text.fingerprint_col(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_payload_stats(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="abc"), Row(doc_id=2, text="dd")])
+    wrapped = X_mm.attach_payload(df, "text", media_type="text")
+    assert "payload" in wrapped.columns and "media_meta" in wrapped.columns
+    meta = wrapped.select("media_meta.n_bytes").collect()
+    assert sorted(r[0] for r in meta) == [2, 3]
+    stats = {r["doc_id"]: r for r in X_mm.payload_stats(wrapped, "doc_id").collect()}
+    assert stats[1]["n_bytes"] == 3
+    assert stats[1]["digest"] == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        X_mm.decode_image_batch(b"xxx")
+
+
+def test_multimodal_fake_decode_pipeline(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text="payload" * (i + 1)) for i in range(3)])
+    wrapped = X_mm.attach_payload(df, "text")
+    feats = X_mm.extract_image_features(wrapped, "doc_id", fake=True).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert len(r["features"]) == 4
+    # deterministic
+    feats2 = X_mm.extract_image_features(wrapped, "doc_id", fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 250)])
+    wrapped = X_mm.attach_payload(df, "text", media_type="video")
+    frames = X_mm.sample_frames(wrapped, "doc_id", fake=True).collect()
+    assert len(frames) == 2  # 250 bytes -> 2 frames
+    assert [f["ts_ms"] for f in frames] == [0, 1000]
