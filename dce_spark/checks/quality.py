@@ -126,6 +126,48 @@ def uniqueness_probe(
     )
 
 
+def uniqueness_per_day_check(
+    check: UniquenessCheck, df: DataFrame, ts_col: str
+) -> CheckResult | None:
+    """Scoped uniqueness: key must be unique *within each calendar day*
+    of ``ts_col``. The reference parses ``scope`` but never evaluates it
+    (contract.rs:218-219); here ``scope: "per_day:<ts_column>"`` gets
+    real semantics as one grouped aggregation (shuffle on day+key via
+    two-level agg: per-(day) distinct counting)."""
+    cols = [f for f in check.fields if f in df.columns]
+    if not cols or ts_col not in df.columns:
+        return None
+    from ..functions import to_timestamp_multi
+
+    dtype = dict((f.name, f.dataType) for f in df.schema.fields)[ts_col]
+    day = F.date_format(to_timestamp_multi(F.col(ts_col), dtype), "yyyy-MM-dd")
+    per_day = (
+        df.groupBy(day.alias("__day"))
+        .agg(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])).alias(
+                "__dupes"
+            )
+        )
+        .agg(F.sum("__dupes").alias("dupes"), F.count(F.lit(1)).alias("days"))
+        .collect()[0]
+    )
+    dupes = per_day["dupes"] or 0
+    ok = dupes == 0
+    return CheckResult(
+        name="quality.uniqueness[per_day]:" + ",".join(cols),
+        category="quality",
+        passed=ok,
+        severity=Severity.ERROR,
+        field=",".join(cols),
+        observed={"duplicates": dupes, "days": per_day["days"]},
+        message=(
+            ""
+            if ok
+            else f"found {dupes} same-day duplicate rows for key ({', '.join(cols)})"
+        ),
+    )
+
+
 def freshness_probe(
     check: FreshnessCheck, df: DataFrame, now: datetime | None = None
 ) -> AggProbe | None:

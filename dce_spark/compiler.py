@@ -95,7 +95,7 @@ def validate_df(
         if qc:
             if qc.completeness:
                 fused.extend(quality_checks.completeness_probes(qc.completeness, df))
-            if qc.uniqueness:
+            if qc.uniqueness and not (qc.uniqueness.scope or "").startswith("per_day"):
                 p = quality_checks.uniqueness_probe(
                     qc.uniqueness, df, approx=ctx.approx_distinct
                 )
@@ -149,6 +149,22 @@ def validate_df(
         strict_stop = ctx.strict and not report.passed
         fields_checked = {f for p in fused for f in p.fields}
         constraints_evaluated = sum(p.constraints for p in fused)
+
+        # ---- stage 1b: scoped (grouped) quality checks
+        if (
+            qc
+            and qc.uniqueness
+            and (qc.uniqueness.scope or "").startswith("per_day")
+            and not ctx.schema_only
+            and not strict_stop
+        ):
+            # scope syntax: "per_day:<ts_column>"
+            _, _, ts_col = qc.uniqueness.scope.partition(":")
+            r = quality_checks.uniqueness_per_day_check(
+                qc.uniqueness, df, ts_col.strip()
+            )
+            if r:
+                report.add(r, ctx.strict)
 
         # ---- stage 2: grouped ML checks
         if ml and not ctx.schema_only and not strict_stop:

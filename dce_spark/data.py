@@ -51,3 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table with nano-timestamp columns left as raw
+    int64 nanos. Predicates on the raw column push down to the parquet
+    scan (row-group skipping); the converted TimestampType column from
+    :func:`load_table` is a derived expression and cannot."""
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_nanos(iso_utc: str) -> int:
+    """'YYYY-MM-DD[ HH:MM:SS]' (UTC) -> int64 nanos since epoch, for
+    pushdown-friendly filters against raw nano-timestamp columns."""
+    from datetime import datetime, timezone
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in iso_utc else "%Y-%m-%d"
+    dt = datetime.strptime(iso_utc, fmt).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000

@@ -710,14 +710,19 @@ def q5_nation_revenue(spark, sf_dir):
           AND l_shipdate < TIMESTAMP '2024-01-20 00:00:00'
           AND l_discount BETWEEN 0.02 AND 0.06
           AND l_quantity < 24""",
-    "TPC-H Q6-style filter-only aggregation: every predicate reaches the "
-    "parquet scan (pushdown probe)",
+    "TPC-H Q6-style filter-only aggregation: every predicate (incl. the "
+    "shipdate bound, compared against the scan's native timestamp_ntz "
+    "column) reaches the parquet scan — pushdown probe, locked by "
+    "tests/test_plans.py.",
 )
 def q6_revenue_delta(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate")
+    lo = F.lit("2024-01-05 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
+    hi = F.lit("2024-01-20 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
     return df.filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        (ship >= lo)
+        & (ship < hi)
         & (F.col("l_discount") >= 0.02)
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
