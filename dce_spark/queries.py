@@ -1184,6 +1184,88 @@ def multimodal_payload_stats(spark, sf_dir):
     return X_mm.payload_stats(wrapped, "doc_id")
 
 
+@register(
+    "schema_columns_events",
+    """SELECT column_name AS col FROM information_schema.columns
+       WHERE table_name = 'events'""",
+    "P1: column-presence probe — pure metadata on both engines "
+    "(the reference runs a LIMIT 0 query, datafusion_engine.rs:258-286; "
+    "Spark answers from the resolved schema, zero jobs)",
+)
+def schema_columns_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return spark.createDataFrame([(c,) for c in df.columns], schema="col string")
+
+
+def _ivf_centroids(spark, sf_dir) -> dict[int, list[float]]:
+    """Collect per-label centroids (k x dim — metadata-scale, exactly
+    what an IVF coarse quantizer keeps driver-side)."""
+    rows = embedding_centroids_by_label(spark, sf_dir).collect()
+    cents: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cents.setdefault(r["label"], {})[r["pos"]] = r["centroid"]
+    return {
+        lbl: [by_pos[i] for i in range(len(by_pos))] for lbl, by_pos in cents.items()
+    }
+
+
+_IVF_CENT_SQL = f"""
+cent AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(t.pos AS BIGINT) AS pos,
+         {_qsum_sql('CAST(embedding[t.pos + 1] AS DOUBLE)', 1e9)}
+           / CAST(count(*) AS DOUBLE) AS c
+  FROM embeddings, range(0, 64) t(pos)
+  GROUP BY label, t.pos
+), q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+), qd AS (
+  SELECT t.pos, CAST(q.embedding[t.pos + 1] AS DOUBLE) AS v
+  FROM q, range(0, 64) t(pos)
+), cell_scores AS (
+  SELECT cent.label,
+         round(sum(cent.c * qd.v)
+               / (sqrt(sum(cent.c * cent.c)) * sqrt(sum(qd.v * qd.v))), 6) AS cell_cos
+  FROM cent JOIN qd ON cent.pos = qd.pos
+  GROUP BY cent.label
+), best AS (
+  SELECT label FROM cell_scores ORDER BY cell_cos DESC, label LIMIT 1
+)
+"""
+
+
+@register(
+    "embedding_ivf_topk",
+    f"""WITH {_IVF_CENT_SQL}
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               round({_COS_EXPR}, 6) AS cos_sim
+        FROM embeddings e, q, best
+        WHERE e.label = best.label AND e.vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "ext/similarity: IVF-style ANN — rank coarse cells (per-label "
+    "centroids) for the query, search ONLY the best cell. The scale "
+    "path: corpus written partitioned by cell, a query touches "
+    "~1/n_cells of the data; recall<1 by construction (ANN).",
+)
+def embedding_ivf_topk(spark, sf_dir):
+    import math
+
+    df = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    qvec = [float(v) for v in df.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    best_label = min(
+        cents, key=lambda lbl: (-round(cos_py(cents[lbl], qvec), 6), lbl)
+    )
+    cell = df.filter((F.col("label") == best_label) & (F.col("vec_id") != 0))
+    return X_sim.cosine_topk(cell, qvec, k=10)
+
+
 # =====================================================================
 # entry points used by __spark_entry__
 # =====================================================================
