@@ -1185,6 +1185,86 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 @register(
+    "rollup_pricing_lineitem",
+    f"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               {_qsum_sql('l_extendedprice', 1e4)} AS sum_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "extension beyond the reference (no grouping sets anywhere in it): "
+    "ROLLUP hierarchy totals in one pass (Expand under the hood, single "
+    "shuffle)",
+)
+def rollup_pricing_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _qsum(F.col("l_extendedprice"), 1e4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("lstatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "semi_anti_join_customers",
+    """SELECT
+         CAST((SELECT count(*) FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+           AS with_orders,
+         CAST((SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+           AS without_orders""",
+    "J-family widening (the reference validates one table at a time): "
+    "left-semi and left-anti joins; at scale both are shuffled hash "
+    "joins on the key, or broadcast when one side is small",
+)
+def semi_anti_join_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return c.sparkSession.createDataFrame(
+        [(semi, anti)], schema="with_orders bigint, without_orders bigint"
+    )
+
+
+@register(
+    "set_ops_orders_customers",
+    """SELECT
+         CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+                                     INTERSECT
+                                     SELECT c_custkey FROM customer WHERE c_acctbal > 5000)) AS BIGINT)
+           AS rich_buyers,
+         CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                     EXCEPT
+                                     SELECT DISTINCT o_custkey FROM orders)) AS BIGINT)
+           AS never_bought""",
+    "A10 set operators (INTERSECT/EXCEPT) — distinct-based, one shuffle "
+    "each on the key",
+)
+def set_ops_orders_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    rich_buyers = buyers.intersect(rich).count()
+    never = (
+        c.select(F.col("c_custkey").alias("k")).exceptAll(buyers).distinct().count()
+    )
+    return c.sparkSession.createDataFrame(
+        [(rich_buyers, never)], schema="rich_buyers bigint, never_bought bigint"
+    )
+
+
+@register(
     "schema_columns_events",
     """SELECT column_name AS col FROM information_schema.columns
        WHERE table_name = 'events'""",
