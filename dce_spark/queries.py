@@ -1185,6 +1185,45 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 @register(
+    "json_extract_events",
+    """SELECT CAST(event_type AS VARCHAR) AS event_type,
+              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+       FROM events GROUP BY event_type""",
+    "semi-structured widening: JSON path extraction from a string column "
+    "(get_json_object — JVM-side, no UDF), grouped integer aggregation",
+)
+def json_extract_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        df.groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
+    )
+
+
+@register(
+    "quantiles_lineitem",
+    """SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS p99
+       FROM lineitem""",
+    "W-family widening: exact interpolated quantiles (Spark `percentile` "
+    "== SQL percentile_cont semantics). Scale note: exact percentile "
+    "sorts groups in memory; the 100 TB path is approx_percentile / "
+    "approxQuantile (Greenwald-Knna sketch, distributed merge).",
+)
+def quantiles_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("double")
+    return df.agg(
+        F.round(F.percentile(p, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(p, F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile(p, F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
     "rollup_pricing_lineitem",
     f"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
                coalesce(l_linestatus, 'ALL') AS lstatus,
