@@ -9,21 +9,21 @@ import pytest
 
 GOOD = """
 version: "1.0.0"
-name: events
+name: customer
 owner: data-eng
 schema:
   format: parquet
   location: {loc}
   fields:
-    - name: event_id
+    - name: c_custkey
       type: int64
       nullable: false
-    - name: event_type
+    - name: c_name
       type: string
 quality_checks:
   completeness:
     threshold: 0.5
-    fields: [event_type]
+    fields: [c_name]
 """
 
 BAD_DEF = """
@@ -62,12 +62,9 @@ def test_check_bad(tmp_path):
     assert "invalid" in r.stdout
 
 
-@pytest.mark.slow
 def test_validate_json_output(tmp_path, sf_dir):
-    # events table read raw (nanos ts column is just a long here, and the
-    # contract only references non-ts fields)
     p = tmp_path / "c.yml"
-    p.write_text(GOOD.format(loc=f"{sf_dir}/events.parquet"))
+    p.write_text(GOOD.format(loc=f"{sf_dir}/customer.parquet"))
     r = run_cli("validate", str(p), "--format", "json")
     assert r.returncode == 0, r.stderr[-2000:]
     report = json.loads(r.stdout[r.stdout.index("{") :])
