@@ -28,14 +28,21 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q6_revenue_delta",
+    "rollup_pricing_lineitem",
+    "quantiles_lineitem",
     "class_balance_events",
     "psi_total_lineitem",
     "profile_customer",
+    "sessionization_events",
+    "asof_join_events",
+    "json_extract_events",
     "dedup_minhash_lsh_documents",
     "dedup_jaccard_documents",
     "dedup_simhash_documents",
     "embedding_cosine_topk",
     "embedding_knn_join",
+    "embedding_ivf_topk",
     "text_stats_documents",
     "multimodal_payload_stats",
 ]

@@ -1185,6 +1185,46 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 @register(
+    "asof_join_events",
+    """WITH u AS (
+         SELECT user_id, ts, event_id, (event_type = 'click') AS is_c
+         FROM events WHERE event_type IN ('click', 'error')
+       )
+       SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              CAST(last_value(CASE WHEN is_c THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+                AS last_click_id
+       FROM u QUALIFY NOT is_c""",
+    "ext/timeseries: as-of join — each 'error' event gets the most "
+    "recent prior 'click' of the same user. Union+window (one shuffle), "
+    "NOT a range join (which would be nested-loop at scale).",
+)
+def asof_join_events(spark, sf_dir):
+    from .ext.timeseries import asof_join
+
+    df = load_table(spark, sf_dir, "events")
+    errors = df.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="event_id",
+        tiebreak="event_id",
+        value_alias="last_click_id",
+    )
+    return out.select("event_id", "user_id", "last_click_id")
+
+
+@register(
     "json_extract_events",
     """SELECT CAST(event_type AS VARCHAR) AS event_type,
               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
