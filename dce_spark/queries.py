@@ -84,6 +84,57 @@ def row_count_lineitem(spark, sf_dir):
 
 
 # =====================================================================
+# §2.1 S1 — in-memory batch registration (DataSet -> table `data`)
+# =====================================================================
+
+
+@register(
+    "inmemory_batch_validation",
+    """WITH data(id, status, score) AS (
+         VALUES (1, 'active', 10.0), (2, 'inactive', -5.0), (3, 'unknown', 250.0),
+                (4, 'active', NULL), (5, NULL, 50.0)
+       )
+       SELECT CAST(count(*) AS BIGINT) AS total,
+              CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_id,
+              CAST(count(*) FILTER (WHERE status IS NOT NULL
+                   AND CAST(status AS VARCHAR) NOT IN ('active','inactive')) AS BIGINT) AS bad_status,
+              CAST(count(*) FILTER (WHERE score IS NOT NULL
+                   AND (CAST(score AS DOUBLE) < 0 OR CAST(score AS DOUBLE) > 100)) AS BIGINT) AS bad_score
+       FROM data""",
+    "S1: in-memory rows registered as table `data` and validated in one "
+    "fused agg (reference: DataSet -> Arrow RecordBatch -> DataFusion "
+    "table, datafusion_engine.rs:49-63; here spark.createDataFrame — the "
+    "~380 lines of nested column builders are native Spark types)",
+)
+def inmemory_batch_validation(spark, sf_dir):
+    rows = [
+        (1, "active", 10.0),
+        (2, "inactive", -5.0),
+        (3, "unknown", 250.0),
+        (4, "active", None),
+        (5, None, 50.0),
+    ]
+    df = spark.createDataFrame(rows, schema="id int, status string, score double")
+    df.createOrReplaceTempView("data")
+    status, score = F.col("status"), F.col("score")
+    return spark.table("data").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("id").isNull().cast("long")).alias("n_null_id"),
+        F.sum(
+            (status.isNotNull() & ~status.cast("string").isin("active", "inactive")).cast(
+                "long"
+            )
+        ).alias("bad_status"),
+        F.sum(
+            (
+                score.isNotNull()
+                & ((score.cast("double") < 0) | (score.cast("double") > 100))
+            ).cast("long")
+        ).alias("bad_score"),
+    )
+
+
+# =====================================================================
 # §2.2 P2 — nullability (fused null counts)
 # =====================================================================
 
