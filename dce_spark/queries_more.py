@@ -1,0 +1,630 @@
+"""Extended operator catalog: window-function family, grouping sets,
+pivot, range joins, TPC-H-style multi-table analytics, tumbling windows,
+array/string scalar families.
+
+These widen SURVEY.md §2 coverage beyond the reference's own surface
+(the reference generates validation queries over ONE table at a time;
+see SURVEY.md §2.3 J4 / §2.5 / §2.6): every relational shape a user of
+a general analytics engine would reach for is represented here as a
+named, oracle-checked query, expressed Spark-first.
+
+Scale notes are inline per query. Shared determinism conventions are
+documented in dce_spark/queries.py (quantized sums, epoch seconds,
+round-6 for float-accumulated values, unique tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .data import load_table
+from .queries import _qsum, _qsum_sql, register
+
+# =====================================================================
+# Window-function family (beyond the reference's single NTILE — W1)
+# =====================================================================
+
+
+@register(
+    "window_topn_customers_per_segment",
+    """WITH t AS (
+         SELECT c_mktsegment, c_custkey,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                rank() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC) AS drnk
+         FROM customer
+       )
+       SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey,
+              bal_cents, CAST(rn AS BIGINT) AS rn,
+              CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk
+       FROM t WHERE rn <= 3""",
+    "window family: row_number/rank/dense_rank top-N per group. One "
+    "shuffle on the partition key; per-group heaps, no global sort. At "
+    "100 TB a skewed segment is the hazard — pre-aggregate or use a "
+    "two-level top-N (per-partition top-N then merge) if groups are few.",
+)
+def window_topn_customers_per_segment(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    w_rn = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_rk = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        df.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            F.row_number().over(w_rn).cast("long").alias("rn"),
+            F.rank().over(w_rk).cast("long").alias("rnk"),
+            F.dense_rank().over(w_rk).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total_orders",
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+              CAST(o_custkey AS BIGINT) AS o_custkey,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS running_cents
+       FROM orders""",
+    "window family: per-customer running total. Exact under any "
+    "partitioning: addends quantized to cents (bigint) so accumulation "
+    "order is irrelevant. One shuffle on o_custkey.",
+)
+def window_running_total_orders(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return df.select(
+        "o_orderkey", "o_custkey", F.sum(cents).over(w).alias("running_cents")
+    )
+
+
+@register(
+    "window_lag_delta_events",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              round(value - lag(value)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+                AS delta,
+              CAST(lead(event_id)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                AS next_event_id
+       FROM events""",
+    "window family: lag/lead over event time per user (consecutive "
+    "delta + successor pointer). Subtraction of identical doubles is "
+    "bit-identical across engines; round-6 for display stability.",
+)
+def window_lag_delta_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return df.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "window_moving_avg_events",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(count(*)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / 100.0 AS mavg_value
+       FROM events""",
+    "window family: 3-row moving average with an explicit ROWS frame. "
+    "Computed as exact-integer frame sum / frame count so the result is "
+    "bit-identical regardless of partitioning or engine.",
+)
+def window_moving_avg_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    mavg = (
+        F.sum(cents).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+        / F.lit(100.0)
+    )
+    return df.select("event_id", "user_id", mavg.alias("mavg_value"))
+
+
+# =====================================================================
+# Grouping sets / pivot (absent in the reference — SURVEY §2.4 note)
+# =====================================================================
+
+
+@register(
+    "cube_orders_status_priority",
+    f"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               {_qsum_sql('o_totalprice', 100)} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "grouping-sets family: CUBE over two dimensions — Catalyst Expand "
+    "(4 grouping sets) feeding ONE hash aggregate / one shuffle, not "
+    "four scans.",
+)
+def cube_orders_status_priority(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return (
+        df.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _qsum(F.col("o_totalprice"), 100).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "pivot_event_type_by_day",
+    """SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+              CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+              CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+       FROM events GROUP BY day_epoch""",
+    "pivot family: long->wide reshape with an explicit value list "
+    "(explicit values keep the plan a single-pass pivot aggregate; "
+    "without them Spark runs an extra distinct job to discover columns).",
+)
+def pivot_event_type_by_day(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
+    pivoted = df.groupBy(day).pivot("event_type", _EVENT_TYPES).count()
+    return pivoted.select(
+        "day_epoch",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# =====================================================================
+# Quantiles / conditional aggregates by group
+# =====================================================================
+
+
+@register(
+    "grouped_quantiles_lineitem",
+    """SELECT l_returnflag,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+              round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6) AS p95
+       FROM lineitem GROUP BY l_returnflag""",
+    "W-family widening: exact interpolated quantiles per group, one "
+    "percentile aggregate evaluating both fractions in a single buffer "
+    "pass. Scale path: percentile_approx (t-digest-style mergeable "
+    "sketch) — exact percentile buffers each group's values.",
+)
+def grouped_quantiles_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("double")
+    pcts = F.percentile(p, F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(pcts.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p50"),
+            F.round(F.col("pcts")[1], 6).alias("p95"),
+        )
+    )
+
+
+# unique per-lineitem ordering value: cents(extendedprice) * 1e9 + rowid
+_ORD_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000000"
+    " + l_orderkey * 10 + l_linenumber"
+)
+
+
+@register(
+    "conditional_aggregates_lineitem",
+    f"""SELECT l_linestatus,
+               CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+               bool_or(l_returnflag = 'R') AS any_returned,
+               bool_and(l_quantity > 0) AS all_positive,
+               CAST(arg_max(l_orderkey, {_ORD_SQL}) AS BIGINT) AS priciest_order,
+               CAST(arg_min(l_orderkey, {_ORD_SQL}) AS BIGINT) AS cheapest_order
+        FROM lineitem GROUP BY l_linestatus""",
+    "conditional-aggregate family: count_if, bool_or/bool_and, "
+    "max_by/min_by (arg_max/arg_min) — single hash aggregate, "
+    "deterministic via a unique ordering key (ties on price broken by "
+    "row id on BOTH engines).",
+)
+def conditional_aggregates_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    ord_col = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * F.lit(1000000000)
+        + F.col("l_orderkey") * 10
+        + F.col("l_linenumber")
+    )
+    return df.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.max_by(F.col("l_orderkey"), ord_col).alias("priciest_order"),
+        F.min_by(F.col("l_orderkey"), ord_col).alias("cheapest_order"),
+    )
+
+
+# =====================================================================
+# Range / interval joins
+# =====================================================================
+
+_BUCKETS = [(i * 50.0, (i + 1) * 50.0, f"b{i:02d}") for i in range(10)]
+_BUCKETS_SQL = ", ".join(f"({lo}, {hi}, '{lbl}')" for lo, hi, lbl in _BUCKETS)
+
+
+@register(
+    "range_bucket_join_events",
+    f"""SELECT b.label AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               {_qsum_sql('e.value', 100)} AS sum_value
+        FROM events e
+        JOIN (VALUES {_BUCKETS_SQL}) b(lo, hi, label)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.label""",
+    "range-join family: fact rows matched to interval buckets. The "
+    "bucket side is broadcast (10 rows) so the non-equi predicate is a "
+    "BroadcastNestedLoopJoin over a tiny build side — constant work per "
+    "row, no shuffle, no cross-join blowup; the idiomatic shape for "
+    "dimension ranges at 100 TB.",
+)
+def range_bucket_join_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.sparkSession.createDataFrame(
+        _BUCKETS, schema="lo double, hi double, label string"
+    )
+    return (
+        ev.join(
+            F.broadcast(b),
+            (ev["value"] >= b["lo"]) & (ev["value"] < b["hi"]),
+        )
+        .groupBy(F.col("label").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _qsum(F.col("value"), 100).alias("sum_value"),
+        )
+    )
+
+
+# =====================================================================
+# TPC-H-style multi-table analytics (J4 widening)
+# =====================================================================
+
+
+@register(
+    "q4_late_shipment_orders",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o
+       WHERE EXISTS (
+         SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND floor(epoch(l.l_shipdate)) > floor(epoch(o.o_orderdate)) + 60*86400
+       )
+       GROUP BY o_orderpriority""",
+    "TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join on the "
+    "order key with the range predicate evaluated join-side — one "
+    "shuffle pair, no row explosion (semi join emits each order once).",
+)
+def q4_late_shipment_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        F.unix_timestamp(li["l_shipdate"])
+        > F.unix_timestamp(o["o_orderdate"]) + F.lit(60 * 86400)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    """SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY l_linestatus""",
+    "TPC-H Q12 shape: equi-join + CASE-routed conditional counts. The "
+    "l_returnflag filter is pushed to the lineitem parquet scan "
+    "(PushedFilters) so the join only shuffles surviving rows.",
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_count"),
+            F.sum((~high).cast("long")).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_pct",
+    f"""SELECT round(
+           100.0 * ({_qsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 1e4)})
+                 / ({_qsum_sql('l_extendedprice * (1 - l_discount)', 1e4)}), 6)
+           AS promo_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey""",
+    "TPC-H Q14 shape: promo revenue share. part (the small side) is "
+    "broadcast — no shuffle of the 600k-row fact; at 100 TB the same "
+    "plan holds as long as part fits the broadcast threshold, else AQE "
+    "picks a shuffled hash join.",
+)
+def q14_promo_revenue_pct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(
+            F.lit(100.0) * _qsum(promo_rev, 1e4) / _qsum(rev, 1e4), 6
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """WITH big AS (
+         SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+       )
+       SELECT c.c_name, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+              CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+              big.sum_qty
+       FROM big
+       JOIN orders o ON o.o_orderkey = big.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey""",
+    "TPC-H Q18 shape: HAVING-filtered aggregate driving a two-hop "
+    "join. The aggregate runs FIRST so only qualifying order keys "
+    "(~1%) reach the joins; the big->orders join then broadcasts the "
+    "tiny filtered side.",
+)
+def q18_large_volume_orders(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey", F.col("qty").cast("long").alias("sum_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicate_revenue",
+    f"""SELECT {_qsum_sql('l_extendedprice * (1 - l_discount)', 1e4)} AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 40)""",
+    "TPC-H Q19 shape: OR-of-ANDs predicate across both join sides. "
+    "Catalyst extracts the common l_quantity bounds [1,40] as a "
+    "pushed-down scan filter and broadcasts part; the disjunction "
+    "evaluates post-join inside whole-stage codegen.",
+)
+def q19_disjunctive_predicate_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(_qsum(rev, 1e4).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """WITH avg_bal AS (
+         SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS a_cents
+         FROM customer WHERE c_acctbal > 0
+       )
+       SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+              CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS total_cents
+       FROM customer c, avg_bal
+       WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.a_cents
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c.c_mktsegment""",
+    "TPC-H Q22 shape: scalar aggregate subquery (global average as "
+    "exact-int division — bit-identical on every engine) + NOT EXISTS "
+    "as LEFT ANTI join. The 1-row average is crossJoin-broadcast; the "
+    "anti join shuffles on the customer key.",
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(cents).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "a_cents"
+            )
+        )
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(cents > F.col("a_cents"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(cents).alias("total_cents"),
+    )
+
+
+# =====================================================================
+# Tumbling time windows (batch mirror of streaming/enforce semantics)
+# =====================================================================
+
+
+@register(
+    "tumbling_window_counts_events",
+    f"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                 AS win_start_epoch,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               {_qsum_sql('value', 100)} AS sum_value
+        FROM events GROUP BY win_start_epoch, event_type""",
+    "streaming family (batch mirror): tumbling 1-hour windows via "
+    "F.window — the exact aggregate streaming/enforce.py runs "
+    "incrementally with a watermark; here executed batch so the result "
+    "is oracle-checkable. One shuffle on (window, type).",
+)
+def tumbling_window_counts_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _qsum(F.col("value"), 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# =====================================================================
+# Array / string scalar families (§2.7 widening)
+# =====================================================================
+
+
+@register(
+    "array_norms_embeddings",
+    """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+              CAST(len(embedding) AS BIGINT) AS dim,
+              round(sqrt(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9) AS BIGINT)
+              )) AS DOUBLE) / 1e9), 6) AS l2_norm
+       FROM embeddings""",
+    "array family: higher-order functions (transform + aggregate fold) "
+    "computing per-vector L2 norms JVM-side — squares quantized to "
+    "exact ints so the fold order is irrelevant. No UDF, stays in "
+    "whole-stage codegen.",
+)
+def array_norms_embeddings(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * x.cast("double") * F.lit(1e9)).cast(
+            "long"
+        ),
+    )
+    ssum = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(ssum.cast("double") / F.lit(1e9)), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "string_funcs_nation",
+    """SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+              upper(n_name) AS uname,
+              CAST(length(n_name) AS BIGINT) AS name_len,
+              substr(n_name, 1, 3) AS prefix3,
+              reverse(n_name) AS rname,
+              concat_ws('-', n_name, CAST(n_regionkey AS VARCHAR)) AS tagged
+       FROM nation""",
+    "string family (§2.7): upper/length/substring/reverse/concat_ws — "
+    "row-level scalar functions, all JVM-side builtins.",
+)
+def string_funcs_nation(spark, sf_dir):
+    df = load_table(spark, sf_dir, "nation")
+    return df.select(
+        "n_nationkey",
+        F.upper("n_name").alias("uname"),
+        F.length("n_name").cast("long").alias("name_len"),
+        F.substring("n_name", 1, 3).alias("prefix3"),
+        F.reverse(F.col("n_name")).alias("rname"),
+        F.concat_ws("-", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "tagged"
+        ),
+    )
