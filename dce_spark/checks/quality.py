@@ -92,11 +92,18 @@ def uniqueness_probe(
     if not cols:
         return None
     alias = "__uniq__" + "_".join(cols)
-    distinct = (
-        F.approx_count_distinct(F.struct(*cols))
-        if approx
-        else F.count_distinct(*[F.col(c) for c in cols])
-    )
+    if approx:
+        # NULL-handling parity with the exact path: COUNT(DISTINCT c1..cn)
+        # skips rows where ANY key is NULL, but a struct containing NULLs
+        # is itself non-null (and would be HLL-counted). Nulling the whole
+        # struct when any key is NULL makes approx and exact modes agree
+        # beyond HLL error on null-keyed data.
+        all_not_null = F.lit(True)
+        for c in cols:
+            all_not_null = all_not_null & F.col(c).isNotNull()
+        distinct = F.approx_count_distinct(F.when(all_not_null, F.struct(*cols)))
+    else:
+        distinct = F.count_distinct(*[F.col(c) for c in cols])
 
     def evaluate(vals):
         total = vals[_TOTAL_ALIAS] or 0

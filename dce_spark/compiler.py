@@ -13,9 +13,16 @@ per check — O(fields x checks) scans):
   stage 3  custom SQL checks via spark.sql              (1 job each)
 
 Pipeline-order semantics kept from the reference: strict mode stops
-after schema errors (engine.rs:234-237); schema_only skips everything
-past stage 1's nullability portion; sample_size takes the first N rows
-(LIMIT view semantics, file_reader.rs:60-70).
+after *schema* errors only (engine.rs:234-237, datafusion_engine.rs:132-134
+— constraint/quality failures never suppress later stages); schema_only
+skips everything past stage 1's nullability portion; sample_size takes
+the first N rows (LIMIT view semantics, file_reader.rs:60-70).
+
+Severity routing matches the reference (datafusion_engine.rs:88-104 and
+the engine.rs freshness routing): quality and ML check failures are
+WARNINGS unless strict mode — the report stays ``passed`` and the CLI
+exits 0; schema and constraint failures are always errors. Custom SQL
+checks carry their own user-declared severity (engine.rs:119-127).
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from .contract import Contract
-from .report import ValidationReport, ValidationStats
+from .report import CheckResult, Severity, ValidationReport, ValidationStats
 from .checks import custom as custom_checks
 from .checks import ml as ml_checks
 from .checks import quality as quality_checks
@@ -50,6 +57,19 @@ class ValidationContext:
     now: Optional[datetime] = None
     approx_distinct: bool = False  # HLL instead of exact COUNT(DISTINCT)
     metadata: dict[str, Any] = dc_field(default_factory=dict)
+
+
+def _route_severity(result: CheckResult, strict: bool) -> CheckResult:
+    """Quality/ML failures are warnings unless strict (reference:
+    datafusion_engine.rs:88-104); schema/constraints stay errors; custom
+    checks keep their user-declared severity (handled in checks/custom)."""
+    if result.category in ("quality", "ml"):
+        result.severity = Severity.ERROR if strict else Severity.WARNING
+    return result
+
+
+def _schema_failed(report: ValidationReport) -> bool:
+    return any(not c.passed for c in report.checks if c.category == "schema")
 
 
 def _run_fused(df: DataFrame, probes: list[AggProbe], need_total: bool) -> dict[str, Any]:
@@ -140,13 +160,19 @@ def validate_df(
             other_probes = [p for p in fused if p.category != "schema"]
             for p in schema_probes:
                 report.add(p.evaluate(vals), strict=ctx.strict)
-            if not (ctx.strict and not report.passed):
+            if not (ctx.strict and _schema_failed(report)):
                 for p in other_probes:
-                    report.add(p.evaluate(vals), strict=ctx.strict)
+                    report.add(
+                        _route_severity(p.evaluate(vals), ctx.strict),
+                        strict=ctx.strict,
+                    )
         elif not ctx.schema_only:
             records = df.count()
 
-        strict_stop = ctx.strict and not report.passed
+        # strict mode early-exits on SCHEMA failures only — constraint and
+        # quality failures never suppress later stages (the reference still
+        # runs quality/ML/custom after them, datafusion_engine.rs:132-134)
+        strict_stop = ctx.strict and _schema_failed(report)
         fields_checked = {f for p in fused for f in p.fields}
         constraints_evaluated = sum(p.constraints for p in fused)
 
@@ -164,22 +190,37 @@ def validate_df(
                 qc.uniqueness, df, ts_col.strip()
             )
             if r:
-                report.add(r, ctx.strict)
+                report.add(_route_severity(r, ctx.strict), ctx.strict)
 
         # ---- stage 2: grouped ML checks
         if ml and not ctx.schema_only and not strict_stop:
             if ml.class_balance:
-                report.add(ml_checks.class_balance_check(ml.class_balance, df), ctx.strict)
+                report.add(
+                    _route_severity(
+                        ml_checks.class_balance_check(ml.class_balance, df), ctx.strict
+                    ),
+                    ctx.strict,
+                )
             if ml.null_rate_by_group:
                 for r in ml_checks.null_rate_by_group_check(ml.null_rate_by_group, df):
-                    report.add(r, ctx.strict)
+                    report.add(_route_severity(r, ctx.strict), ctx.strict)
             if ml.temporal_split:
-                report.add(ml_checks.temporal_split_check(ml.temporal_split, df), ctx.strict)
+                report.add(
+                    _route_severity(
+                        ml_checks.temporal_split_check(ml.temporal_split, df), ctx.strict
+                    ),
+                    ctx.strict,
+                )
             if ml.no_overlap:
-                report.add(ml_checks.no_overlap_check(ml.no_overlap, df), ctx.strict)
+                report.add(
+                    _route_severity(
+                        ml_checks.no_overlap_check(ml.no_overlap, df), ctx.strict
+                    ),
+                    ctx.strict,
+                )
             if ml.feature_drift:
                 for r in ml_checks.feature_drift_check(ml.feature_drift, df):
-                    report.add(r, ctx.strict)
+                    report.add(_route_severity(r, ctx.strict), ctx.strict)
 
         # ---- stage 3: custom SQL checks
         if qc and qc.custom_checks and not ctx.schema_only and not strict_stop:

@@ -122,6 +122,17 @@ def jaccard_candidate_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold. ``max_shingle_freq`` drops shingles occurring
     in more than that many documents before the join (skew guard).
+
+    With ``max_shingle_freq`` set, BOTH the pair intersection counts and
+    the per-document sizes are computed over the same df-cut shingle
+    table, so the Jaccard estimate is exact within the retained
+    vocabulary (mixing filtered numerator with unfiltered denominator
+    would systematically underestimate similarity).
+
+    The intermediate shingle table stays persisted while the returned
+    (lazy) DataFrame is alive; callers that run many dedup jobs in one
+    session should ``spark.catalog.clearCache()`` after consuming the
+    result (bench.py and the test suite do).
     """
     # cached + eagerly materialized: reused by the size aggregate and
     # BOTH sides of the self-join. Without the eager count, the two join
@@ -129,7 +140,6 @@ def jaccard_candidate_pairs(
     # block-manager locks; with it, every consumer reads warm cache.
     sh = _shingle_table(df, text_col, id_col, n).persist()
     sh.count()
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("sh")
@@ -137,7 +147,11 @@ def jaccard_candidate_pairs(
             .filter(F.col("df") <= max_shingle_freq)
             .select("sh")
         )
-        sh = sh.join(rare, "sh")
+        cut = sh.join(rare, "sh").persist()
+        cut.count()
+        sh.unpersist()
+        sh = cut
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))

@@ -721,13 +721,13 @@ def q3_top_revenue_orders(spark, sf_dir):
                      JOIN orders o ON o.o_custkey = c.c_custkey
                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
                      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
-       WHERE r.r_name = 'REGION_0'
+       WHERE r.r_name = 'ASIA'
        GROUP BY n.n_name""",
     "TPC-H Q5-style: star join with all dims broadcast; one shuffle total "
     "(the final groupBy)",
 )
 def q5_nation_revenue(spark, sf_dir):
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -1282,14 +1282,19 @@ def asof_join_events(spark, sf_dir):
               CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
        FROM events GROUP BY event_type""",
     "semi-structured widening: JSON path extraction from a string column "
-    "(get_json_object — JVM-side, no UDF), grouped integer aggregation",
+    "(from_json with a partial schema — JVM-side, no UDF, parses the "
+    "document ONCE for both aggregates), grouped integer aggregation",
 )
 def json_extract_events(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # single parse per row: from_json projects just the needed key; both
+    # aggregates reuse the one parsed column (get_json_object would
+    # re-parse the document per call site)
+    k = F.from_json(F.col("props"), "k long")["k"]
     return (
-        df.groupBy(F.col("event_type").cast("string").alias("event_type"))
-        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
+        df.select(F.col("event_type").cast("string").alias("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
     )
 
 
@@ -1356,16 +1361,19 @@ def rollup_pricing_lineitem(spark, sf_dir):
                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
            AS without_orders""",
     "J-family widening (the reference validates one table at a time): "
-    "left-semi and left-anti joins; at scale both are shuffled hash "
-    "joins on the key, or broadcast when one side is small",
+    "semi/anti-join counts in ONE job — left join against the distinct "
+    "key set, then a conditional agg; at scale a shuffled hash join on "
+    "the key (broadcast when the key set is small)",
 )
 def semi_anti_join_customers(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return c.sparkSession.createDataFrame(
-        [(semi, anti)], schema="with_orders bigint, without_orders bigint"
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    buyers = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        c.join(buyers, c.c_custkey == buyers.o_custkey, "left")
+        .agg(
+            F.sum(F.col("o_custkey").isNotNull().cast("long")).alias("with_orders"),
+            F.sum(F.col("o_custkey").isNull().cast("long")).alias("without_orders"),
+        )
     )
 
 
@@ -1380,20 +1388,22 @@ def semi_anti_join_customers(spark, sf_dir):
                                      EXCEPT
                                      SELECT DISTINCT o_custkey FROM orders)) AS BIGINT)
            AS never_bought""",
-    "A10 set operators (INTERSECT/EXCEPT) — distinct-based, one shuffle "
-    "each on the key",
+    "A10 set-operator semantics (INTERSECT/EXCEPT) computed as ONE job: "
+    "customer keys are unique, so a left join against the distinct buyer "
+    "key set + conditional agg gives both counts in a single pass",
 )
 def set_ops_orders_customers(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
-    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
-    rich_buyers = buyers.intersect(rich).count()
-    never = (
-        c.select(F.col("c_custkey").alias("k")).exceptAll(buyers).distinct().count()
-    )
-    return c.sparkSession.createDataFrame(
-        [(rich_buyers, never)], schema="rich_buyers bigint, never_bought bigint"
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    buyers = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    bought = F.col("o_custkey").isNotNull()
+    return (
+        c.join(buyers, c.c_custkey == buyers.o_custkey, "left")
+        .agg(
+            F.sum(
+                F.when((F.col("c_acctbal") > 5000) & bought, 1).otherwise(0)
+            ).alias("rich_buyers"),
+            F.sum((~bought).cast("long")).alias("never_bought"),
+        )
     )
 
 

@@ -77,14 +77,37 @@ def test_contract_passes_on_events(spark, sf_dir):
     ]
 
 
-def test_contract_fails_when_stale(spark, sf_dir):
+def test_stale_is_warning_unless_strict(spark, sf_dir):
+    """Reference severity routing (datafusion_engine.rs:88-104): a quality
+    failure is a WARNING in non-strict mode — the report stays passed and
+    the CLI would exit 0; strict mode promotes it to an error."""
     df = load_table(spark, sf_dir, "events")
-    report = validate_df(
-        spark, df, CONTRACT, now=datetime(2025, 1, 1, tzinfo=timezone.utc)
-    )
-    assert not report.passed
+    stale_now = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    report = validate_df(spark, df, CONTRACT, now=stale_now)
     fresh = [c for c in report.checks if c.name.startswith("quality.freshness")]
     assert len(fresh) == 1 and not fresh[0].passed
+    assert report.passed  # non-strict: warning, not error
+    assert any("stale" in w for w in report.warnings)
+    assert not report.errors
+
+    strict = validate_df(spark, df, CONTRACT, now=stale_now, strict=True)
+    assert not strict.passed
+    assert any("stale" in e for e in strict.errors)
+
+
+def test_strict_constraint_failure_does_not_suppress_later_stages(spark, sf_dir):
+    """Strict mode early-exits on SCHEMA failures only; after a constraint
+    failure the quality/ML/custom stages still run (the reference gates its
+    early exit on schema errors, datafusion_engine.rs:132-134)."""
+    bad = CONTRACT.replace(
+        "values: [view, click, purchase, signup, error]",
+        "values: [view, click]",
+    )
+    df = load_table(spark, sf_dir, "events")
+    report = validate_df(spark, df, bad, now=NOW, strict=True)
+    assert not report.passed  # constraint violations are errors
+    cats = {c.category for c in report.checks}
+    assert {"constraints", "quality", "custom"} <= cats
 
 
 def test_schema_only_runs_no_quality(spark, sf_dir):

@@ -52,7 +52,7 @@ def test_q3_broadcasts_customer(spark):
 def test_q5_broadcasts_dims(spark):
     plan = plan_of(QUERIES["q5_nation_revenue"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
-    assert "EqualTo(r_name,REGION_0)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
 
 
 def test_topk_uses_take_ordered(spark):
