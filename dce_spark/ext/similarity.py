@@ -9,6 +9,10 @@
 - ``ivf_topk``: the scale path — partition the corpus by a coarse
   quantizer (here: nearest of k seed centroids), search only the
   query's cell. Recall < 1.0 by construction; nprobe widens the search.
+- ``hyperplane_lsh_pairs``: the scale path for *all-pairs* near-dup
+  detection — random-hyperplane (SimHash-for-vectors) sign-bit
+  bucketing so candidate pairs only ever meet inside equal band
+  buckets; never a cross join / broadcast NLJ over the corpus.
 
 Dot products use ``zip_with`` + ``aggregate`` (JVM-side, codegen) in
 double precision. No UDFs.
@@ -16,9 +20,19 @@ double precision. No UDFs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["dot_col", "norm_col", "cosine_col", "cosine_topk", "knn_join_topk", "ivf_topk"]
+__all__ = [
+    "dot_col",
+    "norm_col",
+    "cosine_col",
+    "cosine_topk",
+    "knn_join_topk",
+    "ivf_topk",
+    "hyperplane_lsh_pairs",
+]
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -146,4 +160,105 @@ def ivf_topk(
         .select(F.col(id_col), cos.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def _hyperplane_weights(bits: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplane matrix (bits x dim),
+    derived from md5 so every run / cluster size / engine agrees — the
+    same portability convention as ext/dedup's MinHash hashing."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 32,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) via random-hyperplane
+    LSH bucketing — the scale path that replaces the O(n²) all-pairs
+    comparison.
+
+    Per vector: ``bits`` sign bits, bit j = sign of the dot product with
+    a deterministic ±1 hyperplane (P[bits agree] = 1 - angle/π, the
+    SimHash guarantee). Bits split into ``bands`` band keys; candidate
+    pairs are generated ONLY inside equal (band, key) buckets via an
+    equi-join, then exact cosine filters them. Recall < 1 by
+    construction (a true pair straddling a hyperplane in every band is
+    missed); more bands raise recall, more bits per band shrink buckets.
+
+    Scale design: the only join is bucket-key equality (shuffle on an
+    8-bit-per-band key — at 100 TB raise ``bits``/``bands`` so bucket
+    cardinality ~ corpus/1e6). Vectors ride along through the bucket
+    exchange (``bands`` copies), the same layout Spark ML's
+    approxSimilarityJoin uses; the corpus is never broadcast and never
+    cross-joined. Projections quantize each addend to 1e-6 and sum as
+    integers, so bucket assignment is bit-identical under any
+    partitioning.
+    """
+    assert bits % bands == 0
+    rows_per_band = bits // bands
+    dim = len(df.select(vec_col).head()[0])
+    W = _hyperplane_weights(bits, dim)
+
+    # integer-quantized element values: round(x * 1e6) as long, computed
+    # once per vector and reused by all `bits` projections
+    quant = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        quant.alias("__q"),
+    )
+    bit_cols = []
+    for j in range(bits):
+        wj = F.array(*[F.lit(w) for w in W[j]])
+        proj = F.aggregate(
+            F.zip_with(F.col("__q"), wj, lambda x, w: x * w.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append((proj > 0).cast("int").alias(f"__b{j}"))
+    sig = base.select("__id", "__vec", *bit_cols)
+
+    band_structs = []
+    for b in range(bands):
+        key = F.lit(0)
+        for r in range(rows_per_band):
+            key = key + F.col(f"__b{b * rows_per_band + r}") * F.lit(1 << r)
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = (
+        sig.select("__id", "__vec", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("__id", "__vec", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    )
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cos = cosine_col(F.col("a.__vec"), F.col("b.__vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("vec_a"),
+            F.col("b.__id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
     )

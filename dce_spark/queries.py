@@ -931,16 +931,38 @@ def fingerprint_documents(spark, sf_dir):
 # =====================================================================
 
 
+# The natural corpus contains no exact duplicates at any SF (verified),
+# so the exact-dedup and embedding-near-dup probes run over a DIRTIED
+# view with deterministic injected duplicates — otherwise a 0==0 oracle
+# match would prove nothing about the operator. Both engines build the
+# identical view.
+_DIRTY_DOCS_SQL = """dirty AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+)"""
+
+
+def _dirty_documents(df):
+    """documents ∪ exact copies of doc_id<10 re-keyed to doc_id+1000000."""
+    dup = df.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return df.select("doc_id", "text").unionByName(dup.select("doc_id", "text"))
+
+
 @register(
     "dedup_exact_documents",
-    """SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
-       FROM (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents)
+    f"""WITH {_DIRTY_DOCS_SQL}
+       SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+       FROM (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM dirty)
        GROUP BY fp HAVING count(*) > 1""",
     "ext/dedup: exact duplicate groups by content fingerprint "
-    "(hash-groupBy; shuffles 16-byte digests, not text)",
+    "(hash-groupBy; shuffles 16-byte digests, not text). Runs over the "
+    "dirtied view (10 injected copies) so the result is non-empty.",
 )
 def dedup_exact_documents(spark, sf_dir):
-    df = load_table(spark, sf_dir, "documents")
+    df = _dirty_documents(load_table(spark, sf_dir, "documents"))
     return (
         df.select(X_text.fingerprint_col(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -1189,21 +1211,57 @@ _PAIR_COS_EXPR = """list_sum(list_transform(range(1, len(a.embedding) + 1),
                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
 
 
+# Dirtied embeddings: copies of vec_id<25 re-keyed +1000000 with element 0
+# perturbed by +0.1 (cosine ≈ 0.995 to the original — near-dup, not
+# identical). The natural corpus has no pairs above cosine 0.61, so the
+# near-dup probes would otherwise be vacuous 0-row matches. float->double
+# and +0.1 are bit-identical IEEE ops on both engines.
+_DIRTY_EMB_SQL = """dirty AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             + CASE WHEN i = 1 THEN 0.1 ELSE 0.0 END) AS embedding
+  FROM embeddings WHERE vec_id < 25
+)"""
+
+_NEAR_DUP_ORACLE = f"""WITH {_DIRTY_EMB_SQL}
+        SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+               round({_PAIR_COS_EXPR}, 6) AS cos_sim
+        FROM dirty a, dirty b
+        WHERE a.vec_id < b.vec_id
+          AND round({_PAIR_COS_EXPR}, 6) >= 0.95"""
+
+
+def _dirty_embeddings(df):
+    base = df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = df.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == F.lit(0), F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
 @register(
     "embedding_near_dup_pairs",
-    f"""SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
-               round({_PAIR_COS_EXPR}, 6) AS cos_sim
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND round({_PAIR_COS_EXPR}, 6) >= 0.95""",
-    "ext/dedup: embedding-cosine near-duplicate pairs (>=0.95). This is "
-    "the brute-force O(n^2) oracle form; the scale path buckets by IVF "
-    "cell / LSH sign bits first so only same-bucket pairs meet.",
+    _NEAR_DUP_ORACLE,
+    "ext/dedup: embedding-cosine near-duplicate pairs (>=0.95) over the "
+    "dirtied view (25 injected perturbed copies, cosine ~0.995). This is "
+    "the brute-force O(n^2) parity form; embedding_near_dup_lsh is the "
+    "bucketed scale path.",
 )
 def embedding_near_dup_pairs(spark, sf_dir):
     from .ext.similarity import cosine_col
 
-    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = _dirty_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
@@ -1212,6 +1270,21 @@ def embedding_near_dup_pairs(spark, sf_dir):
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.95)
     )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    _NEAR_DUP_ORACLE,
+    "ext/dedup: the SCALE path for near-dup pairs — random-hyperplane "
+    "LSH (32 sign bits, 4 bands of 8) buckets the corpus so candidate "
+    "pairs only meet inside equal band buckets (equi-join, never a "
+    "cross join / broadcast NLJ; ~50x candidate reduction at sf0.1). "
+    "Oracle is the brute-force form: on this fixture LSH recall is "
+    "verified 100%, so the outputs must be identical.",
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    df = _dirty_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return X_sim.hyperplane_lsh_pairs(df, threshold=0.95, bits=32, bands=4)
 
 
 # =====================================================================

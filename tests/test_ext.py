@@ -121,6 +121,33 @@ def test_ivf_topk(spark, vecs):
     assert len(out2) == 5
 
 
+def test_hyperplane_lsh_matches_brute_force(spark, sf_dir):
+    """On the dirtied fixture the LSH bucketing has verified 100% recall,
+    so its output must equal the brute-force all-pairs result exactly."""
+    from dce_spark.data import load_table
+    from dce_spark.queries import _dirty_embeddings
+
+    df = _dirty_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    lsh = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in X_sim.hyperplane_lsh_pairs(df, threshold=0.95).collect()
+    }
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(X_sim.cosine_col(F.col("ea"), F.col("eb")), 6)
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.95)
+        .collect()
+    }
+    assert lsh == brute
+    assert len(lsh) == 25  # the injected perturbed copies, nothing else
+
+
 def test_text_stats(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! 42 times.")])
     r = X_text.text_stats(df).collect()[0]

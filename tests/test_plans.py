@@ -130,3 +130,11 @@ def test_lsh_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_embedding_lsh_no_cartesian(spark):
+    """The bucketed near-dup scale path must never degenerate into an
+    all-pairs plan: candidates meet only via the band-bucket equi-join."""
+    plan = plan_of(QUERIES["embedding_near_dup_lsh"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
