@@ -8,7 +8,9 @@
   (check.rs:8-67).
 - init <format> <location> [--name ...] [-o file] : infer a contract
   from a live table's schema (init.rs:10-89 does this for Iceberg; here
-  any readable source works).
+  any readable source works). For iceberg, --catalog-type/--catalog-uri/
+  --warehouse mirror the reference's ``dce init <uri> --catalog ...``
+  surface; without them env vars are consulted (validate.rs:137-165).
 """
 
 from __future__ import annotations
@@ -114,10 +116,38 @@ def cmd_check(args: argparse.Namespace) -> int:
     return 0
 
 
+def _iceberg_config_from_args(args):
+    from .iceberg import IcebergCatalogConfig, resolve_env_config
+
+    if args.catalog_type:
+        return IcebergCatalogConfig(
+            catalog_type=args.catalog_type,
+            name=args.catalog_name,
+            uri=args.catalog_uri,
+            warehouse=args.warehouse,
+        )
+    return resolve_env_config(args.location, name=args.catalog_name)
+
+
 def cmd_init(args: argparse.Namespace) -> int:
     spark = _spark()
     try:
-        schema = sources.infer_contract_schema(spark, args.format, args.location)
+        if args.format == "iceberg":
+            from .contract import Schema
+            from .iceberg import IcebergUnavailableError, load_iceberg_table
+
+            try:
+                df = load_iceberg_table(
+                    spark, args.location, config=_iceberg_config_from_args(args)
+                )
+            except IcebergUnavailableError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            schema = Schema.from_struct_type(
+                df.schema, format="iceberg", location=args.location
+            )
+        else:
+            schema = sources.infer_contract_schema(spark, args.format, args.location)
         doc = {
             "version": "1.0.0",
             "name": args.name,
@@ -171,6 +201,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     i.add_argument("--owner", default="unknown")
     i.add_argument("--description", default="inferred contract")
     i.add_argument("-o", "--output", default=None)
+    # Iceberg catalog surface (reference: dce init <uri> --catalog
+    # rest|glue|hms --namespace ns --table t, main.rs:54-82); env vars
+    # REST_CATALOG_URI/WAREHOUSE are the no-flag path (validate.rs:137-165)
+    i.add_argument("--catalog-type", choices=["rest", "glue", "hms", "hadoop"], default=None)
+    i.add_argument("--catalog-name", default="dce")
+    i.add_argument("--catalog-uri", default=None)
+    i.add_argument("--warehouse", default=None)
     i.set_defaults(func=cmd_init)
     return p
 

@@ -69,14 +69,17 @@ def load_contract_source(spark: SparkSession, contract: Contract) -> DataFrame:
 def iceberg_table(spark: SparkSession, location: str) -> DataFrame:
     """Load an Iceberg table via a configured Spark catalog.
 
-    ``location`` accepts ``catalog.namespace.table`` (the reference's
-    URI parsing at validate.rs:192-218 reduces to the same triple).
-    Requires the iceberg-spark-runtime jar + catalog conf
-    (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog,
-    type=rest|glue|hive|hadoop) — partition pruning and predicate
-    pushdown then come from the Iceberg source automatically.
+    ``location`` accepts ``catalog.namespace.table`` or a warehouse path
+    (``s3://wh/ns/table``). Catalog configuration (REST/Glue/HMS/hadoop
+    -> spark.sql.catalog.* conf, env-var resolution, location parsing)
+    lives in :mod:`dce_spark.iceberg`, which ports the reference's
+    catalog layer (config.rs:10-57, validate.rs:137-218). Partition
+    pruning and predicate pushdown come from the Iceberg Spark source
+    automatically once bound.
     """
-    return spark.table(location)
+    from .iceberg import load_iceberg_table
+
+    return load_iceberg_table(spark, location)
 
 
 def sample(df: DataFrame, n: Optional[int]) -> DataFrame:
