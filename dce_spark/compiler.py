@@ -105,9 +105,11 @@ def validate_df(
     qc = contract.quality_checks
     ml = qc.ml_checks if qc else None
 
-    # ---- build fused probes
+    # ---- build fused probes (nullability + nested-null value rules are
+    # both schema-category and both ride the single fused scan)
     null_probes = schema_checks.nullability_probes(contract, df)
     fused: list[AggProbe] = list(null_probes)
+    fused.extend(schema_checks.nested_null_probes(contract, df))
     schema_stage_errors = not all(c.passed for c in report.checks)
 
     if not ctx.schema_only and not (ctx.strict and schema_stage_errors):

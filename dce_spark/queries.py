@@ -134,6 +134,72 @@ def inmemory_batch_validation(spark, sf_dir):
     )
 
 
+_NESTED_CONTRACT = """
+version: "1"
+name: nested
+owner: me
+schema:
+  fields:
+    - {name: tags, type: "list<string not null>"}
+    - {name: props, type: "map<string, int64 not null>"}
+    - {name: info, type: "struct<a:int64 not null, b:string>"}
+    - {name: deep, type: "list<struct<v:int64 not null>>"}
+"""
+
+
+@register(
+    "inmemory_nested_validation",
+    """WITH data(id, tags, props, info, deep) AS (
+         VALUES
+           (1, ['x','y'],    MAP {'k': 1},    {'a': 1,    'b': 'ok'}, [{'v': 1}]),
+           (2, ['x', NULL],  MAP {'k': 2},    {'a': 2,    'b': 'ok'}, [{'v': NULL}]),
+           (3, ['z'],        MAP {'k': NULL}, {'a': 3,    'b': 'ok'}, []),
+           (4, [],           MAP {},          {'a': NULL, 'b': 'b'},  NULL),
+           (5, NULL,         NULL,            NULL,                   [NULL])
+       )
+       SELECT
+         CAST(sum(CASE WHEN tags IS NOT NULL
+              AND len(list_filter(tags, x -> x IS NULL)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tags_viol,
+         CAST(sum(CASE WHEN props IS NOT NULL
+              AND len(list_filter(map_values(props), v -> v IS NULL)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS props_viol,
+         CAST(sum(CASE WHEN info IS NOT NULL AND info.a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS info_viol,
+         CAST(sum(CASE WHEN deep IS NOT NULL
+              AND len(list_filter(deep, s -> s IS NOT NULL AND s.v IS NULL)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS deep_viol
+       FROM data""",
+    "§2.7 nested-type value validation (reference schema.rs:117-178): "
+    "contains_null=false / value_contains_null=false / non-nullable "
+    "struct fields enforced on DATA via exists() higher-order "
+    "expressions, recursively (list<struct<...>>), all fused in one agg. "
+    "Column-level NULLs are not violations (nullability's job). Drives "
+    "the actual check machinery (checks/schema.nested_null_probes).",
+)
+def inmemory_nested_validation(spark, sf_dir):
+    from .checks.schema import nested_null_probes
+    from .parser import parse_yaml
+
+    contract = parse_yaml(_NESTED_CONTRACT)
+    rows = [
+        (1, ["x", "y"], {"k": 1}, (1, "ok"), [(1,)]),
+        (2, ["x", None], {"k": 2}, (2, "ok"), [(None,)]),
+        (3, ["z"], {"k": None}, (3, "ok"), []),
+        (4, [], {}, (None, "b"), None),
+        (5, None, None, None, [None]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="id bigint, tags array<string>, props map<string,bigint>, "
+        "info struct<a:bigint,b:string>, deep array<struct<v:bigint>>",
+    )
+    probes = nested_null_probes(contract, df)
+    assert [p.fields[0] for p in probes] == ["tags", "props", "info", "deep"]
+    return df.agg(*[p.exprs[0] for p in probes]).select(
+        F.col("__nested__tags").alias("tags_viol"),
+        F.col("__nested__props").alias("props_viol"),
+        F.col("__nested__info").alias("info_viol"),
+        F.col("__nested__deep").alias("deep_viol"),
+    )
+
+
 # =====================================================================
 # §2.2 P2 — nullability (fused null counts)
 # =====================================================================

@@ -10,6 +10,18 @@ pyspark.sql.types. Accepts the same surface syntax:
   long|bigint -> int64, float -> float32, double -> float64,
   bool -> boolean, datetime -> timestamp
 - complex: list<T> / array<T>, map<K,V>, struct<name:type,...>
+- null flags (extension): ``list<T not null>`` (contains_null=false),
+  ``map<K, V not null>`` (value_contains_null=false),
+  ``struct<name:T not null, ...>`` (field nullable=false)
+
+The reference's DataType model carries contains_null /
+value_contains_null / struct-field nullable flags (datatype.rs:28-52)
+and its row engine enforces them on values (schema.rs:117-178), but its
+*string grammar* cannot express them — they are only reachable through
+the Rust builder API. Our YAML-facing grammar adds the ``not null``
+marker so contracts can declare the same rules; omitted, every flag
+defaults to nullable exactly like the reference parser
+(datatype.rs:128-130).
 
 Unlike the reference (which widens int32->int64, float32->float64 and
 collapses date/decimal/binary/uuid to strings when building Arrow data,
@@ -109,20 +121,35 @@ class _Parser:
             raise self.error("expected integer")
         return int(self.s[start : self.i])
 
+    def try_not_null(self) -> bool:
+        """Consume an optional ``not null`` marker; backtracks cleanly."""
+        save = self.i
+        self.skip_ws()
+        try:
+            if self.ident().lower() == "not":
+                if self.ident().lower() == "null":
+                    return True
+        except TypeParseError:
+            pass
+        self.i = save
+        return False
+
     def parse_type(self) -> T.DataType:
         name = self.ident().lower()
         if name in ("list", "array"):
             self.expect("<")
             elem = self.parse_type()
+            contains_null = not self.try_not_null()
             self.expect(">")
-            return T.ArrayType(elem, containsNull=True)
+            return T.ArrayType(elem, containsNull=contains_null)
         if name == "map":
             self.expect("<")
             key = self.parse_type()
             self.expect(",")
             val = self.parse_type()
+            value_contains_null = not self.try_not_null()
             self.expect(">")
-            return T.MapType(key, val, valueContainsNull=True)
+            return T.MapType(key, val, valueContainsNull=value_contains_null)
         if name == "struct":
             self.expect("<")
             fields = []
@@ -130,7 +157,8 @@ class _Parser:
                 fname = self.ident()
                 self.expect(":")
                 ftype = self.parse_type()
-                fields.append(T.StructField(fname, ftype, nullable=True))
+                nullable = not self.try_not_null()
+                fields.append(T.StructField(fname, ftype, nullable=nullable))
                 self.skip_ws()
                 if self.peek() == ",":
                     self.i += 1
@@ -175,11 +203,17 @@ def format_data_type(dt: T.DataType) -> str:
     """Render a Spark type back to canonical contract syntax (round-trips
     with :func:`parse_data_type`)."""
     if isinstance(dt, T.ArrayType):
-        return f"list<{format_data_type(dt.elementType)}>"
+        nn = "" if dt.containsNull else " not null"
+        return f"list<{format_data_type(dt.elementType)}{nn}>"
     if isinstance(dt, T.MapType):
-        return f"map<{format_data_type(dt.keyType)},{format_data_type(dt.valueType)}>"
+        nn = "" if dt.valueContainsNull else " not null"
+        return f"map<{format_data_type(dt.keyType)},{format_data_type(dt.valueType)}{nn}>"
     if isinstance(dt, T.StructType):
-        inner = ",".join(f"{f.name}:{format_data_type(f.dataType)}" for f in dt.fields)
+        inner = ",".join(
+            f"{f.name}:{format_data_type(f.dataType)}"
+            + ("" if f.nullable else " not null")
+            for f in dt.fields
+        )
         return f"struct<{inner}>"
     if isinstance(dt, T.DecimalType):
         if (dt.precision, dt.scale) == _DEFAULT_DECIMAL:

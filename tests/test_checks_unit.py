@@ -249,3 +249,94 @@ def test_duration_parser():
         parse_duration_seconds("10x")
     with pytest.raises(ValueError):
         parse_duration_seconds("")
+
+
+# ---- nested-null value rules (reference schema.rs:117-178): the data-
+# level enforcement of contains_null=false / value_contains_null=false /
+# non-nullable struct fields, fused into the single agg pass
+
+NESTED_CONTRACT = """
+version: "1.0.0"
+name: nested
+owner: me
+schema:
+  fields:
+    - {name: tags, type: "list<string not null>"}
+    - {name: props, type: "map<string, int64 not null>"}
+    - {name: info, type: "struct<a:int64 not null, b:string>"}
+    - {name: deep, type: "list<struct<v:int64 not null>>"}
+"""
+
+NESTED_SCHEMA = (
+    "tags array<string>, props map<string,bigint>, "
+    "info struct<a:bigint,b:string>, deep array<struct<v:bigint>>"
+)
+
+
+def nested_by_name(report):
+    return {
+        c.field: c
+        for c in report.checks
+        if c.name.startswith("schema.nested_nulls")
+    }
+
+
+def test_nested_nulls_clean_passes(spark):
+    df = spark.createDataFrame(
+        [(["x"], {"k": 1}, (1, "ok"), [(1,)])], schema=NESTED_SCHEMA
+    )
+    report = validate_df(spark, df, NESTED_CONTRACT)
+    checks = nested_by_name(report)
+    assert set(checks) == {"tags", "props", "info", "deep"}
+    assert all(c.passed for c in checks.values())
+    assert report.passed
+
+
+def test_nested_nulls_each_rule_fires(spark):
+    df = spark.createDataFrame(
+        [
+            (["x", None], {"k": 1}, (1, "ok"), [(1,)]),  # tags violation
+            (["y"], {"k": None}, (2, "ok"), [(2,)]),  # props violation
+            (["z"], {"k": 3}, (None, "b"), [(3,)]),  # info.a violation
+            (["w"], {"k": 4}, (4, "ok"), [(None,)]),  # deep recursion violation
+        ],
+        schema=NESTED_SCHEMA,
+    )
+    report = validate_df(spark, df, NESTED_CONTRACT)
+    checks = nested_by_name(report)
+    for f in ["tags", "props", "info", "deep"]:
+        assert not checks[f].passed and checks[f].observed["violations"] == 1, f
+    assert not report.passed  # schema-category failures are errors
+
+
+def test_nested_nulls_column_null_is_not_violation(spark):
+    # a NULL container / NULL array element (containsNull=true level) is
+    # the nullability check's business, not a nested-null violation
+    df = spark.createDataFrame(
+        [(None, None, None, [None])], schema=NESTED_SCHEMA
+    )
+    report = validate_df(spark, df, NESTED_CONTRACT)
+    assert all(c.passed for c in nested_by_name(report).values())
+
+
+def test_nested_nulls_fused_single_scan(spark, tmp_path):
+    # the nested probes must ride the SAME single aggregate scan
+    import io
+    from contextlib import redirect_stdout
+
+    from dce_spark.checks.schema import nested_null_probes
+    from dce_spark import parse_contract_yaml as pcy
+
+    p = str(tmp_path / "nested.parquet")
+    spark.createDataFrame(
+        [(["x"], {"k": 1}, (1, "ok"), [(1,)])], schema=NESTED_SCHEMA
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    probes = nested_null_probes(pcy(NESTED_CONTRACT), df)
+    assert len(probes) == 4
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.agg(*[pr.exprs[0] for pr in probes]).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Location:") == 1
+    assert "Join" not in plan and "Window" not in plan

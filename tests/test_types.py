@@ -102,3 +102,57 @@ def test_round_trip(s):
 
 def test_round_trip_canonicalizes_aliases():
     assert format_data_type(parse_data_type("map<varchar,double>")) == "map<string,float64>"
+
+
+# ---- `not null` nested flags (extension: the reference's DataType model
+# carries these flags, datatype.rs:28-52, but its string grammar cannot
+# express them — ours can; omitted they default to nullable)
+
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("list<string not null>", T.ArrayType(T.StringType(), containsNull=False)),
+        ("array<int64 NOT NULL>", T.ArrayType(T.LongType(), containsNull=False)),
+        ("list<string>", T.ArrayType(T.StringType(), containsNull=True)),
+        (
+            "map<string, int64 not null>",
+            T.MapType(T.StringType(), T.LongType(), valueContainsNull=False),
+        ),
+        (
+            "struct<a:int64 not null, b:string>",
+            T.StructType(
+                [
+                    T.StructField("a", T.LongType(), nullable=False),
+                    T.StructField("b", T.StringType(), nullable=True),
+                ]
+            ),
+        ),
+        (
+            "list<struct<v:int64 not null>>",
+            T.ArrayType(
+                T.StructType([T.StructField("v", T.LongType(), nullable=False)]),
+                containsNull=True,
+            ),
+        ),
+    ],
+)
+def test_parse_not_null_flags(s, expected):
+    assert parse_data_type(s) == expected
+
+
+@pytest.mark.parametrize(
+    "s",
+    [
+        "list<string not null>",
+        "map<string,int64 not null>",
+        "struct<a:int64 not null,b:string>",
+        "list<struct<v:int64 not null> not null>",
+    ],
+)
+def test_not_null_round_trip(s):
+    assert format_data_type(parse_data_type(s)) == s
+
+
+def test_not_alone_is_error():
+    with pytest.raises(TypeParseError):
+        parse_data_type("list<string not>")
