@@ -23,14 +23,33 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# headline set: TPC-H-style joins/aggs, dedup, similarity, text, PSI
+# headline set: TPC-H-style joins/aggs, window family, dedup,
+# similarity, text, PSI — every family in the catalog is represented so
+# round-over-round regressions are visible at sf0.1
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q4_late_shipment_orders",
     "q5_nation_revenue",
     "q6_revenue_delta",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue_pct",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicate_revenue",
+    "q22_idle_rich_customers",
     "rollup_pricing_lineitem",
+    "cube_orders_status_priority",
+    "pivot_event_type_by_day",
+    "window_topn_customers_per_segment",
+    "window_running_total_orders",
+    "window_lag_delta_events",
+    "window_moving_avg_events",
+    "tumbling_window_counts_events",
+    "range_bucket_join_events",
+    "conditional_aggregates_lineitem",
     "quantiles_lineitem",
+    "quantiles_lineitem_approx",
+    "grouped_quantiles_lineitem_approx",
     "class_balance_events",
     "psi_total_lineitem",
     "profile_customer",
@@ -43,6 +62,7 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_knn_join",
     "embedding_ivf_topk",
+    "embedding_near_dup_lsh",
     "text_stats_documents",
     "multimodal_payload_stats",
 ]

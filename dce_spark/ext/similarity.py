@@ -241,7 +241,11 @@ def hyperplane_lsh_pairs(
     buckets = (
         sig.select("__id", "__vec", F.explode(F.array(*band_structs)).alias("bk"))
         .select("__id", "__vec", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        .persist()  # both self-join sides reuse this; computing the
+        # 32-projection signature once per row instead of once per side
+        # (callers clearCache after consuming, as with ext/dedup)
     )
+    buckets.count()  # eager, avoiding the two-sided cache race
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cos = cosine_col(F.col("a.__vec"), F.col("b.__vec"))
