@@ -731,3 +731,62 @@ def grouped_quantiles_lineitem_approx(spark, sf_dir):
             ((le >= F.lit(q - _RANK_TOL)) & (lt <= F.lit(q + _RANK_TOL))).alias(alias)
         )
     return j.groupBy("l_returnflag").agg(*checks)
+
+
+@register(
+    "ntile_bins_lineitem_approx",
+    """WITH b AS (
+         SELECT approx_quantile(CAST(l_extendedprice AS DOUBLE),
+                                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs,
+                count(*) AS n
+         FROM lineitem
+       ),
+       binned AS (
+         SELECT CASE WHEN v <= bs[1] THEN 1 WHEN v <= bs[2] THEN 2
+                     WHEN v <= bs[3] THEN 3 WHEN v <= bs[4] THEN 4
+                     WHEN v <= bs[5] THEN 5 WHEN v <= bs[6] THEN 6
+                     WHEN v <= bs[7] THEN 7 WHEN v <= bs[8] THEN 8
+                     WHEN v <= bs[9] THEN 9 ELSE 10 END AS bin,
+                n
+         FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), b
+       )
+       SELECT CAST(bin AS BIGINT) AS bin,
+              abs(CAST(count(*) AS DOUBLE) / any_value(n) - 0.1) <= 0.02 AS frac_ok
+       FROM binned GROUP BY bin""",
+    "W1 SCALE path: equal-frequency 10-bin binning via approxQuantile "
+    "boundaries (mergeable sketch; the collected boundary list is 9 "
+    "doubles) + CASE-WHEN bin counts — the distributed replacement for "
+    "NTILE's single-partition global sort. Each engine bins by ITS OWN "
+    "sketch boundaries and verifies every bin holds ~10% of rows; the "
+    "boolean verdicts are the portable result (same protocol as the "
+    "approx-quantile queries). ntile_bins_lineitem stays as the exact "
+    "NTILE parity probe.",
+)
+def ntile_bins_lineitem_approx(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    # job 1: sketch boundaries (exactly feature_drift's scale path,
+    # checks/ml.py) — relativeError 1e-4 => rank error <= 0.0001*n
+    bounds = df.select(v.alias("v")).approxQuantile(
+        "v", [i / 10 for i in range(1, 10)], 1e-4
+    )
+    # job 2: CASE-WHEN binning (W2 machinery) + per-bin verdicts
+    bin_col = F.lit(10)
+    for i in range(len(bounds) - 1, -1, -1):
+        bin_col = F.when(v <= F.lit(float(bounds[i])), F.lit(i + 1)).otherwise(bin_col)
+    return (
+        df.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            (
+                F.abs(
+                    F.col("__cnt").cast("double")
+                    / F.sum("__cnt").over(Window.partitionBy())
+                    - F.lit(0.1)
+                )
+                <= F.lit(0.02)
+            ).alias("frac_ok"),
+        )
+    )
