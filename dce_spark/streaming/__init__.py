@@ -3,10 +3,17 @@
 The reference validates finite tables only (SURVEY §2.9); its SLA block
 is declared but never evaluated. This package enforces contracts on
 *streams*: per-microbatch validation via foreachBatch running the same
-fused check compiler, plus watermarked windowed quality aggregations
-for continuous monitoring.
+fused check compiler, watermarked windowed quality aggregations for
+continuous monitoring, and a custom stateful operator template
+(applyInPandasWithState sessionization).
 """
 
 from .enforce import streaming_quality_aggregates, validate_stream
+from .sessionize import fold_sessions, stateful_sessionize
 
-__all__ = ["validate_stream", "streaming_quality_aggregates"]
+__all__ = [
+    "validate_stream",
+    "streaming_quality_aggregates",
+    "stateful_sessionize",
+    "fold_sessions",
+]

@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: inactivity-gap sessionization
+via ``applyInPandasWithState`` (SURVEY §2.9 extension — the reference
+has no streaming operators at all; this is the idiomatic Spark shape
+for operators the built-in windowed aggregations cannot express).
+
+Why stateful-apply and not a window: a session has a *data-dependent*
+extent (it ends ``gap`` after the last event, whenever that is), so no
+fixed/sliding window matches it. Spark's session_window() covers the
+common case; this operator is the general template — arbitrary
+per-key state, batch-at-a-time Arrow transfer, explicit timeouts —
+for session logic with custom close conditions (count caps, value
+triggers, multi-stage states).
+
+Scale design: state lives in the state store keyed by user — one
+shuffle on the key per micro-batch, state size O(active users), idle
+users evicted by the processing-time timeout. The per-group fold is
+pure Python over Arrow-batched pandas (no row-at-a-time UDF), and the
+fold itself (:func:`fold_sessions`) is a pure function, unit-testable
+without a streaming query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+
+__all__ = ["fold_sessions", "stateful_sessionize"]
+
+
+def fold_sessions(
+    sorted_ts: Iterable[float],
+    state: Optional[tuple[float, float, int]],
+    gap_seconds: float,
+) -> tuple[list[tuple[float, float, int]], Optional[tuple[float, float, int]]]:
+    """Fold sorted event times (epoch seconds) into sessions.
+
+    ``state`` is the open session (start, last, n) or None. Returns
+    (closed sessions, new open state). An event more than
+    ``gap_seconds`` after the previous one closes the open session and
+    starts a new one — identical semantics to the batch
+    ``sessionization_events`` query's lag-window formulation.
+    """
+    closed: list[tuple[float, float, int]] = []
+    start_last_n = state
+    for t in sorted_ts:
+        if start_last_n is None:
+            start_last_n = (t, t, 1)
+        else:
+            start, last, n = start_last_n
+            if t - last > gap_seconds:
+                closed.append((start, last, n))
+                start_last_n = (t, t, 1)
+            else:
+                start_last_n = (start, last if t < last else t, n + 1)
+    return closed, start_last_n
+
+
+def stateful_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Streaming sessionization: emits CLOSED sessions
+    (user, session_start, session_end, n_events) as an append stream.
+
+    A session closes when a later event of the same user arrives more
+    than ``gap_seconds`` after the previous one, or when the user goes
+    idle for ``gap_seconds`` of processing time (timeout flush). State
+    per user is a single (start, last, n) triple.
+    """
+    import pandas as pd  # noqa: F401  (workers need it; import checked here)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+    state_schema = "start double, last double, n bigint"
+
+    def _emit(user, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                user_col: [user] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s, unit="s") for s, _, _ in sessions
+                ],
+                "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def per_user(key, pdf_iter, state):
+        user = key[0]
+        if state.hasTimedOut:
+            # idle flush: close the open session and drop the state
+            open_session = tuple(state.get)
+            state.remove()
+            yield _emit(user, [open_session])
+            return
+        ts: list[float] = []
+        for pdf in pdf_iter:
+            # datetime64[ns] -> epoch seconds, vectorized
+            ts.extend(pdf[ts_col].astype("int64").floordiv(1_000_000_000).tolist())
+        prev = tuple(state.get) if state.exists else None
+        closed, open_session = fold_sessions(sorted(ts), prev, gap_seconds)
+        if open_session is not None:
+            state.update(
+                (float(open_session[0]), float(open_session[1]), int(open_session[2]))
+            )
+            state.setTimeoutDuration(int(gap_seconds * 1000))
+        if closed:
+            yield _emit(user, closed)
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(
+            per_user,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

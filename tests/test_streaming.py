@@ -97,3 +97,95 @@ def test_batch_equivalence_of_quality_aggregates(spark):
         F.sum(violation_expr(F.col("kind"), kind_check).cast("long")).alias("viol"),
     ).collect()[0]
     assert agg["nulls_id"] == 1 and agg["viol"] == 1
+
+
+# ---- custom stateful operator: applyInPandasWithState sessionization
+
+def test_fold_sessions_pure():
+    from dce_spark.streaming import fold_sessions
+
+    # no state, one burst, no gap exceeded -> stays open
+    closed, open_s = fold_sessions([1.0, 2.0, 3.0], None, gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 3.0, 3)
+    # gap exceeded mid-stream -> closes first session
+    closed, open_s = fold_sessions([1.0, 2.0, 30.0, 31.0], None, gap_seconds=5)
+    assert closed == [(1.0, 2.0, 2)] and open_s == (30.0, 31.0, 2)
+    # resumes from prior state across micro-batches
+    closed, open_s = fold_sessions([100.0], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [(1.0, 2.0, 2)] and open_s == (100.0, 100.0, 1)
+    closed, open_s = fold_sessions([3.0], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 3.0, 3)
+    # empty batch keeps state
+    closed, open_s = fold_sessions([], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 2.0, 2)
+
+
+def test_fold_matches_batch_sessionization(spark, sf_dir):
+    """The stateful fold and the batch lag-window query must agree on
+    session counts per user (same gap semantics, two formulations)."""
+    from collections import defaultdict
+
+    from dce_spark.data import load_table
+    from dce_spark.queries import QUERIES
+    from dce_spark.streaming import fold_sessions
+
+    GAP = 1800.0
+    df = load_table(spark, sf_dir, "events")
+    rows = (
+        df.select("user_id", F.unix_timestamp("ts").alias("t"))
+        .orderBy("user_id", "t")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(float(r["t"]))
+    fold_counts = {}
+    for u, ts in by_user.items():
+        closed, open_s = fold_sessions(ts, None, GAP)
+        fold_counts[u] = len(closed) + (1 if open_s else 0)
+    batch = QUERIES["sessionization_events"].fn(spark, sf_dir).collect()
+    batch_counts = {r["user_id"]: r["n_sessions"] for r in batch}
+    assert fold_counts == batch_counts
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Live applyInPandasWithState query: rate source, 2 users, ~1 event
+    per user-second, gap 0.5s -> every event closes the previous
+    session; closed sessions must reach the sink."""
+    from dce_spark.streaming import stateful_sessionize
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "2").load()
+        .select(
+            (F.col("value") % 2).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    out = stateful_sessionize(src, gap_seconds=0.5)
+    assert out.isStreaming
+    assert set(out.columns) == {"user_id", "session_start", "session_end", "n_events"}
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM sessions_test").head()["n"]
+            if n >= 2:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert n >= 2, f"expected closed sessions in the sink, got {n}"
+    sample = spark.sql(
+        "SELECT * FROM sessions_test ORDER BY session_start LIMIT 5"
+    ).collect()
+    for r in sample:
+        assert r["user_id"] in (0, 1)
+        assert r["n_events"] >= 1
+        assert r["session_end"] >= r["session_start"]
