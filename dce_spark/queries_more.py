@@ -790,3 +790,36 @@ def ntile_bins_lineitem_approx(spark, sf_dir):
             ).alias("frac_ok"),
         )
     )
+
+
+@register(
+    "salted_group_counts_events",
+    f"""SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {_qsum_sql('value', 1e6)} AS sum_value
+        FROM events GROUP BY user_id""",
+    "skew mitigation as a first-class shape: two-level salted "
+    "aggregation — stage 1 groups by (key, salt16) so a hot key's rows "
+    "spread over 16 reducers, stage 2 merges the 16 partials per key. "
+    "Identical result to a plain GROUP BY (the oracle) because count "
+    "and quantized sums are associative; the pattern is what you deploy "
+    "when one user owns 1% of 100 TB and AQE's skew split cannot help "
+    "an aggregation. Costs one extra (tiny) shuffle of partials.",
+)
+def salted_group_counts_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.col("event_id"), F.lit(16))  # deterministic spreader
+    partial = (
+        df.groupBy(F.col("user_id"), salt.alias("__salt"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round(F.col("value") * F.lit(1e6)).cast("long")).alias("__qs"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            (F.sum("__qs").cast("double") / F.lit(1e6)).alias("sum_value"),
+        )
+    )
