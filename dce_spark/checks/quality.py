@@ -85,6 +85,9 @@ def completeness_probes(check: CompletenessCheck, df: DataFrame) -> list[AggProb
     return probes
 
 
+_APPROX_RSD = 0.02  # HLL relative standard deviation for approx mode
+
+
 def uniqueness_probe(
     check: UniquenessCheck, df: DataFrame, approx: bool = False
 ) -> AggProbe | None:
@@ -101,15 +104,22 @@ def uniqueness_probe(
         all_not_null = F.lit(True)
         for c in cols:
             all_not_null = all_not_null & F.col(c).isNotNull()
-        distinct = F.approx_count_distinct(F.when(all_not_null, F.struct(*cols)))
+        distinct = F.approx_count_distinct(
+            F.when(all_not_null, F.struct(*cols)), rsd=_APPROX_RSD
+        )
     else:
         distinct = F.count_distinct(*[F.col(c) for c in cols])
 
     def evaluate(vals):
         total = vals[_TOTAL_ALIAS] or 0
         n_distinct = vals[alias] or 0
-        dupes = total - n_distinct
-        ok = dupes == 0
+        # HLL estimates can exceed the true count: clamp at 0 and pass
+        # within the 2-sigma noise floor (approx mode detects duplication
+        # beyond ~2*rsd of the table, not single duplicate rows — the
+        # inherent approx-mode contract; exact mode demands dupes == 0).
+        dupes = max(0, total - n_distinct)
+        tolerance = (2 * _APPROX_RSD * total) if approx else 0
+        ok = dupes <= tolerance
         return CheckResult(
             name="quality.uniqueness:" + ",".join(cols),
             category="quality",

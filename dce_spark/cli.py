@@ -74,6 +74,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
             strict=args.strict,
             schema_only=args.schema_only,
             sample_size=args.sample_size,
+            approx_distinct=args.approx_distinct,
         )
         report = validate_df(spark, df, contract, ctx)
         if args.format == "json":
@@ -188,6 +189,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     v.add_argument("--schema-only", action="store_true")
     v.add_argument("--sample-size", type=int, default=None)
     v.add_argument("--format", choices=["text", "json"], default="text")
+    # HLL uniqueness instead of exact COUNT(DISTINCT): the monitoring-
+    # grade scale path (single-pass, no expand — see SCALING.md §1)
+    v.add_argument("--approx-distinct", action="store_true")
     v.set_defaults(func=cmd_validate)
 
     c = sub.add_parser("check", help="parse and summarize a contract")

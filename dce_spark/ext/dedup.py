@@ -175,10 +175,20 @@ def jaccard_candidate_pairs(
     return out
 
 
-def _hash_expr(seed: int, col: Column) -> Column:
-    """Portable keyed hash: md5 of 'seed:value'. Lexicographic min over
-    these hex digests is a valid MinHash (any uniform hash with a total
-    order works)."""
+def _hash_expr(seed: int, col: Column, fast: bool = False) -> Column:
+    """Keyed hash for MinHash. Two interchangeable families:
+
+    - portable (default): md5 of 'seed:value' — engine-portable hex, so
+      signatures are oracle-checkable (DuckDB computes the same bytes)
+      and stable across engines. ~10 ns/byte.
+    - fast: xxhash64(seed, value) — JVM-intrinsic, ~10x cheaper; the
+      production choice at 100 TB where only run-to-run stability
+      matters (xxhash64 is deterministic across runs/cluster sizes).
+
+    Min over either family is a valid MinHash (uniform + total order).
+    """
+    if fast:
+        return F.xxhash64(F.lit(seed), col)
     return F.md5(F.concat(F.lit(f"{seed}:"), col).cast("binary"))
 
 
@@ -188,12 +198,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 8,
+    fast: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: one min-aggregate per hash seed,
-    single shuffle on doc id. Returns (id, h0..h{k-1})."""
+    single shuffle on doc id. Returns (id, h0..h{k-1}).
+    ``fast=True`` swaps md5 for xxhash64 (see _hash_expr) — the 100 TB
+    path; keep the default for oracle-checked parity runs."""
     sh = _shingle_table(df, text_col, id_col, n)
     aggs = [
-        F.min(_hash_expr(i, F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(_hash_expr(i, F.col("sh"), fast)).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
 
@@ -205,23 +219,30 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    fast: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures -> band buckets ->
     pairs sharing any bucket. Returns distinct (doc_a, doc_b), a < b.
 
-    At scale: the only join is bucket-equality on a 32-hex key; a hot
+    At scale: the only join is bucket-equality on a compact key; a hot
     bucket means near-identical boilerplate — cap with a per-bucket
-    count filter upstream if needed.
+    count filter upstream if needed. ``fast=True`` uses xxhash64
+    end-to-end (signatures + band keys): same candidate semantics,
+    ~10x less hashing CPU — the production path; default md5 stays
+    oracle-portable.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, fast)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts).cast("binary")).alias("bkey"))
+        bkey = (
+            F.xxhash64(*parts)
+            if fast
+            else F.md5(F.concat(*parts).cast("binary"))
         )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bkey.alias("bkey")))
     buckets = (
         sigs.select(
             F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
@@ -248,30 +269,40 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
+    fast: bool = False,
 ) -> DataFrame:
     """SimHash fingerprint (default 16-bit for portability) from distinct
     word hashes: bit j of the fingerprint is the majority vote of bit j
     across word digests. Pure expressions: explode words -> per-bit
     signed sums -> recombine. Returns (id, simhash bigint).
 
-    Bit j is derived from hex digit j of md5(word): its high bit
-    (digit in 8..f). Engine-portable: any md5 implementation agrees.
+    Portable mode derives bit j from hex digit j of md5(word) (its high
+    bit, digit in 8..f) — any md5 implementation agrees, so the DuckDB
+    oracle can replay it. ``fast=True`` takes bit j of xxhash64(word)
+    instead: same statistics, ~10x less hashing CPU, the 100 TB path.
     """
     assert bits <= 32
     pruned = _parallelize(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
     words = pruned.select(
         "__id",
         F.explode(F.array_distinct(tokens_col(F.lower(F.col(text_col))))).alias("w"),
-    ).withColumn("h", F.md5(F.col("w").cast("binary")))
+    )
+    if fast:
+        words = words.withColumn("h", F.xxhash64(F.col("w")))
+        bit_set = [
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1 for j in range(bits)
+        ]
+    else:
+        words = words.withColumn("h", F.md5(F.col("w").cast("binary")))
+        bit_set = [
+            F.substring(F.col("h"), j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            )
+            for j in range(bits)
+        ]
     # vote_j = sum over words of +1 if bit set else -1
     aggs = [
-        F.sum(
-            F.when(
-                F.substring(F.col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            )
-            .otherwise(-1)
-        ).alias(f"v{j}")
+        F.sum(F.when(bit_set[j], 1).otherwise(-1)).alias(f"v{j}")
         for j in range(bits)
     ]
     votes = words.groupBy(F.col("__id").alias(id_col)).agg(*aggs)

@@ -70,3 +70,20 @@ def test_validate_json_output(tmp_path, sf_dir):
     report = json.loads(r.stdout[r.stdout.index("{") :])
     assert report["passed"] is True
     assert report["stats"]["records_validated"] > 0
+
+
+def test_validate_approx_distinct_flag(tmp_path):
+    p = tmp_path / "c.yml"
+    p.write_text(
+        GOOD.format(loc="/root/testdata/sf0.001/customer.parquet")
+        + "  uniqueness:\n    fields: [c_custkey]\n"
+    )
+    r = run_cli("validate", str(p), "--approx-distinct", "--format", "json")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout)
+    uniq = [
+        c
+        for c in rep["checks"]["quality"]["checks"]
+        if c["name"].startswith("quality.uniqueness")
+    ]
+    assert len(uniq) == 1 and uniq[0]["passed"]

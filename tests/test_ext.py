@@ -217,3 +217,26 @@ def test_multimodal_frame_sampling(spark):
     frames = X_mm.sample_frames(wrapped, "doc_id", fake=True).collect()
     assert len(frames) == 2  # 250 bytes -> 2 frames
     assert [f["ts_ms"] for f in frames] == [0, 1000]
+
+
+def test_fast_hash_lsh_same_exact_dup_collisions(spark, docs):
+    """xxhash64 production path: identical/normalized-identical docs
+    must still collide in every band (any hash family agrees on equal
+    inputs); the md5 path stays for oracle portability."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in X_dedup.lsh_candidate_pairs(
+            docs, num_hashes=8, bands=4, fast=True
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert not any(4 in p for p in pairs)
+    spark.catalog.clearCache()
+
+
+def test_fast_simhash_identical_docs_equal_fingerprints(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in X_dedup.simhash(docs, fast=True).collect()}
+    assert fps[1] == fps[2] == fps[5]
+    # near-dup differs in few bits, unrelated doc in many
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[1], fps[3]) <= ham(fps[1], fps[4])

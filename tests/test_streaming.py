@@ -189,3 +189,35 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         assert r["user_id"] in (0, 1)
         assert r["n_events"] >= 1
         assert r["session_end"] >= r["session_start"]
+
+
+def test_fold_sessions_properties():
+    """Property-based: for any event-time sequence and gap, the fold
+    conserves events, produces chronologically ordered non-overlapping
+    sessions separated by more than gap, and no intra-session gap
+    exceeds the threshold."""
+    from hypothesis import given, settings, strategies as st
+
+    from dce_spark.streaming import fold_sessions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.floats(0, 1e6, allow_nan=False), max_size=50),
+        gap=st.floats(0.1, 1e4, allow_nan=False),
+    )
+    def check(ts, gap):
+        ts = sorted(ts)
+        closed, open_s = fold_sessions(ts, None, gap)
+        sessions = closed + ([open_s] if open_s else [])
+        assert sum(n for _, _, n in sessions) == len(ts)
+        for start, last, n in sessions:
+            assert start <= last and n >= 1
+        for (s1, l1, _), (s2, _, _) in zip(sessions, sessions[1:]):
+            assert s2 - l1 > gap  # consecutive sessions separated by > gap
+        # replaying in two chunks gives the same result as one pass
+        for cut in (0, len(ts) // 2, len(ts)):
+            c1, o1 = fold_sessions(ts[:cut], None, gap)
+            c2, o2 = fold_sessions(ts[cut:], o1, gap)
+            assert (c1 + c2, o2) == (closed, open_s)
+
+    check()
