@@ -1073,6 +1073,31 @@ def dedup_jaccard_documents(spark, sf_dir):
     )
 
 
+@register(
+    "winnow_fingerprint_documents",
+    _SHINGLE_CTE
+    + """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              min(md5(sh)) AS winnow_fp,
+              CAST(count(*) AS BIGINT) AS n_shingles
+       FROM shingles GROUP BY doc_id""",
+    "ext/text: rolling-window document fingerprint (winnowing family): "
+    "hash every word-3gram window, keep the minimum — a 1-permutation "
+    "MinHash. Docs sharing ANY 3-gram run may share fingerprints; "
+    "equal fingerprints are strong near-dup evidence. Map-side "
+    "shingling + one groupBy min: no pairwise work, scales like exact "
+    "dedup. Complements fingerprint_documents (whole-text hash, exact "
+    "dup only).",
+)
+def winnow_fingerprint_documents(spark, sf_dir):
+    from .ext.dedup import _shingle_table
+
+    sh = _shingle_table(load_table(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    return sh.groupBy(F.col("__id").alias("doc_id")).agg(
+        F.min(F.md5(F.col("sh").cast("binary"))).alias("winnow_fp"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
 def _minhash_oracle() -> str:
     hash_aggs = ",\n         ".join(
         f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8)

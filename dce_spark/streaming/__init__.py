@@ -8,12 +8,17 @@ continuous monitoring, and a custom stateful operator template
 (applyInPandasWithState sessionization).
 """
 
-from .enforce import streaming_quality_aggregates, validate_stream
+from .enforce import (
+    streaming_exact_dedup,
+    streaming_quality_aggregates,
+    validate_stream,
+)
 from .sessionize import fold_sessions, stateful_sessionize
 
 __all__ = [
     "validate_stream",
     "streaming_quality_aggregates",
+    "streaming_exact_dedup",
     "stateful_sessionize",
     "fold_sessions",
 ]

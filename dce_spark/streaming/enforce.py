@@ -93,3 +93,30 @@ def streaming_quality_aggregates(
         )
         .drop("window")
     )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for an ingest pipeline: drop documents whose
+    normalized-content fingerprint was already seen within the watermark
+    horizon (the streaming face of ext/dedup.exact_duplicates).
+
+    Uses ``dropDuplicatesWithinWatermark`` on the 16-byte md5
+    fingerprint, so dedup state holds fingerprints — never document
+    text — and is evicted once older than the watermark: bounded state
+    at any throughput. Exactly the semantics a training-data ingest
+    wants ("don't admit the same document twice per horizon") without
+    the unbounded state of global streaming dedup.
+    """
+    from ..ext.text import fingerprint_col
+
+    return (
+        stream_df.withColumn("__fp", fingerprint_col(F.col(text_col)))
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

@@ -221,3 +221,40 @@ def test_fold_sessions_properties():
             assert (c1 + c2, o2) == (closed, open_s)
 
     check()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Live dedup stream: duplicate payloads within the watermark horizon
+    must be admitted once. Rate source emits the same 5 texts repeatedly;
+    the sink must hold at most 5 distinct fingerprints' worth of rows."""
+    from dce_spark.streaming import streaming_exact_dedup
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+        .select(
+            F.concat(F.lit("doc "), (F.col("value") % 5).cast("string")).alias("text"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    out = streaming_exact_dedup(src, watermark_delay="1 hour")
+    assert out.isStreaming and set(out.columns) == {"text", "ts"}
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM dedup_test").head()["n"]
+            if n >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert n >= 3, "no deduped rows reached the sink"
+    texts = [r["text"] for r in spark.sql("SELECT text FROM dedup_test").collect()]
+    assert len(texts) == len(set(texts)) <= 5  # each payload admitted once
