@@ -64,7 +64,11 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "embedding_near_dup_lsh",
     "text_stats_documents",
+    "winnow_fingerprint_documents",
+    "salted_group_counts_events",
+    "ntile_bins_lineitem_approx",
     "multimodal_payload_stats",
+    "multimodal_frame_sample",
 ]
 
 

@@ -1400,6 +1400,26 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_frame_sample",
+    """SELECT CAST(doc_id AS BIGINT) AS id,
+              CAST(j AS INTEGER) AS frame_idx,
+              CAST(j * 1000 AS BIGINT) AS ts_ms
+       FROM (SELECT doc_id,
+                    unnest(range(0, greatest(octet_length(encode(text)) // 100, 1))) AS j
+             FROM documents)""",
+    "ext/multimodal: frame sampling — ONE payload row explodes to N "
+    "(id, frame_idx, ts_ms) frame rows through Arrow-batched "
+    "mapInPandas (the 1-to-N batch shape every video pipeline needs; "
+    "decode itself is the documented stub, frame count derived "
+    "deterministically from payload bytes so the oracle can replay it).",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    wrapped = X_mm.attach_payload(df, "text", media_type="video")
+    return X_mm.sample_frames(wrapped, "doc_id", every_ms=1000, fake=True)
+
+
+@register(
     "asof_join_events",
     """WITH u AS (
          SELECT user_id, ts, event_id, (event_type = 'click') AS is_c

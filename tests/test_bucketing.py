@@ -76,3 +76,22 @@ def test_bucketed_aggregation_no_exchange(spark, bucketed_tables):
         spark.table(left).groupBy("o_orderkey").agg(F.sum("o_totalprice"))
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_cell_partition_pruning(spark, tmp_path_factory):
+    """The ANN scale layout: corpus written partitioned by coarse cell
+    (label stands in) -> a single-cell query scan must carry a
+    PartitionFilters entry on the cell column, i.e. only that cell's
+    files are read."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("ivf_cells") / "emb")
+    load_table(spark, SF_DIR, "embeddings").write.partitionBy("label").parquet(path)
+    df = spark.read.parquet(path)
+    cell = df.filter(F.col("label") == 3).select("vec_id", "embedding")
+    plan = plan_of(cell)
+    assert "PartitionFilters" in plan
+    assert "label" in [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    # and the non-partition columns are the only data read
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "embedding" in scan_schema and "label" not in scan_schema
