@@ -95,8 +95,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # warm the JVM/readers and the Python worker pool (not timed):
-    # the first mapInPandas pays ~1s x n_workers of pandas imports
+    # warm the JVM/readers, OS page cache, and the Python worker pool
+    # (not timed): the first query over each table otherwise pays the
+    # cold file read, and the first mapInPandas pays ~1s x n_workers of
+    # pandas imports — both are one-time costs unrelated to plan quality
+    import glob
+
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     import pandas as _pd
 
