@@ -122,6 +122,23 @@ def main() -> None:
         # operator-internal persists are scoped to their query
         spark.catalog.clearCache()
 
+    # production fast-hash dedup variant (xxhash64 instead of the
+    # oracle-portable md5): measures the hashing-CPU headroom claimed in
+    # ext/dedup — not in the oracle catalog because xxhash64 is not
+    # replayable in DuckDB
+    from dce_spark.data import load_table as _lt
+    from dce_spark.ext.dedup import lsh_candidate_pairs as _lsh
+
+    t0 = time.monotonic()
+    force(_lsh(_lt(spark, SF_DIR, "documents"), num_hashes=8, bands=4, fast=True))
+    timings["dedup_minhash_lsh_fast"] = round(time.monotonic() - t0, 3)
+    print(
+        f"  dedup_minhash_lsh_fast: {timings['dedup_minhash_lsh_fast']}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    spark.catalog.clearCache()
+
     # flagship contract validation (fused pass + grouped + custom SQL)
     from datetime import datetime, timezone
 
