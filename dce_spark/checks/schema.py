@@ -185,6 +185,12 @@ def nested_null_probes(contract: Contract, df: DataFrame) -> list[AggProbe]:
         declared = f.spark_type()
         if not _has_null_flags(declared):
             continue
+        # a structurally mismatched column (declared list, actual string;
+        # declared struct field absent, ...) is the type check's finding —
+        # building exists()/getField() against it would just crash the
+        # fused agg with an AnalysisException
+        if not _type_compatible(declared, actual_types[f.name]):
+            continue
         col = F.col(f.name)
         viol = F.coalesce(_violation_expr(col, declared), F.lit(False))
         alias = f"__nested__{f.name}"

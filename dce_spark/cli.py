@@ -135,13 +135,17 @@ def cmd_init(args: argparse.Namespace) -> int:
     try:
         if args.format == "iceberg":
             from .contract import Schema
-            from .iceberg import IcebergUnavailableError, load_iceberg_table
+            from .iceberg import (
+                IcebergConfigError,
+                IcebergUnavailableError,
+                load_iceberg_table,
+            )
 
             try:
                 df = load_iceberg_table(
                     spark, args.location, config=_iceberg_config_from_args(args)
                 )
-            except IcebergUnavailableError as e:
+            except (IcebergConfigError, IcebergUnavailableError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
             schema = Schema.from_struct_type(

@@ -93,6 +93,11 @@ def validate_df(
     t0 = time.monotonic()
     report = ValidationReport()
 
+    def add_routed(result: CheckResult) -> None:
+        """The one way quality/ML results enter the report: severity
+        routed by strict mode (see _route_severity)."""
+        report.add(_route_severity(result, ctx.strict), ctx.strict)
+
     # ---- stage 0: metadata-only schema checks (no Spark jobs)
     for r in schema_checks.presence_checks(contract, df):
         report.add(r, strict=ctx.strict)
@@ -164,10 +169,7 @@ def validate_df(
                 report.add(p.evaluate(vals), strict=ctx.strict)
             if not (ctx.strict and _schema_failed(report)):
                 for p in other_probes:
-                    report.add(
-                        _route_severity(p.evaluate(vals), ctx.strict),
-                        strict=ctx.strict,
-                    )
+                    add_routed(p.evaluate(vals))
         elif not ctx.schema_only:
             records = df.count()
 
@@ -192,37 +194,22 @@ def validate_df(
                 qc.uniqueness, df, ts_col.strip()
             )
             if r:
-                report.add(_route_severity(r, ctx.strict), ctx.strict)
+                add_routed(r)
 
         # ---- stage 2: grouped ML checks
         if ml and not ctx.schema_only and not strict_stop:
             if ml.class_balance:
-                report.add(
-                    _route_severity(
-                        ml_checks.class_balance_check(ml.class_balance, df), ctx.strict
-                    ),
-                    ctx.strict,
-                )
+                add_routed(ml_checks.class_balance_check(ml.class_balance, df))
             if ml.null_rate_by_group:
                 for r in ml_checks.null_rate_by_group_check(ml.null_rate_by_group, df):
-                    report.add(_route_severity(r, ctx.strict), ctx.strict)
+                    add_routed(r)
             if ml.temporal_split:
-                report.add(
-                    _route_severity(
-                        ml_checks.temporal_split_check(ml.temporal_split, df), ctx.strict
-                    ),
-                    ctx.strict,
-                )
+                add_routed(ml_checks.temporal_split_check(ml.temporal_split, df))
             if ml.no_overlap:
-                report.add(
-                    _route_severity(
-                        ml_checks.no_overlap_check(ml.no_overlap, df), ctx.strict
-                    ),
-                    ctx.strict,
-                )
+                add_routed(ml_checks.no_overlap_check(ml.no_overlap, df))
             if ml.feature_drift:
                 for r in ml_checks.feature_drift_check(ml.feature_drift, df):
-                    report.add(_route_severity(r, ctx.strict), ctx.strict)
+                    add_routed(r)
 
         # ---- stage 3: custom SQL checks
         if qc and qc.custom_checks and not ctx.schema_only and not strict_stop:

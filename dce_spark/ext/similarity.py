@@ -208,7 +208,14 @@ def hyperplane_lsh_pairs(
     """
     assert bits % bands == 0
     rows_per_band = bits // bands
-    dim = len(df.select(vec_col).head()[0])
+    df = df.filter(F.col(vec_col).isNotNull())
+    first = df.select(vec_col).head()
+    if first is None:
+        # empty corpus -> zero pairs, not a crash
+        return df.sparkSession.createDataFrame(
+            [], schema="vec_a bigint, vec_b bigint, cos_sim double"
+        )
+    dim = len(first[0])
     W = _hyperplane_weights(bits, dim)
 
     # integer-quantized element values: round(x * 1e6) as long, computed

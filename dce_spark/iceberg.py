@@ -190,15 +190,17 @@ def parse_iceberg_location(location: str) -> tuple[list[str], str]:
 
 def extract_warehouse_from_location(location: str) -> Optional[str]:
     """Derive the warehouse root from a full table location
-    (validate.rs helper: ``s3://bucket/wh/db/table`` -> ``s3://bucket/wh``)."""
-    if location.startswith("s3://"):
-        parts = [p for p in location[len("s3://"):].split("/") if p]
-        if len(parts) >= 3:
-            return f"s3://{parts[0]}/{parts[1]}"
-        if parts:
-            return f"s3://{parts[0]}"
-        return None
-    # filesystem path: strip the trailing namespace/table components
+    (validate.rs helper: ``s3://bucket/wh/db/table`` -> ``s3://bucket/wh``).
+    Handles every scheme :func:`parse_iceberg_location` accepts."""
+    for scheme in ("s3://", "hdfs://", "file://"):
+        if location.startswith(scheme):
+            parts = [p for p in location[len(scheme):].split("/") if p]
+            if len(parts) >= 3:
+                return f"{scheme}{parts[0]}/{parts[1]}"
+            if parts:
+                return f"{scheme}{parts[0]}"
+            return None
+    # plain filesystem path: strip the trailing namespace/table components
     parts = [p for p in location.split("/") if p]
     if len(parts) >= 3:
         return "/" + "/".join(parts[:-2])
@@ -271,6 +273,13 @@ def load_iceberg_table(
         ref = parse_table_uri(location, default_catalog=config.name if config else "dce")
         if config is None:
             config = resolve_env_config()
+            if config is None and not spark.conf.get(
+                f"spark.sql.catalog.{ref.catalog}", None
+            ):
+                # nothing configured anywhere (no flags, no env vars, no
+                # session conf for this catalog): give the setup guidance,
+                # not a misleading jar/classpath error from spark.table()
+                raise IcebergUnavailableError(MISSING_ENV_MESSAGE)
     if config is not None:
         config.apply(spark)
     try:

@@ -340,3 +340,21 @@ def test_nested_nulls_fused_single_scan(spark, tmp_path):
     plan = buf.getvalue()
     assert plan.count("Location:") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_nested_nulls_skip_mismatched_column(spark):
+    """A declared-list column that is actually a string must surface as a
+    type-check failure, not crash the fused agg with an AnalysisException
+    from exists()/getField() over the wrong type."""
+    df = spark.createDataFrame(
+        [("not-a-list", None, None, None)], schema=NESTED_SCHEMA.replace(
+            "tags array<string>", "tags string"
+        )
+    )
+    report = validate_df(spark, df, NESTED_CONTRACT)
+    assert not report.passed
+    by_name = {c.name: c for c in report.checks}
+    assert not by_name["schema.type:tags"].passed
+    assert "schema.nested_nulls:tags" not in by_name  # probe skipped
+    # the compatible columns still get their nested probes
+    assert "schema.nested_nulls:props" in by_name

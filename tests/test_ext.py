@@ -240,3 +240,13 @@ def test_fast_simhash_identical_docs_equal_fingerprints(spark, docs):
     # near-dup differs in few bits, unrelated doc in many
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fps[1], fps[3]) <= ham(fps[1], fps[4])
+
+
+def test_hyperplane_lsh_empty_and_null_input(spark):
+    empty = spark.createDataFrame([], schema="vec_id bigint, embedding array<double>")
+    assert X_sim.hyperplane_lsh_pairs(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], schema="vec_id bigint, embedding array<double>"
+    )
+    assert X_sim.hyperplane_lsh_pairs(nulls).count() == 0
+    spark.catalog.clearCache()

@@ -138,3 +138,4 @@ def test_embedding_lsh_no_cartesian(spark):
     plan = plan_of(QUERIES["embedding_near_dup_lsh"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()  # the operator persists its bucket table
