@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_documents",
     "dedup_jaccard_documents",
     "dedup_simhash_documents",
+    "dedup_clusters_documents",
     "embedding_cosine_topk",
     "embedding_knn_join",
     "embedding_ivf_topk",

@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "dedup_clusters",
 ]
 
 from .text import fingerprint_col, tokens_col
@@ -310,3 +311,72 @@ def simhash(
     for j in range(bits):
         fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over candidate pairs: every document gets the
+    minimum reachable doc id as its ``cluster_id`` — the step after
+    candidate generation in every dedup pipeline (pick one canonical doc
+    per cluster, drop the rest).
+
+    Iterative min-label propagation: labels start as each node's own id;
+    each round every node takes the min label among itself and its
+    neighbors; converged when no label changes (exact fixpoint = min id
+    of the connected component — deterministic, so oracle-checkable
+    against a recursive-CTE transitive closure).
+
+    Scale design: the edge list is the CANDIDATE pair list — orders of
+    magnitude smaller than the corpus (LSH already pruned it), so each
+    round is one small equi-join + groupBy; rounds needed = component
+    diameter, and near-dup components are shallow (typically 2-5). Each
+    round's labels are persisted and the previous round unpersisted;
+    convergence is detected with a count of changed labels (driver-side
+    scalar — this is the documented iterative-algorithm pattern, not a
+    data collect).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

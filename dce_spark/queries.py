@@ -1133,6 +1133,50 @@ def dedup_minhash_lsh_documents(spark, sf_dir):
     )
 
 
+def _cluster_oracle() -> str:
+    """Recursive-CTE transitive closure over the MinHash-LSH candidate
+    pairs: every clustered doc labeled with its component's min id."""
+    mh = _minhash_oracle()
+    head, _, final_select = mh.rpartition("\nSELECT DISTINCT")
+    pairs_select = "SELECT DISTINCT" + final_select
+    return (
+        head.replace("\nWITH toks AS (", "\nWITH RECURSIVE toks AS (", 1)
+        + f""", pairs AS (
+{pairs_select}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.a <> e.b
+)
+SELECT CAST(a AS BIGINT) AS doc_id,
+       CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a"""
+    )
+
+
+@register(
+    "dedup_clusters_documents",
+    _cluster_oracle(),
+    "ext/dedup: connected components over the MinHash-LSH candidate "
+    "pairs — iterative min-label propagation until fixpoint (the "
+    "canonical-document step of a dedup pipeline). Distributed shape: "
+    "each round is one equi-join + groupBy over the CANDIDATE edge "
+    "list (already LSH-pruned, orders of magnitude smaller than the "
+    "corpus); rounds = component diameter. Oracle: recursive-CTE "
+    "transitive closure — exact fixpoint equality.",
+)
+def dedup_clusters_documents(spark, sf_dir):
+    pairs = X_dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    out = X_dedup.dedup_clusters(pairs)
+    return out.select(F.col("node").alias("doc_id"), F.col("cluster_id"))
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     votes = ",\n         ".join(
         "CAST(sum(CASE WHEN substring(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "

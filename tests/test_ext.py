@@ -250,3 +250,28 @@ def test_hyperplane_lsh_empty_and_null_input(spark):
     )
     assert X_sim.hyperplane_lsh_pairs(nulls).count() == 0
     spark.catalog.clearCache()
+
+
+def test_dedup_clusters(spark, docs):
+    """{1,2,5} are mutual (near-)dups -> one cluster labeled by min id;
+    docs with no candidate pair don't appear (nothing to deduplicate)."""
+    pairs = X_dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    clusters = {
+        r["node"]: r["cluster_id"] for r in X_dedup.dedup_clusters(pairs).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[5] == 1
+    assert 4 not in clusters
+    spark.catalog.clearCache()
+
+
+def test_dedup_clusters_chain(spark):
+    """Transitive chain a-b, b-c, plus isolated pair d-e: labels must
+    propagate across the full component, not just direct neighbors."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60)], schema="doc_a long, doc_b long"
+    )
+    clusters = {
+        r["node"]: r["cluster_id"] for r in X_dedup.dedup_clusters(pairs).collect()
+    }
+    assert clusters[10] == clusters[20] == clusters[30] == clusters[40] == 10
+    assert clusters[50] == clusters[60] == 50
