@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "embedding_knn_join",
     "embedding_ivf_topk",
     "embedding_near_dup_lsh",
+    "kmeans_embeddings_2iter",
     "text_stats_documents",
     "winnow_fingerprint_documents",
     "salted_group_counts_events",

@@ -823,3 +823,136 @@ def salted_group_counts_events(spark, sf_dir):
             (F.sum("__qs").cast("double") / F.lit(1e6)).alias("sum_value"),
         )
     )
+
+
+# =====================================================================
+# Iterative ML: Lloyd's k-means, 2 deterministic iterations
+# =====================================================================
+
+_KM_K = 4
+_KM_DIST = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])))"
+)
+
+_KMEANS_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v FROM emb WHERE vec_id < {_KM_K}
+), d0 AS (
+  SELECT e.vec_id, s.cid, {_KM_DIST.format(e='e.v', c='s.v')} AS d2
+  FROM emb e, seeds s
+), a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d0) WHERE rn = 1
+), c1 AS (
+  SELECT a0.cid, t.pos,
+         CAST(sum(CAST(round(e.v[t.pos + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM emb e JOIN a0 ON e.vec_id = a0.vec_id, range(0, 64) t(pos)
+  GROUP BY a0.cid, t.pos
+), c1v AS (
+  SELECT cid, list(m ORDER BY pos) AS v FROM c1 GROUP BY cid
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_KM_DIST.format(e='e.v', c='c.v')} AS d2
+  FROM emb e, c1v c
+), a1 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(round(d2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS inertia
+FROM a1 GROUP BY cid"""
+
+
+@register(
+    "kmeans_embeddings_2iter",
+    _KMEANS_ORACLE,
+    "iterative ML: Lloyd's k-means, k=4, seeds = first k vectors, TWO "
+    "deterministic iterations (assign -> quantized-exact mean update -> "
+    "reassign), output per-cluster size + quantized inertia. The Spark "
+    "loop is the real distributed shape — centroids are metadata-sized "
+    "and ride the closure as literals (broadcast by construction), the "
+    "corpus is scanned once per iteration, means use the integer-"
+    "quantized sum so results are bit-identical under any partitioning "
+    "— which is what lets a DuckDB replay hash-match an iterative "
+    "algorithm at all.",
+)
+def kmeans_embeddings_2iter(spark, sf_dir):
+    from .ext.similarity import _as_literal_array
+
+    df = load_table(spark, sf_dir, "embeddings")
+    base = df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def d2_to(cvec):
+        lit = _as_literal_array(cvec)
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent_pairs):
+        """(cid, d2) of the nearest centroid; cent_pairs is [(cid, vec)]
+        in ascending cid order, so strict-less replacement gives the
+        lowest cid on ties (the oracle's ORDER BY d2, cid). Explicit
+        cids survive empty clusters without positional drift."""
+        best_cid, best_d2 = F.lit(cent_pairs[0][0]), d2_to(cent_pairs[0][1])
+        for cid, c in cent_pairs[1:]:
+            di = d2_to(c)
+            better = di < best_d2
+            best_cid = F.when(better, F.lit(cid)).otherwise(best_cid)
+            best_d2 = F.when(better, di).otherwise(best_d2)
+        return best_cid, best_d2
+
+    # iteration 0: seeds are the first k vectors (collected: k x 64 doubles)
+    seed_rows = (
+        base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    )
+    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
+
+    # iteration 1: assign, then quantized-exact per-dim means
+    cid0, _ = assign(cents)
+    c1_rows = (
+        base.withColumn("cid", cid0)
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    cents1 = [
+        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
+    ]
+
+    # iteration 2: reassign against updated centroids, per-cluster stats
+    cid1, d2 = assign(cents1)
+    return (
+        base.select(cid1.cast("long").alias("cid"), d2.alias("d2"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.round(F.col("d2") * F.lit(1e6)).cast("long")).cast("double")
+                / F.lit(1e6)
+            ).alias("inertia"),
+        )
+    )
