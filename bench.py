@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "kmeans_embeddings_2iter",
     "text_stats_documents",
+    "tfidf_top_terms_documents",
+    "split_assign_documents",
     "winnow_fingerprint_documents",
     "salted_group_counts_events",
     "ntile_bins_lineitem_approx",

@@ -956,3 +956,93 @@ def kmeans_embeddings_2iter(spark, sf_dir):
             ).alias("inertia"),
         )
     )
+
+
+# =====================================================================
+# Training-data pipeline: reproducible splits + relevance scoring
+# =====================================================================
+
+_HEX_POS = "strpos('0123456789abcdef', {c}) - 1"
+_BUCKET_SQL = (
+    f"(({_HEX_POS.format(c='substr(h, 1, 1)')}) * 16 + "
+    f"({_HEX_POS.format(c='substr(h, 2, 1)')}))"
+)
+
+
+@register(
+    "split_assign_documents",
+    f"""WITH hashed AS (
+          SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        ), assigned AS (
+          SELECT lang,
+                 CASE WHEN {_BUCKET_SQL} < 205 THEN 'train'
+                      WHEN {_BUCKET_SQL} < 230 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM hashed
+        )
+        SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY split, lang""",
+    "training-data op: DETERMINISTIC train/val/test assignment by "
+    "content-free key hash (md5 bucket 0-255 -> ~80/10/10). No RNG, no "
+    "seed coordination: any engine, any cluster size, any rerun "
+    "produces the identical split — the property that makes splits "
+    "re-materializable at 100 TB and makes the reference's no_overlap/"
+    "temporal checks meaningful downstream. Map-side + one groupBy.",
+)
+def split_assign_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return (
+        df.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "tfidf_top_terms_documents",
+    """WITH words AS (
+         SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                           x -> x <> '')) AS w
+         FROM documents
+       ), tf AS (
+         SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+       ), df AS (
+         SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM words)
+         GROUP BY w
+       ), n AS (SELECT count(*) AS n FROM documents)
+       SELECT CAST(tf.doc_id AS BIGINT) AS doc_id, tf.w AS term,
+              round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+       FROM tf JOIN df ON tf.w = df.w, n
+       ORDER BY tfidf DESC, doc_id, term LIMIT 20""",
+    "text relevance: TF-IDF scoring — term frequency per doc (one "
+    "groupBy), document frequency (one distinct+groupBy), idf join "
+    "(df table is vocabulary-sized, broadcastable), top-k via "
+    "TakeOrdered. ln of identical doubles is identical across engines; "
+    "round-6 + (doc, term) tie-break locks the top-20.",
+)
+def tfidf_top_terms_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        words.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .select("doc_id", F.col("w").alias("term"), score.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "doc_id", "term")
+        .limit(20)
+    )
