@@ -318,26 +318,29 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over candidate pairs: every document gets the
     minimum reachable doc id as its ``cluster_id`` — the step after
     candidate generation in every dedup pipeline (pick one canonical doc
-    per cluster, drop the rest).
+    per cluster, drop the rest). Deterministic fixpoint either way, so
+    oracle-checkable against a recursive-CTE transitive closure.
 
-    Iterative min-label propagation: labels start as each node's own id;
-    each round every node takes the min label among itself and its
-    neighbors; converged when no label changes (exact fixpoint = min id
-    of the connected component — deterministic, so oracle-checkable
-    against a recursive-CTE transitive closure).
+    Two regimes, same result:
 
-    Scale design: the edge list is the CANDIDATE pair list — orders of
-    magnitude smaller than the corpus (LSH already pruned it), so each
-    round is one small equi-join + groupBy; rounds needed = component
-    diameter, and near-dup components are shallow (typically 2-5). Each
-    round's labels are persisted and the previous round unpersisted;
-    convergence is detected with a count of changed labels (driver-side
-    scalar — this is the documented iterative-algorithm pattern, not a
-    data collect).
+    - pair count <= ``driver_threshold``: collect the pairs and run
+      union-find on the driver. The candidate list is a REDUCED result
+      (LSH pruned it to orders of magnitude below the corpus — 826
+      pairs from 5000 docs on the fixture), so this is the same
+      contract as collecting k-row aggregates, and it is what
+      production dedup pipelines do for the finisher: a fixed ~1s
+      driver pass beats paying per-round distributed job latency on a
+      metadata-sized graph.
+    - larger: distributed min-label propagation with POINTER JUMPING
+      (each round also adopts the label's label), so rounds grow with
+      log(diameter) instead of diameter. Per round: two small
+      equi-joins + a groupBy over the pair list, previous round's cache
+      dropped; convergence detected by a changed-label count.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -345,6 +348,34 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = int(row["src"]), int(row["dst"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the cluster label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        edges.unpersist()
+        rows = [(n, find(n)) for n in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            rows, schema="node bigint, cluster_id bigint"
+        )
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -358,13 +389,27 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
+            )
+        )
+        # pointer jump: also adopt the current label's own label, which
+        # squares path lengths -> O(log diameter) rounds
+        ptr = labels.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.label == ptr.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
             )
             .persist()
         )

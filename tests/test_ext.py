@@ -275,3 +275,22 @@ def test_dedup_clusters_chain(spark):
     }
     assert clusters[10] == clusters[20] == clusters[30] == clusters[40] == 10
     assert clusters[50] == clusters[60] == 50
+
+
+def test_dedup_clusters_distributed_path_matches_driver_path(spark):
+    """Force the distributed pointer-jumping loop (driver_threshold=0)
+    and check it produces the identical fixpoint as union-find."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 41), (50, 60)],
+        schema="doc_a long, doc_b long",
+    )
+    fast = {
+        r["node"]: r["cluster_id"] for r in X_dedup.dedup_clusters(pairs).collect()
+    }
+    dist = {
+        r["node"]: r["cluster_id"]
+        for r in X_dedup.dedup_clusters(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast[41] == 10 and fast[60] == 50
+    spark.catalog.clearCache()
