@@ -46,10 +46,14 @@ def paths(spark, tmp_path_factory):
     df.write.option("header", "true").csv(csv)
     nd = str(base / "t.json")
     df.write.json(nd)
-    return {"parquet": pq, "csv": csv, "json": nd}
+    orc = str(base / "t.orc")
+    df.write.orc(orc)
+    return {"parquet": pq, "csv": csv, "json": nd, "orc": orc}
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+# orc is a built-in Spark source: the reference declares it but falls
+# back to schema-only (validate.rs:88-98) — here it validates for real
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
 def test_read_and_validate_each_format(spark, paths, fmt):
     contract = parse_yaml(CONTRACT_TMPL.format(fmt=fmt, loc=paths[fmt]))
     from dce_spark.sources import load_contract_source
