@@ -326,34 +326,34 @@ def dedup_clusters(
     per cluster, drop the rest). Deterministic fixpoint either way, so
     oracle-checkable against a recursive-CTE transitive closure.
 
-    Two regimes, same result:
+    Two regimes, same result (a test pins them to the same fixpoint):
 
-    - pair count <= ``driver_threshold``: collect the pairs and run
+    - at most ``driver_threshold`` PAIRS: collect the pairs and run
       union-find on the driver. The candidate list is a REDUCED result
       (LSH pruned it to orders of magnitude below the corpus — 826
       pairs from 5000 docs on the fixture), so this is the same
       contract as collecting k-row aggregates, and it is what
       production dedup pipelines do for the finisher: a fixed ~1s
       driver pass beats paying per-round distributed job latency on a
-      metadata-sized graph.
+      metadata-sized graph. Ids of any orderable type (int, string)
+      keep their type.
     - larger: distributed min-label propagation with POINTER JUMPING
       (each round also adopts the label's label), so rounds grow with
       log(diameter) instead of diameter. Per round: two small
       equi-joins + a groupBy over the pair list, previous round's cache
-      dropped; convergence detected by a changed-label count.
+      dropped; convergence detected by a changed-label count. The
+      RETURNED labels frame stays persisted while it is alive — callers
+      running many clusterings should ``spark.catalog.clearCache()``
+      after consuming it (same convention as the candidate-pair ops).
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .persist()
-    )
-    n_edges = edges.count()
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
 
-    if n_edges <= driver_threshold:
-        parent: dict[int, int] = {}
+    if n_pairs <= driver_threshold:
+        id_type = pairs.schema[a_col].dataType
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             root = x
             while parent[root] != root:
                 root = parent[root]
@@ -361,8 +361,8 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.collect():
-            a, b = int(row["src"]), int(row["dst"])
+        for row in pairs.collect():
+            a, b = row[a_col], row[b_col]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -370,11 +370,26 @@ def dedup_clusters(
                 # union by MIN id so the root IS the cluster label
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        edges.unpersist()
-        rows = [(n, find(n)) for n in sorted(parent)]
-        return pairs.sparkSession.createDataFrame(
-            rows, schema="node bigint, cluster_id bigint"
+        pairs.unpersist()
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", id_type, False),
+                T.StructField("cluster_id", id_type, False),
+            ]
         )
+        rows = [(n, find(n)) for n in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(rows, schema=schema)
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    pairs.unpersist()
 
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -920,10 +920,10 @@ def uniqueness_per_day_orders(spark, sf_dir):
     "text_stats_documents",
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(length(text) AS BIGINT) AS n_chars,
-              CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              CAST(len(list_filter(string_split_regex(text, '[[:space:]]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
-              CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
-                   THEN CAST(length(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)
+              CASE WHEN len(list_filter(string_split_regex(text, '[[:space:]]+'), x -> x <> '')) > 0
+                   THEN CAST(length(text) AS DOUBLE) / CAST(len(list_filter(string_split_regex(text, '[[:space:]]+'), x -> x <> '')) AS DOUBLE)
                    ELSE 0.0 END AS chars_per_token
        FROM documents""",
     "ext/text: per-doc token & char statistics (whitespace + BPE-ish regex "
@@ -943,7 +943,7 @@ def text_stats_documents(spark, sf_dir):
                     THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
                          / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio
        FROM (SELECT doc_id, text,
-                    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> lower(t)) AS toks
+                    list_transform(list_filter(string_split_regex(text, '[[:space:]]+'), x -> x <> ''), t -> lower(t)) AS toks
              FROM documents)""",
     "ext/text: stopword + punctuation ratios (quality-filter primitives)",
 )
@@ -1039,7 +1039,7 @@ def dedup_exact_documents(spark, sf_dir):
 
 _SHINGLE_CTE = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '') AS t
   FROM documents
 ), shingles AS (
   SELECT DISTINCT doc_id,
@@ -1098,7 +1098,15 @@ def winnow_fingerprint_documents(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+# the MinHash-LSH candidate-pair SELECT, shared by the pair query and
+# the clustering oracle (which wraps it in a `pairs` CTE)
+_MINHASH_PAIRS_SELECT = """SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+
+
+def _minhash_ctes() -> str:
+    """The toks/shingles/sigs/bands CTE chain (no leading WITH — callers
+    choose WITH vs WITH RECURSIVE) for the MinHash-LSH pair pipeline."""
     hash_aggs = ",\n         ".join(
         f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
     )
@@ -1106,18 +1114,22 @@ def _minhash_oracle() -> str:
         f"  SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
         for b in range(4)
     )
+    assert _SHINGLE_CTE.strip().startswith("WITH ")
+    chain = _SHINGLE_CTE.strip()[len("WITH "):]
     return (
-        _SHINGLE_CTE
+        chain
         + f""", sigs AS (
   SELECT doc_id,
          {hash_aggs}
   FROM shingles GROUP BY doc_id
 ), bands AS (
 {band_selects}
-)
-SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+)"""
     )
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()}\n{_MINHASH_PAIRS_SELECT}"
 
 
 @register(
@@ -1136,13 +1148,10 @@ def dedup_minhash_lsh_documents(spark, sf_dir):
 def _cluster_oracle() -> str:
     """Recursive-CTE transitive closure over the MinHash-LSH candidate
     pairs: every clustered doc labeled with its component's min id."""
-    mh = _minhash_oracle()
-    head, _, final_select = mh.rpartition("\nSELECT DISTINCT")
-    pairs_select = "SELECT DISTINCT" + final_select
     return (
-        head.replace("\nWITH toks AS (", "\nWITH RECURSIVE toks AS (", 1)
+        f"WITH RECURSIVE {_minhash_ctes()}"
         + f""", pairs AS (
-{pairs_select}
+{_MINHASH_PAIRS_SELECT}
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -1186,7 +1195,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
     return f"""
 WITH words AS (
-  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS w
   FROM documents
 ), hashed AS (
   SELECT doc_id, md5(w) AS h FROM words
@@ -1290,7 +1299,7 @@ def embedding_centroids_by_label(spark, sf_dir):
 @register(
     "top_words_documents",
     """SELECT w, CAST(count(*) AS BIGINT) AS cnt
-       FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'), x -> x <> '')) AS w
              FROM documents)
        GROUP BY w ORDER BY cnt DESC, w LIMIT 20""",
     "ext/text: corpus top-20 word frequencies (map-side explode + one "
@@ -1315,7 +1324,7 @@ def top_words_documents(spark, sf_dir):
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(count(*) FILTER (WHERE en_hits >= 1) AS BIGINT) AS n_guessed_en
        FROM (SELECT lang,
-                    len(list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> lower(t)),
+                    len(list_filter(list_transform(list_filter(string_split_regex(text, '[[:space:]]+'), x -> x <> ''), t -> lower(t)),
                                     t -> list_contains(['the','a','of','to','and','in','is','on','for','with'], t))) AS en_hits
              FROM documents)
        GROUP BY lang""",

@@ -1006,7 +1006,7 @@ def split_assign_documents(spark, sf_dir):
 @register(
     "tfidf_top_terms_documents",
     """WITH words AS (
-         SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
                                            x -> x <> '')) AS w
          FROM documents
        ), tf AS (
@@ -1029,10 +1029,14 @@ def tfidf_top_terms_documents(spark, sf_dir):
     from .ext.text import tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.count()  # parquet metadata only, no data scan
+    # tokenize+explode ONCE: tf and df both consume the persisted word
+    # table (same eager-materialize convention as ext/dedup's shingle
+    # table; callers clearCache after consuming)
     words = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
-    )
+    ).persist()
+    words.count()
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         words.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
