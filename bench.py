@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "psi_total_lineitem",
     "profile_customer",
     "sessionization_events",
+    "funnel_events",
+    "retention_cohorts_events",
     "asof_join_events",
     "json_extract_events",
     "dedup_minhash_lsh_documents",

@@ -1050,3 +1050,101 @@ def tfidf_top_terms_documents(spark, sf_dir):
         .orderBy(F.desc("tfidf"), "doc_id", "term")
         .limit(20)
     )
+
+
+# =====================================================================
+# Behavioral analytics: funnel + cohort retention (classic shapes a
+# general engine must serve; absent from the reference)
+# =====================================================================
+
+
+@register(
+    "funnel_events",
+    """WITH v AS (
+         SELECT user_id, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id
+       ), c AS (
+         SELECT e.user_id, min(e.ts) AS t2
+         FROM events e JOIN v ON e.user_id = v.user_id
+         WHERE e.event_type = 'click' AND e.ts > v.t1
+         GROUP BY e.user_id
+       ), p AS (
+         SELECT e.user_id, min(e.ts) AS t3
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > c.t2
+         GROUP BY e.user_id
+       )
+       SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+              CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_after,
+              CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after""",
+    "behavioral analytics: 3-stage ordered funnel (view -> later click "
+    "-> later purchase) per user. Each stage is one groupBy(min) joined "
+    "to the previous stage's per-user frontier — stage tables shrink "
+    "monotonically, so later joins broadcast; no window over the full "
+    "event stream, no per-user sorting.",
+)
+def funnel_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(alias))
+        for df, alias in [(v, "n_viewed"), (c, "n_clicked_after"), (p, "n_purchased_after")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "retention_cohorts_events",
+    """WITH weekly AS (
+         SELECT DISTINCT user_id,
+                CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+         FROM events
+       ), cohort AS (
+         SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+       )
+       SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+              CAST(w.week - c.cohort_week AS BIGINT) AS weeks_since,
+              CAST(count(*) AS BIGINT) AS n_active
+       FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+       GROUP BY c.cohort_week, weeks_since""",
+    "behavioral analytics: cohort retention — users grouped by first-"
+    "active week, counted per subsequent active week. Two groupBys and "
+    "one join on user_id; the cohort table is one row per user "
+    "(broadcastable after aggregation at any scale). Epoch-week "
+    "bucketing is timezone-free and engine-portable.",
+)
+def retention_cohorts_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("week"),
+        )
+        .distinct()
+    )
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
