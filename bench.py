@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "text_stats_documents",
     "tfidf_top_terms_documents",
     "split_assign_documents",
+    "decontamination_overlap_documents",
+    "pii_scan_documents",
     "winnow_fingerprint_documents",
     "salted_group_counts_events",
     "ntile_bins_lineitem_approx",

@@ -1742,3 +1742,102 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }
+
+
+@register(
+    "decontamination_overlap_documents",
+    _SHINGLE_CTE
+    + """, bench AS (
+  SELECT doc_id, sh FROM shingles WHERE doc_id < 10
+), corpus AS (
+  SELECT doc_id, sh FROM shingles WHERE doc_id >= 10
+)
+SELECT CAST(c.doc_id AS BIGINT) AS corpus_doc,
+       CAST(b.doc_id AS BIGINT) AS bench_doc,
+       CAST(count(*) AS BIGINT) AS shared_shingles
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id, b.doc_id
+HAVING count(*) >= 3""",
+    "training-data op: benchmark DECONTAMINATION — flag corpus docs "
+    "sharing >= 3 word-3gram shingles with a held-out benchmark set "
+    "(docs 0-9 stand in). Inverted-index join: corpus and benchmark "
+    "only meet on shared shingles, and the benchmark side is tiny "
+    "(broadcastable), so the corpus is scanned once with zero pairwise "
+    "work — the shape that lets eval-set leakage checks run over the "
+    "full pretraining corpus.",
+)
+def decontamination_overlap_documents(spark, sf_dir):
+    from .ext.dedup import _shingle_table
+
+    sh = _shingle_table(load_table(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    bench = sh.filter(F.col("__id") < 10).select(
+        F.col("__id").alias("bench_doc"), "sh"
+    )
+    corpus = sh.filter(F.col("__id") >= 10).select(
+        F.col("__id").alias("corpus_doc"), "sh"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 3)
+    )
+
+
+# the natural corpus contains no PII-shaped strings (counts would be
+# all-zero, proving nothing about the regexes), so the scan runs over a
+# view with three injected PII-bearing docs — same de-vacuization
+# convention as the dedup probes
+_PII_DIRTY_SQL = """pii_dirty AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES ('reach me at jane.doe@example.com please'),
+                        ('call 555-123-4567 before noon'),
+                        ('card 4111-1111-1111-1111 is expired')) v(text)
+)"""
+
+
+@register(
+    "pii_scan_documents",
+    f"""WITH {_PII_DIRTY_SQL}
+       SELECT
+         CAST(count(*) FILTER (WHERE regexp_matches(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+           AS n_email_docs,
+         CAST(count(*) FILTER (WHERE regexp_matches(text,
+              '\\b[0-9]{{3}}[- .][0-9]{{3}}[- .][0-9]{{4}}\\b')) AS BIGINT)
+           AS n_phone_docs,
+         CAST(count(*) FILTER (WHERE regexp_matches(text,
+              '\\b[0-9]{{4}}[- ]?[0-9]{{4}}[- ]?[0-9]{{4}}[- ]?[0-9]{{4}}\\b')) AS BIGINT)
+           AS n_cardish_docs,
+         CAST(count(*) AS BIGINT) AS n_docs
+       FROM pii_dirty""",
+    "training-data op: PII pattern scan — corpus-level counts of docs "
+    "matching email / phone / card-number-shaped regexes (the cheap "
+    "first-pass filter every pretraining pipeline runs before the "
+    "expensive NER pass), over a view with 3 injected PII docs so each "
+    "pattern provably fires. Map-side rlike, one fused agg, zero "
+    "shuffles beyond the final reduce. Patterns are ASCII-class only so "
+    "Java and RE2 agree.",
+)
+def pii_scan_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select("text")
+    injected = df.sparkSession.createDataFrame(
+        [
+            ("reach me at jane.doe@example.com please",),
+            ("call 555-123-4567 before noon",),
+            ("card 4111-1111-1111-1111 is expired",),
+        ],
+        schema="text string",
+    )
+    dirty = df.unionByName(injected)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b"
+    card = r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b"
+    t = F.col("text")
+    return dirty.agg(
+        F.sum(t.rlike(email).cast("long")).alias("n_email_docs"),
+        F.sum(t.rlike(phone).cast("long")).alias("n_phone_docs"),
+        F.sum(t.rlike(card).cast("long")).alias("n_cardish_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
