@@ -1787,14 +1787,22 @@ def decontamination_overlap_documents(spark, sf_dir):
 # the natural corpus contains no PII-shaped strings (counts would be
 # all-zero, proving nothing about the regexes), so the scan runs over a
 # view with three injected PII-bearing docs — same de-vacuization
-# convention as the dedup probes
-_PII_DIRTY_SQL = """pii_dirty AS (
+# convention as the dedup probes. One fixture list generates BOTH the
+# oracle's VALUES clause and the Spark DataFrame so they cannot drift.
+_PII_FIXTURES = [
+    "reach me at jane.doe@example.com please",
+    "call 555-123-4567 before noon",
+    "card 4111-1111-1111-1111 is expired",
+]
+
+_PII_DIRTY_SQL = (
+    """pii_dirty AS (
   SELECT text FROM documents
   UNION ALL
-  SELECT * FROM (VALUES ('reach me at jane.doe@example.com please'),
-                        ('call 555-123-4567 before noon'),
-                        ('card 4111-1111-1111-1111 is expired')) v(text)
-)"""
+  SELECT * FROM (VALUES """
+    + ",\n                        ".join(f"('{t}')" for t in _PII_FIXTURES)
+    + ") v(text)\n)"
+)
 
 
 @register(
@@ -1823,12 +1831,7 @@ _PII_DIRTY_SQL = """pii_dirty AS (
 def pii_scan_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents").select("text")
     injected = df.sparkSession.createDataFrame(
-        [
-            ("reach me at jane.doe@example.com please",),
-            ("call 555-123-4567 before noon",),
-            ("card 4111-1111-1111-1111 is expired",),
-        ],
-        schema="text string",
+        [(t,) for t in _PII_FIXTURES], schema="text string"
     )
     dirty = df.unionByName(injected)
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -1085,10 +1085,15 @@ def tfidf_top_terms_documents(spark, sf_dir):
 )
 def funnel_events(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each frontier feeds BOTH the next stage and its own count, and
+    # AQE's exchange reuse does not dedupe the repeated subtrees —
+    # persist so every stage computes once (callers clearCache after,
+    # the ext/dedup convention)
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     c = (
         e.filter(F.col("event_type") == "click")
@@ -1096,6 +1101,7 @@ def funnel_events(spark, sf_dir):
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -1139,6 +1145,7 @@ def retention_cohorts_events(spark, sf_dir):
             F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("week"),
         )
         .distinct()
+        .persist()  # consumed by both the cohort agg and the join
     )
     cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
