@@ -139,3 +139,51 @@ def test_embedding_lsh_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()  # the operator persists its bucket table
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALING.md claims AQE handles skewed joins at runtime — prove it:
+    a join where one key holds 20x the rows must show
+    SortMergeJoin(skew=true) in the FINAL adaptive plan (thresholds
+    lowered so the split triggers at test size). Note count()/write()
+    spawn separate query executions; the final plan must be read from
+    the SAME Dataset after collect()."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("p")
+        )
+        cold = spark.range(10_000).select(
+            (F.col("id") % 100 + 1).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("p"),
+        )
+        right = spark.range(101).select(F.col("id").alias("k"), F.lit("d").alias("n"))
+        j = hot.union(cold).join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 210_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
