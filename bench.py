@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "conditional_aggregates_lineitem",
     "quantiles_lineitem",
     "quantiles_lineitem_approx",
+    "histogram_lineitem_price",
+    "corr_matrix_lineitem",
     "grouped_quantiles_lineitem_approx",
     "class_balance_events",
     "psi_total_lineitem",

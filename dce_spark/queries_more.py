@@ -1155,3 +1155,54 @@ def retention_cohorts_events(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "histogram_lineitem_price",
+    """SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+                                        / 5000.0), 0), 19) AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY bucket""",
+    "W-family widening: EQUI-WIDTH histogram (20 fixed 5000-wide buckets "
+    "from 900, edges clamped) — the complement of the equal-frequency "
+    "NTILE/sketch binning. Fixed literal bounds mean pure map-side "
+    "bucketing + one groupBy: no quantile pass, no sort, the shape for "
+    "dashboard histograms over 100 TB.",
+)
+def histogram_lineitem_price(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(900.0)) / F.lit(5000.0)), F.lit(0)),
+        F.lit(19),
+    )
+    return (
+        df.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "corr_matrix_lineitem",
+    """SELECT round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6)
+                AS corr_qty_price,
+              round(corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
+                AS corr_qty_disc,
+              round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
+                AS corr_price_disc
+       FROM lineitem""",
+    "A5 widening: pairwise Pearson correlation MATRIX of three numeric "
+    "columns in ONE fused agg pass (the reference runs one SQL "
+    "statement per feature pair, datafusion_engine.rs:518-571) — the "
+    "all-pairs leakage screen at a single scan's cost.",
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    d = F.col("l_discount").cast("double")
+    return df.agg(
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.corr(q, d), 6).alias("corr_qty_disc"),
+        F.round(F.corr(p, d), 6).alias("corr_price_disc"),
+    )
