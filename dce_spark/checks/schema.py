@@ -79,6 +79,15 @@ def _type_compatible(declared: T.DataType, actual: T.DataType) -> bool:
         (T.IntegerType, T.LongType),
         (T.FloatType, T.DoubleType),
         (T.DateType, T.TimestampType),
+        (T.DateType, T.TimestampNTZType),
+        # a declared `timestamp` accepts either physical representation:
+        # parquet stores isAdjustedToUTC true/false and Spark surfaces the
+        # latter as TIMESTAMP_NTZ, but the reference's type model carries a
+        # single Timestamp kind regardless of tz annotation
+        # (schema.rs type_matches ignores unit/tz), so both map to the same
+        # declared type here.
+        (T.TimestampType, T.TimestampNTZType),
+        (T.TimestampNTZType, T.TimestampType),
     }
     return (type(declared), type(actual)) in widenings
 

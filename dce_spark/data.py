@@ -1,10 +1,12 @@
 """Test-data loading: the driver's synthetic TPC-H-ish tables.
 
-The driver's parquet files store timestamps as INT64 TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects. We read them with
+Handles both timestamp layouts the driver has shipped: native parquet
+TIMESTAMP(MICROS) (current — read directly as TIMESTAMP_NTZ, predicates
+push down to the scan natively) and INT64 TIMESTAMP(NANOS) (older
+datasets — Spark's vectorized reader rejects it, so we read with
 ``spark.sql.legacy.parquet.nanosAsLong`` and convert nanos -> native
 TimestampType via exact integer division (``div``, not ``/`` — double
-division loses precision above 2^53 nanos).
+division loses precision above 2^53 nanos)).
 
 Session timezone is pinned to UTC so epoch-second comparisons against
 engines with naive timestamps (the DuckDB oracle) are exact.

@@ -58,6 +58,7 @@ _PRIMITIVES: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
     "bool": T.BooleanType(),
     "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
     "datetime": T.TimestampType(),
     "date": T.DateType(),
     # No TimeType in Spark (<4 parity); reference collapses time to string too.
@@ -227,6 +228,7 @@ def format_data_type(dt: T.DataType) -> str:
         T.DoubleType(): "float64",
         T.BooleanType(): "boolean",
         T.TimestampType(): "timestamp",
+        T.TimestampNTZType(): "timestamp_ntz",
         T.DateType(): "date",
         T.BinaryType(): "binary",
     }
