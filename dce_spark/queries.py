@@ -1403,12 +1403,26 @@ def _dirty_embeddings(df):
     "bucketed scale path.",
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    from .ext.similarity import cosine_col
+    from .ext.similarity import dot_col
 
     df = _dirty_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
+    # squared norm computed once per vector (not once per pair); the
+    # double arithmetic matches cosine_col exactly, so results are
+    # bit-identical while the O(n^2) pair stage does 3x less work
+    n2 = dot_col(F.col("embedding"), F.col("embedding"))
+    # the probe side of the broadcast NLJ inherits the scan's partition
+    # count (2 small files here) — spread it across the cluster so the
+    # O(n^2) pair evaluation uses every core, not two
+    a = df.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), n2.alias("na2")
+    )
+    b = df.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), n2.alias("nb2")
+    )
+    cos = F.round(
+        dot_col(F.col("ea"), F.col("eb")) / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
