@@ -709,7 +709,7 @@ def profile_customer(spark, sf_dir):
               {_qsum_sql('l_discount', 1e6)} / CAST(count(*) AS DOUBLE) AS avg_disc,
               CAST(count(*) AS BIGINT) AS count_order
        FROM lineitem
-       WHERE l_shipdate <= TIMESTAMP '2024-01-25 00:00:00'
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus""",
     "TPC-H Q1-style pricing summary; quantized-exact sums so results are "
     "partitioning-independent",
@@ -719,7 +719,10 @@ def q1_pricing_summary(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        df.filter(F.col("l_shipdate") <= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        df.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _qsum(F.col("l_quantity"), 1e6).alias("sum_qty"),
@@ -823,8 +826,8 @@ def q5_nation_revenue(spark, sf_dir):
     "q6_revenue_delta",
     f"""SELECT {_qsum_sql('l_extendedprice * l_discount', 1e4)} AS revenue
         FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '2024-01-05 00:00:00'
-          AND l_shipdate < TIMESTAMP '2024-01-20 00:00:00'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.02 AND 0.06
           AND l_quantity < 24""",
     "TPC-H Q6-style filter-only aggregation: every predicate (incl. the "
@@ -835,8 +838,8 @@ def q5_nation_revenue(spark, sf_dir):
 def q6_revenue_delta(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem")
     ship = F.col("l_shipdate")
-    lo = F.lit("2024-01-05 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
-    hi = F.lit("2024-01-20 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
+    lo = F.lit("1996-01-01 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
+    hi = F.lit("1997-01-01 00:00:00").cast(dict(df.dtypes)["l_shipdate"])
     return df.filter(
         (ship >= lo)
         & (ship < hi)
