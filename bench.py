@@ -32,7 +32,14 @@ BENCH_QUERIES = [
     "q4_late_shipment_orders",
     "q5_nation_revenue",
     "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
     "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
     "q14_promo_revenue_pct",
     "q18_large_volume_orders",
     "q19_disjunctive_predicate_revenue",

@@ -1206,3 +1206,406 @@ def corr_matrix_lineitem(spark, sf_dir):
         F.round(F.corr(q, d), 6).alias("corr_qty_disc"),
         F.round(F.corr(p, d), 6).alias("corr_price_disc"),
     )
+
+
+# =====================================================================
+# TPC-H-style batch 2: nation-pair volume, market share, profit,
+# returned items, order-count distribution, small-quantity revenue,
+# waiting suppliers (J4 widening, round 2)
+# =====================================================================
+
+_PAIR_NATIONS = ("NATION_2", "NATION_7")
+
+
+@register(
+    "q7_volume_shipping",
+    f"""SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+              {_qsum_sql('volume', 1e4)} AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l.l_shipdate) AS l_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume
+             FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+               AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+               AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00') shipping
+       GROUP BY supp_nation, cust_nation, l_year""",
+    "TPC-H Q7 shape: nation-pair trade volume. Both nation filters are "
+    "applied BEFORE the fact joins (supplier and customer each shrink "
+    "to 2/25 nations and broadcast); the only big-big exchange is "
+    "lineitem JOIN orders on the order key, and the disjunctive pair "
+    "condition runs map-side after both dims are attached. One shuffle "
+    "pair + the final tiny groupBy.",
+)
+def q7_volume_shipping(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = n.filter(F.col("n_name").isin(*_PAIR_NATIONS))
+    s2 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2 = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o2 = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dt = dict(li.dtypes)["l_shipdate"]
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast(dt))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(dt))
+    )
+    a, b = _PAIR_NATIONS
+    return (
+        li.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """SELECT CAST(o_year AS BIGINT) AS o_year,
+              round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_c ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(sum(vol_c) AS DOUBLE), 6) AS mkt_share
+       FROM (SELECT year(o.o_orderdate) AS o_year,
+                    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e4) AS BIGINT)
+                      AS vol_c,
+                    n2.n_name AS supp_nation
+             FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                  JOIN region r ON n1.n_regionkey = r.r_regionkey
+                  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+               AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00') all_sales
+       GROUP BY o_year""",
+    "TPC-H Q8 shape: one nation's share of regional sales by year. "
+    "Volumes quantize to int64 'cents' before the conditional sums, so "
+    "the share is a ratio of two exact integers — identical on any "
+    "engine/partitioning. part (1/6 after the type filter), supplier+"
+    "nation, and ASIA customers all broadcast; lineitem JOIN orders is "
+    "the one big exchange. At 100 TB the customer side outgrows "
+    "broadcast — swap to a shuffled hash join on o_custkey; the share "
+    "arithmetic is unaffected.",
+)
+def q8_market_share(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s2 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2 = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    F.col("n_nationkey").alias("cn_key")
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    dt = dict(o.dtypes)["o_orderdate"]
+    o2 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast(dt))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast(dt))
+        )
+        .join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e4)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_year", "supp_nation", vol_c.alias("vol_c"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("vol_c")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("vol_c").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+              {_qsum_sql('amount', 1e4)} AS sum_profit
+       FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS amount
+             FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             WHERE p.p_name LIKE '%bolt%') profit
+       GROUP BY nation, o_year""",
+    "TPC-H Q9 shape (adapted: no partsupp table in the corpus, so "
+    "profit is discounted revenue without supply cost — documented "
+    "delta). part is filtered by the LIKE before broadcasting; "
+    "supplier+nation broadcast; lineitem JOIN orders is the one big "
+    "exchange; 25 nations x 7 years of output.",
+)
+def q9_product_type_profit(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    n = load_table(spark, sf_dir, "nation")
+    s2 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(
+            _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+              {_qsum_sql('l.l_extendedprice * (1 - l.l_discount)', 1e4)} AS revenue,
+              c.c_acctbal, n.n_name
+       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+    "TPC-H Q10 shape: top-20 lost-revenue customers for one quarter of "
+    "returns. Orders shrink to the quarter before the lineitem join; "
+    "customer+nation broadcast onto the aggregated stream; final top-k "
+    "is TakeOrdered (no global sort), tie-broken on c_custkey for "
+    "determinism.",
+)
+def q10_returned_items(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    dt = dict(o.dtypes)["o_orderdate"]
+    o2 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast(dt))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast(dt))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        li.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """SELECT CAST(c_count AS BIGINT) AS c_count,
+              CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT JOIN orders o
+               ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '4-NOT SPECIFIED'
+             GROUP BY c.c_custkey) c_orders
+       GROUP BY c_count""",
+    "TPC-H Q13 shape: order-count histogram over a filtered LEFT OUTER "
+    "join (customers with zero qualifying orders land in bucket 0 — the "
+    "outer side must survive). The non-equi part of the condition "
+    "(priority filter) evaluates join-side. One shuffle on the customer "
+    "key, then a tiny redistribution on the count.",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    cond = (c["c_custkey"] == o["o_custkey"]) & (
+        o["o_orderpriority"] != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """WITH t AS (SELECT l_partkey, count(*) AS cnt,
+                         sum(CAST(l_quantity AS BIGINT)) AS sq
+               FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              round(CAST(sum(CAST(round(l.l_extendedprice * 1e4) AS BIGINT)) AS DOUBLE)
+                    / 1e4 / 7.0, 6) AS avg_yearly
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN t ON t.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#23'
+         AND 5 * CAST(l.l_quantity AS BIGINT) * t.cnt < t.sq""",
+    "TPC-H Q17 shape: lines below 20% of their part's average quantity. "
+    "The correlated AVG subquery decorrelates to one per-part aggregate "
+    "that is then re-joined; quantities are integral in this corpus, so "
+    "'qty < 0.2 * avg(qty)' is evaluated as the EXACT integer inequality "
+    "5*qty*cnt < sum(qty) — no float threshold to disagree across "
+    "engines. The per-part aggregate is filtered to the brand's parts "
+    "before broadcasting back onto lineitem.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p23 = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    t = (
+        li.join(F.broadcast(p23), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        )
+    )
+    return (
+        li.join(F.broadcast(t), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * F.lit(1e4)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e4)
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """WITH ol AS (
+         SELECT l.l_suppkey, l.l_orderkey,
+                max(CASE WHEN floor(epoch(l.l_shipdate))
+                              > floor(epoch(o.o_orderdate)) + 60*86400
+                         THEN 1 ELSE 0 END) AS late
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+         GROUP BY l.l_suppkey, l.l_orderkey
+       ), od AS (
+         SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+         FROM ol GROUP BY l_orderkey
+       )
+       SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM ol JOIN od ON ol.l_orderkey = od.l_orderkey
+               JOIN supplier s ON s.s_suppkey = ol.l_suppkey
+       WHERE ol.late = 1 AND od.n_supp >= 2 AND od.n_late = 1
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 10""",
+    "TPC-H Q21 shape (adapted: lateness is shipdate > orderdate + 60d "
+    "since the corpus has no commit/receipt dates). The classic "
+    "EXISTS / NOT EXISTS pair decorrelates into per-(order, supplier) "
+    "lateness flags then per-order counts — two grouped passes over the "
+    "same shuffled layout, no correlated re-scans; supplier names "
+    "broadcast at the end; TakeOrdered top-10 with a name tie-break.",
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.unix_timestamp("l_shipdate")
+        > F.unix_timestamp("o_orderdate") + F.lit(60 * 86400)
+    ).cast("int")
+    ol = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_suppkey", "l_orderkey")
+        .agg(F.max(late).alias("late"))
+    )
+    od = ol.groupBy(F.col("l_orderkey").alias("od_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ol.join(od, ol.l_orderkey == od.od_orderkey)
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
