@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "kmeans_embeddings_2iter",
     "text_stats_documents",
+    "repetition_signals_documents",
     "tfidf_top_terms_documents",
     "split_assign_documents",
     "decontamination_overlap_documents",

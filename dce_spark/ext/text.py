@@ -103,3 +103,78 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         punct_ratio_col(t).alias("punct_ratio"),
         quality_score_col(t).alias("quality_score"),
     )
+
+
+def _ngram_col(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc has
+    fewer than ``n`` words. Pure expression — no explode, no shuffle."""
+    size = F.size(words)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(k + 1)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats_col(grams: Column) -> Column:
+    """struct(maxrun, dup, total) over an n-gram array: ``maxrun`` is the
+    multiplicity of the most frequent gram, ``dup`` the number of gram
+    instances whose gram occurs >= 2 times, ``total`` the instance count.
+
+    Computed as a single fold over the SORTED array (equal grams are
+    adjacent, so frequency = run length): when a run reaches 2 both its
+    members enter ``dup``, each further member adds 1. Map-side only —
+    the distributed alternative (explode + groupBy doc,gram) shuffles
+    every gram instance; this keeps repetition scoring at scan cost,
+    which is the difference between one pass and a corpus-sized exchange
+    at 100 TB.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        dup = acc["dup"] + F.when(run == 2, 2).when(run > 2, 1).otherwise(0)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            dup.alias("dup"),
+        )
+
+    folded = F.aggregate(F.sort_array(grams), init, step)
+    return F.struct(
+        folded["maxrun"].alias("maxrun"),
+        folded["dup"].alias("dup"),
+        F.size(grams).alias("total"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition QC signals per document: the fraction of
+    word-bigram instances taken by the single most frequent bigram, and
+    the fraction of word-trigram instances whose trigram repeats. High
+    values flag boilerplate / degenerate generations for training-data
+    filtering."""
+    words = tokens_col(F.col(text_col))
+    b = _run_stats_col(_ngram_col(words, 2))
+    t3 = _run_stats_col(_ngram_col(words, 3))
+    frac = lambda num, den: F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+    return df.select(
+        F.col(id_col),
+        b["total"].cast("long").alias("n_bigrams"),
+        frac(b["maxrun"], b["total"]).alias("top_bigram_frac"),
+        frac(t3["dup"], t3["total"]).alias("dup_trigram_frac"),
+    )

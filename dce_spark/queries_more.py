@@ -1609,3 +1609,57 @@ def q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+# =====================================================================
+# Training-data QC: Gopher-style repetition signals (LLM-pipeline family)
+# =====================================================================
+
+
+@register(
+    "repetition_signals_documents",
+    r"""WITH w AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+         FROM documents
+       ), b AS (
+         SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+         FROM w, unnest(range(1, len(words))) t(i)
+       ), bc AS (
+         SELECT doc_id, sum(c) AS total, max(c) AS mx
+         FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
+         GROUP BY doc_id
+       ), t3 AS (
+         SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+         FROM w, unnest(range(1, len(words) - 1)) t(i)
+       ), tc AS (
+         SELECT doc_id, sum(c) AS total,
+                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         FROM (SELECT doc_id, g, count(*) AS c FROM t3 GROUP BY 1, 2)
+         GROUP BY doc_id
+       )
+       SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+              CAST(coalesce(bc.total, 0) AS BIGINT) AS n_bigrams,
+              round(CASE WHEN coalesce(bc.total, 0) > 0
+                         THEN CAST(bc.mx AS DOUBLE) / CAST(bc.total AS DOUBLE)
+                         ELSE 0.0 END, 6) AS top_bigram_frac,
+              round(CASE WHEN coalesce(tc.total, 0) > 0
+                         THEN CAST(tc.dup AS DOUBLE) / CAST(tc.total AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_trigram_frac
+       FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id
+              LEFT JOIN tc ON w.doc_id = tc.doc_id""",
+    "LLM-pipeline QC: Gopher-style repetition signals — top-bigram "
+    "instance fraction and duplicated-trigram instance fraction per "
+    "document. Spark side is a PURE MAP-SIDE fold over the sorted "
+    "n-gram array (frequency = run length), zero shuffle and zero "
+    "explode; the oracle takes the explode+groupBy road to prove the "
+    "fold's arithmetic. At 100 TB the fold form scores repetition at "
+    "scan cost where the relational form shuffles every gram instance.",
+)
+def repetition_signals_documents(spark, sf_dir):
+    from .ext.text import repetition_signals
+
+    df = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return repetition_signals(df)

@@ -294,3 +294,28 @@ def test_dedup_clusters_distributed_path_matches_driver_path(spark):
     assert fast == dist
     assert fast[41] == 10 and fast[60] == 50
     spark.catalog.clearCache()
+
+
+def test_repetition_signals_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a a"),          # one bigram repeated 3x
+            Row(doc_id=2, text="x y x y x y"),      # "x y" 3 of 5 bigrams
+            Row(doc_id=3, text="all words unique here now"),
+            Row(doc_id=4, text="solo"),             # no bigrams at all
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in X_text.repetition_signals(df).collect()
+    }
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_trigram_frac"] == 1.0  # both "a a a" trigrams repeat
+    assert out[2]["top_bigram_frac"] == 0.6
+    assert out[2]["dup_trigram_frac"] == 1.0  # "x y x"/"y x y" each twice
+    assert out[3]["top_bigram_frac"] == 0.25  # 4 bigrams, all distinct
+    assert out[3]["dup_trigram_frac"] == 0.0
+    assert out[4]["n_bigrams"] == 0
+    assert out[4]["top_bigram_frac"] == 0.0
+    assert out[4]["dup_trigram_frac"] == 0.0
