@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "kmeans_embeddings_2iter",
     "text_stats_documents",
     "repetition_signals_documents",
+    "curation_decisions_documents",
     "tfidf_top_terms_documents",
     "split_assign_documents",
     "decontamination_overlap_documents",

@@ -1663,3 +1663,86 @@ def repetition_signals_documents(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     return repetition_signals(df)
+
+
+@register(
+    "curation_decisions_documents",
+    r"""WITH w AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+         FROM documents
+       ), b AS (
+         SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+         FROM w, unnest(range(1, len(words))) t(i)
+       ), bc AS (
+         SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS tbf
+         FROM (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
+         GROUP BY doc_id
+       ), sig AS (
+         SELECT w.doc_id, w.lang, len(w.words) AS n_tokens,
+                coalesce(bc.tbf, 0.0) AS top_bigram_frac
+         FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id
+       )
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              top_bigram_frac, lang,
+              (n_tokens >= 25 AND top_bigram_frac <= 0.08 AND lang = 'en') AS kept,
+              coalesce(array_to_string(list_sort(list_filter([
+                CASE WHEN n_tokens < 25 THEN 'too_short' END,
+                CASE WHEN top_bigram_frac > 0.08 THEN 'too_repetitive' END,
+                CASE WHEN lang <> 'en' THEN 'non_target_lang' END
+              ], x -> x IS NOT NULL)), ','), '') AS drop_reasons
+       FROM sig""",
+    "LLM-pipeline curation gate: one map-side pass scores every document "
+    "(token count, Gopher repetition, language) and emits keep/drop with "
+    "machine-readable reason codes — the composed form of the individual "
+    "QC signals, zero shuffle on the Spark side (reasons concatenate "
+    "sorted so output is deterministic). The same single-scan shape "
+    "curates 100 TB: no join, no agg, predicate columns prune to "
+    "(doc_id, text, lang) at the parquet reader.",
+)
+def curation_decisions_documents(spark, sf_dir):
+    from .ext.text import _ngram_col, _run_stats_col, tokens_col
+
+    df = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    words = tokens_col(F.col("text"))
+    b = _run_stats_col(_ngram_col(words, 2))
+    tbf = F.round(
+        F.when(
+            b["total"] > 0, b["maxrun"].cast("double") / b["total"].cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    # all signals in ONE projection — no self-join, no shuffle
+    sig = df.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("long").alias("n_tokens"),
+        tbf.alias("top_bigram_frac"),
+    )
+    too_short = F.col("n_tokens") < 25
+    too_rep = F.col("top_bigram_frac") > 0.08
+    non_en = F.col("lang") != "en"
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(too_short, F.lit("too_short")),
+                    F.when(too_rep, F.lit("too_repetitive")),
+                    F.when(non_en, F.lit("non_target_lang")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_bigram_frac",
+        "lang",
+        (~too_short & ~too_rep & ~non_en).alias("kept"),
+        reasons.alias("drop_reasons"),
+    )
