@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "q13_customer_order_distribution",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q20_promotion_suppliers",
     "q14_promo_revenue_pct",
     "q18_large_volume_orders",
     "q19_disjunctive_predicate_revenue",

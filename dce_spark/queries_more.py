@@ -1746,3 +1746,258 @@ def curation_decisions_documents(spark, sf_dir):
         (~too_short & ~too_rep & ~non_en).alias("kept"),
         reasons.alias("drop_reasons"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """WITH cost AS (
+         SELECT l_partkey, l_suppkey,
+                min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+         FROM lineitem GROUP BY l_partkey, l_suppkey
+       ), eu AS (
+         SELECT s_suppkey, s_name, n.n_name FROM supplier s
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'EUROPE'
+       ), pc AS (
+         SELECT c.l_partkey, c.cost_c, eu.s_name, eu.n_name
+         FROM cost c JOIN eu ON c.l_suppkey = eu.s_suppkey
+         JOIN part p ON p.p_partkey = c.l_partkey
+         WHERE p.p_size = 5
+       ), m AS (
+         SELECT l_partkey, min(cost_c) AS mc FROM pc GROUP BY l_partkey
+       )
+       SELECT CAST(pc.l_partkey AS BIGINT) AS p_partkey, pc.s_name, pc.n_name,
+              CAST(pc.cost_c AS DOUBLE) / 100 AS min_cost
+       FROM pc JOIN m ON pc.l_partkey = m.l_partkey AND pc.cost_c = m.mc""",
+    "TPC-H Q2 shape (adapted: per-part supplier cost comes from observed "
+    "minimum sale price — no partsupp table): aggregate, per-group MIN, "
+    "equality join back to recover the argmin rows (ties kept, as in "
+    "Q2). Costs are exact integer cents so the argmin is "
+    "engine-portable. Region-filtered suppliers and size-filtered parts "
+    "broadcast; the per-part min table is tiny and broadcasts back.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cost_c")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p5 = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 5).select("p_partkey")
+    pc = (
+        cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p5), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "cost_c", "s_name", "n_name")
+    )
+    m = pc.groupBy(F.col("l_partkey").alias("m_partkey")).agg(F.min("cost_c").alias("mc"))
+    return (
+        pc.join(
+            F.broadcast(m),
+            (pc.l_partkey == m.m_partkey) & (pc.cost_c == m.mc),
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            (F.col("cost_c").cast("double") / 100).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    """WITH v AS (
+         SELECT l_partkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  AS val_c
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_2'
+         GROUP BY l_partkey
+       )
+       SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+              CAST(val_c AS DOUBLE) / 100 AS part_value
+       FROM v
+       WHERE CAST(val_c AS DOUBLE)
+             > 0.002 * (SELECT CAST(sum(val_c) AS DOUBLE) FROM v)""",
+    "TPC-H Q11 shape: per-group value vs a scalar-subquery threshold "
+    "over the SAME aggregate (one nation's discounted revenue per part, "
+    "HAVING > 0.2% of the total). Spark decorrelates the scalar to a "
+    "1-row broadcast cross join over the reused per-part aggregate — "
+    "the aggregate is computed once, not once per side. Values are "
+    "exact integer cents.",
+)
+def q11_important_parts(spark, sf_dir):
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_2")
+        .select("n_nationkey")
+    )
+    s2 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("val_c")
+        )
+    )
+    total = v.agg(F.sum("val_c").alias("tot_c"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c").cast("double") > 0.002 * F.col("tot_c").cast("double"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            (F.col("val_c").cast("double") / 100).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  AS r_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey
+       )
+       SELECT CAST(rev.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+              CAST(r_c AS DOUBLE) / 100 AS total_revenue
+       FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+       WHERE r_c = (SELECT max(r_c) FROM rev)""",
+    "TPC-H Q15 shape: the revenue 'view' aggregated once, its global MAX "
+    "as a 1-row broadcast, equality join back for the argmax supplier(s) "
+    "(ties kept). Exact integer cents make the argmax portable; the "
+    "quarter filter pushes to the scan.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dt = dict(li.dtypes)["l_shipdate"]
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(dt))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("r_c")
+        )
+    )
+    mx = rev.agg(F.max("r_c").alias("mx_c"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r_c") == F.col("mx_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            (F.col("r_c").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+              CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'Brand#5'
+         AND l.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+       GROUP BY p.p_brand, p.p_type, p.p_size""",
+    "TPC-H Q16 shape: NOT IN subquery compiled to a broadcast "
+    "LEFT ANTI join (the excluded supplier list is tiny), then "
+    "COUNT(DISTINCT) per part attribute triple — Spark runs it as a "
+    "two-phase distinct aggregate (partial by (attrs, suppkey), then "
+    "count), no whole-table distinct materialization.",
+)
+def q16_supplier_count_by_part(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#5")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+       FROM supplier WHERE s_suppkey IN (
+         SELECT l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_name LIKE 'red%'
+           AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l.l_suppkey, l.l_partkey
+         HAVING sum(CAST(l_quantity AS BIGINT)) > 50)""",
+    "TPC-H Q20 shape (adapted threshold: shipped quantity > 50 replaces "
+    "the partsupp availability fraction): a HAVING-filtered aggregate "
+    "drives a LEFT SEMI join into supplier — the IN subquery never "
+    "materializes per-row, and the semi join emits each supplier once. "
+    "Part filter broadcasts before the aggregate; exact integer "
+    "quantities.",
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dt = dict(li.dtypes)["l_shipdate"]
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qual = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(dt))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+    )
