@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "curation_decisions_documents",
     "tfidf_top_terms_documents",
     "split_assign_documents",
+    "stratified_sample_documents",
+    "group_sample_documents",
     "decontamination_overlap_documents",
     "pii_scan_documents",
     "winnow_fingerprint_documents",

@@ -2001,3 +2001,66 @@ def q20_promotion_suppliers(spark, sf_dir):
         s.join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
         .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
     )
+
+
+@register(
+    "stratified_sample_documents",
+    f"""WITH hashed AS (
+          SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM hashed
+        WHERE {_BUCKET_SQL} < (CASE lang WHEN 'en' THEN 128
+                                         WHEN 'zh' THEN 256
+                                         ELSE 192 END)""",
+    "training-data op: language-rebalancing stratified sample — "
+    "per-stratum keep rates (en 50%, zh 100%, others 75%) decided by "
+    "the SAME content-free md5 bucket as split assignment, so the "
+    "sample is deterministic, engine-portable, and composable with the "
+    "train/val/test split (a doc's bucket decides both). Map-side "
+    "filter only: sampling 100 TB costs one scan, no shuffle, and "
+    "re-running yields the byte-identical corpus.",
+)
+def stratified_sample_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rate = (
+        F.when(F.col("lang") == "en", 128)
+        .when(F.col("lang") == "zh", 256)
+        .otherwise(192)
+    )
+    return df.filter(bucket < rate).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+@register(
+    "group_sample_documents",
+    """WITH hashed AS (
+         SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+       ), ranked AS (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+         FROM hashed
+       )
+       SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(rk AS BIGINT) AS rk
+       FROM ranked WHERE rk <= 20""",
+    "training-data op: per-group uniform sample without replacement — "
+    "the k smallest md5 hashes per language, i.e. a deterministic "
+    "reservoir sample (hash order is a random permutation, fixed "
+    "forever). One shuffle on the group key with per-group top-k "
+    "heaps; at 100 TB with few groups, pre-filter map-side with an "
+    "approximate per-group hash cutoff so only ~k rows per partition "
+    "reach the exchange.",
+)
+def group_sample_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(F.col("__h"), F.col("doc_id"))
+    return (
+        df.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", h.alias("__h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
