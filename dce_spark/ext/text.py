@@ -165,14 +165,26 @@ def repetition_signals(
     word-bigram instances taken by the single most frequent bigram, and
     the fraction of word-trigram instances whose trigram repeats. High
     values flag boilerplate / degenerate generations for training-data
-    filtering."""
-    words = tokens_col(F.col(text_col))
-    b = _run_stats_col(_ngram_col(words, 2))
-    t3 = _run_stats_col(_ngram_col(words, 3))
+    filtering.
+
+    The token array and each n-gram array are materialized as real
+    columns BEFORE the fold — this module's hard rule: a computed
+    expression captured inside a higher-order-function lambda
+    re-evaluates per element (the tokenizer would run O(tokens²)
+    times; measured 20x wall-clock on the 5k-doc corpus).
+    """
     frac = lambda num, den: F.round(
         F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
     )
-    return df.select(
+    staged = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__words", tokens_col(F.col(text_col)))
+        .withColumn("__b2", _ngram_col(F.col("__words"), 2))
+        .withColumn("__b3", _ngram_col(F.col("__words"), 3))
+    )
+    b = _run_stats_col(F.col("__b2"))
+    t3 = _run_stats_col(F.col("__b3"))
+    return staged.select(
         F.col(id_col),
         b["total"].cast("long").alias("n_bigrams"),
         frac(b["maxrun"], b["total"]).alias("top_bigram_frac"),

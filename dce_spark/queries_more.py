@@ -1707,19 +1707,24 @@ def curation_decisions_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
     )
-    words = tokens_col(F.col("text"))
-    b = _run_stats_col(_ngram_col(words, 2))
+    # stage the token and bigram arrays as real columns first (ext/text
+    # hard rule: computed expressions captured in HOF lambdas re-evaluate
+    # per element — the inline form measured 15s vs 1s at sf0.1); still
+    # projections only, no self-join, no shuffle
+    staged = df.withColumn("__words", tokens_col(F.col("text"))).withColumn(
+        "__b2", _ngram_col(F.col("__words"), 2)
+    )
+    b = _run_stats_col(F.col("__b2"))
     tbf = F.round(
         F.when(
             b["total"] > 0, b["maxrun"].cast("double") / b["total"].cast("double")
         ).otherwise(F.lit(0.0)),
         6,
     )
-    # all signals in ONE projection — no self-join, no shuffle
-    sig = df.select(
+    sig = staged.select(
         "doc_id",
         "lang",
-        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.col("__words")).cast("long").alias("n_tokens"),
         tbf.alias("top_bigram_frac"),
     )
     too_short = F.col("n_tokens") < 25
