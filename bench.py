@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "split_assign_documents",
     "stratified_sample_documents",
     "group_sample_documents",
+    "pack_assign_documents",
     "decontamination_overlap_documents",
     "pii_scan_documents",
     "winnow_fingerprint_documents",

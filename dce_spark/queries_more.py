@@ -2069,3 +2069,60 @@ def group_sample_documents(spark, sf_dir):
         .filter(F.col("rk") <= 20)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "pack_assign_documents",
+    f"""WITH hashed AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ), bucketed AS (
+          SELECT doc_id, n_tokens, h, {_BUCKET_SQL} % 8 AS bucket FROM hashed
+        ), cum AS (
+          SELECT doc_id, bucket, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - n_tokens AS before_tokens
+          FROM bucketed
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(before_tokens / 2048) AS BIGINT) AS pack_id
+        FROM cum""",
+    "LLM-pipeline op: sequence packing — assign documents to "
+    "2048-token training packs without splitting a document (a pack may "
+    "overflow by < one document; budget-quantized greedy semantics). "
+    "Documents are ordered by content-free hash INSIDE hash buckets, so "
+    "assignment is deterministic and engine-portable; the window cumsum "
+    "runs per bucket, so at 100 TB the bucket count (8 here, ~10k "
+    "there) sets the parallelism and no global sort ever happens. "
+    "(pack identity = (bucket, pack_id)).",
+)
+def pack_assign_documents(spark, sf_dir):
+    from .ext.text import token_count_col
+
+    df = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 8).cast("long")
+    staged = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        h.alias("__h"),
+        bucket.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        F.floor(before / 2048).cast("long").alias("pack_id"),
+    )
