@@ -187,3 +187,64 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_batch2_single_big_join(spark):
+    """q7/q8/q21's only non-broadcast join is lineitem-orders (or the
+    ol-od self-pair in q21): exactly one SortMergeJoin, every dim path a
+    BroadcastHashJoin."""
+    import re
+
+    for name in ["q7_volume_shipping", "q8_market_share"]:
+        plan = plan_of(QUERIES[name].fn(spark, SF_DIR))
+        smj_nodes = set(re.findall(r"\((\d+)\) SortMergeJoin", plan))
+        assert len(smj_nodes) == 1, (name, smj_nodes)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q10_take_ordered_topk(spark):
+    plan = plan_of(QUERIES["q10_returned_items"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+
+
+def test_q16_anti_join_broadcast(spark):
+    plan = plan_of(QUERIES["q16_supplier_count_by_part"].fn(spark, SF_DIR))
+    # NOT IN compiled to a broadcast anti join, not a shuffled subquery
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join(spark):
+    plan = plan_of(QUERIES["q20_promotion_suppliers"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan  # IN-subquery never materializes per row
+
+
+def test_curation_gate_zero_exchanges(spark):
+    """The whole keep/drop sweep is ONE projection over the scan."""
+    plan = plan_of(QUERIES["curation_decisions_documents"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_repetition_signals_zero_exchanges(spark):
+    plan = plan_of(QUERIES["repetition_signals_documents"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_map_side_only(spark):
+    plan = plan_of(QUERIES["stratified_sample_documents"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan  # sampling 100 TB = one scan, no shuffle
+
+
+def test_pack_assign_single_bucket_exchange(spark):
+    """Sequence packing shuffles ONCE on the bucket key for the window
+    cumsum; no global (single-partition) sort anywhere."""
+    import re
+
+    plan = plan_of(QUERIES["pack_assign_documents"].fn(spark, SF_DIR))
+    ex_nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(ex_nodes) == 1, ex_nodes
+    assert "hashpartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
