@@ -190,3 +190,62 @@ def repetition_signals(
         frac(b["maxrun"], b["total"]).alias("top_bigram_frac"),
         frac(t3["dup"], t3["total"]).alias("dup_trigram_frac"),
     )
+
+
+def curation_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_tokens: int = 25,
+    max_top_bigram_frac: float = 0.08,
+    target_lang: str = "en",
+) -> DataFrame:
+    """Single-projection curation gate: keep/drop + sorted reason codes
+    per document (too_short / too_repetitive / non_target_lang).
+
+    Stateless and map-side only (0 exchanges), so the SAME function
+    curates a batch corpus or a Structured Streaming source unchanged —
+    pass a streaming DataFrame and write the result with any sink.
+    Token/bigram arrays are staged as real columns first (the HOF
+    re-evaluation rule, see repetition_signals)."""
+    staged = df.withColumn("__words", tokens_col(F.col(text_col))).withColumn(
+        "__b2", _ngram_col(F.col("__words"), 2)
+    )
+    b = _run_stats_col(F.col("__b2"))
+    tbf = F.round(
+        F.when(
+            b["total"] > 0, b["maxrun"].cast("double") / b["total"].cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    sig = staged.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.size(F.col("__words")).cast("long").alias("n_tokens"),
+        tbf.alias("top_bigram_frac"),
+    )
+    too_short = F.col("n_tokens") < min_tokens
+    too_rep = F.col("top_bigram_frac") > max_top_bigram_frac
+    non_target = F.col(lang_col) != target_lang
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(too_short, F.lit("too_short")),
+                    F.when(too_rep, F.lit("too_repetitive")),
+                    F.when(non_target, F.lit("non_target_lang")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return sig.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        "top_bigram_frac",
+        F.col(lang_col),
+        (~too_short & ~too_rep & ~non_target).alias("kept"),
+        reasons.alias("drop_reasons"),
+    )

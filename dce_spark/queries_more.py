@@ -1702,55 +1702,12 @@ def repetition_signals_documents(spark, sf_dir):
     "(doc_id, text, lang) at the parquet reader.",
 )
 def curation_decisions_documents(spark, sf_dir):
-    from .ext.text import _ngram_col, _run_stats_col, tokens_col
+    from .ext.text import curation_decisions
 
     df = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
     )
-    # stage the token and bigram arrays as real columns first (ext/text
-    # hard rule: computed expressions captured in HOF lambdas re-evaluate
-    # per element — the inline form measured 15s vs 1s at sf0.1); still
-    # projections only, no self-join, no shuffle
-    staged = df.withColumn("__words", tokens_col(F.col("text"))).withColumn(
-        "__b2", _ngram_col(F.col("__words"), 2)
-    )
-    b = _run_stats_col(F.col("__b2"))
-    tbf = F.round(
-        F.when(
-            b["total"] > 0, b["maxrun"].cast("double") / b["total"].cast("double")
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
-    sig = staged.select(
-        "doc_id",
-        "lang",
-        F.size(F.col("__words")).cast("long").alias("n_tokens"),
-        tbf.alias("top_bigram_frac"),
-    )
-    too_short = F.col("n_tokens") < 25
-    too_rep = F.col("top_bigram_frac") > 0.08
-    non_en = F.col("lang") != "en"
-    reasons = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.array(
-                    F.when(too_short, F.lit("too_short")),
-                    F.when(too_rep, F.lit("too_repetitive")),
-                    F.when(non_en, F.lit("non_target_lang")),
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ),
-        ",",
-    )
-    return sig.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "top_bigram_frac",
-        "lang",
-        (~too_short & ~too_rep & ~non_en).alias("kept"),
-        reasons.alias("drop_reasons"),
-    )
+    return curation_decisions(df)
 
 
 @register(

@@ -258,3 +258,55 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert n >= 3, "no deduped rows reached the sink"
     texts = [r["text"] for r in spark.sql("SELECT text FROM dedup_test").collect()]
     assert len(texts) == len(set(texts)) <= 5  # each payload admitted once
+
+
+def test_streaming_curation_gate_matches_batch(spark, tmp_path):
+    """The curation gate is a stateless projection, so the SAME function
+    runs on a file stream and must emit exactly the batch result."""
+    import shutil
+
+    from dce_spark.ext.text import curation_decisions
+
+    srcdir = tmp_path / "stream_src"
+    srcdir.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(30)), "en"),  # kept
+            (2, "tiny doc", "en"),                     # too_short
+            (3, ("dup pair " * 40).strip(), "en"),     # repetitive (and long)
+            (4, " ".join(f"wort{i}" for i in range(30)), "de"),  # non-target lang
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+    docs.coalesce(1).write.parquet(str(srcdir / "batch0"))
+
+    batch = {
+        r["doc_id"]: r for r in curation_decisions(
+            spark.read.parquet(str(srcdir / "batch0"))
+        ).collect()
+    }
+    assert batch[1]["kept"] and batch[1]["drop_reasons"] == ""
+    # a 2-word doc's single bigram has frac 1.0 — reasons are independent
+    assert batch[2]["drop_reasons"] == "too_repetitive,too_short"
+    assert "too_repetitive" in batch[3]["drop_reasons"]
+    assert batch[4]["drop_reasons"] == "non_target_lang"
+
+    stream_src = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(srcdir / "batch0"))
+    )
+    q = (
+        curation_decisions(stream_src)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+    assert {k: tuple(v) for k, v in streamed.items()} == {
+        k: tuple(v) for k, v in batch.items()
+    }
