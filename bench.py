@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "embedding_ivf_topk",
     "embedding_near_dup_lsh",
     "kmeans_embeddings_2iter",
+    "embedding_quantize_int8",
     "text_stats_documents",
     "repetition_signals_documents",
     "curation_decisions_documents",

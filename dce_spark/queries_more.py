@@ -2083,3 +2083,75 @@ def pack_assign_documents(spark, sf_dir):
         "n_tokens",
         F.floor(before / 2048).cast("long").alias("pack_id"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings
+       ), m AS (
+         SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127 AS s
+         FROM e
+       ), d AS (
+         SELECT vec_id, v, s,
+                list_transform(v, x -> floor(x / s + 0.5) * s) AS dv
+         FROM m WHERE s > 0
+       )
+       SELECT CAST(vec_id AS BIGINT) AS vec_id,
+              round(s, 9) AS scale,
+              round(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * dv[i]))
+                    / (sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                                    i -> v[i] * v[i])))
+                     * sqrt(list_sum(list_transform(range(1, len(dv) + 1),
+                                                    i -> dv[i] * dv[i])))), 6)
+                AS cos_recon,
+              round(list_max(list_transform(range(1, len(v) + 1),
+                                            i -> abs(v[i] - dv[i]))), 6)
+                AS max_abs_err
+       FROM d""",
+    "LLM-pipeline op: symmetric per-vector int8 quantization of the "
+    "embedding column (scale = max|x|/127, q = floor(x/scale + 0.5) — "
+    "floor form, not round(), so ties break identically on every "
+    "engine) with per-vector reconstruction quality: cosine(original, "
+    "dequantized) and max abs error. Map-side only — compressing a "
+    "100 TB embedding store to a quarter of its bytes is one scan; the "
+    "recon columns are the acceptance metric for switching ANN search "
+    "to the quantized copy.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    staged = (
+        df.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("__e"),
+        )
+        .withColumn(
+            "__s",
+            F.array_max(F.transform(F.col("__e"), lambda x: F.abs(x))) / F.lit(127.0),
+        )
+        .filter(F.col("__s") > 0)
+        .withColumn(
+            "__d",
+            F.transform(
+                F.col("__e"),
+                lambda x: F.floor(x / F.col("__s") + F.lit(0.5)) * F.col("__s"),
+            ),
+        )
+    )
+    from .ext.similarity import dot_col
+
+    cos = dot_col(F.col("__e"), F.col("__d")) / (
+        F.sqrt(dot_col(F.col("__e"), F.col("__e")))
+        * F.sqrt(dot_col(F.col("__d"), F.col("__d")))
+    )
+    err = F.array_max(
+        F.zip_with(F.col("__e"), F.col("__d"), lambda a, b: F.abs(a - b))
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("__s"), 9).alias("scale"),
+        F.round(cos, 6).alias("cos_recon"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
