@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "grouped_quantiles_lineitem_approx",
     "class_balance_events",
     "psi_total_lineitem",
+    "drift_events_weekly",
     "profile_customer",
     "sessionization_events",
     "funnel_events",

@@ -2155,3 +2155,93 @@ def embedding_quantize_int8(spark, sf_dir):
         F.round(cos, 6).alias("cos_recon"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "drift_events_weekly",
+    """WITH src AS (
+         SELECT CAST(value AS DOUBLE) AS x,
+                CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'ref'
+                     WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'cur'
+                END AS slice
+         FROM events
+         WHERE value IS NOT NULL
+           AND (ts < TIMESTAMP '2024-01-08 00:00:00'
+                OR ts >= TIMESTAMP '2024-01-22 00:00:00')
+       ), stats AS (
+         SELECT min(x) AS mn, max(x) AS mx FROM src WHERE slice = 'ref'
+       ), binned AS (
+         SELECT least(greatest(CAST(floor((x - mn) / ((mx - mn) / 10)) AS BIGINT),
+                               0), 9) AS bin,
+                slice
+         FROM src, stats
+       ), counts AS (
+         SELECT bin,
+                CAST(sum(CASE WHEN slice = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ref_cnt,
+                CAST(sum(CASE WHEN slice = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS cur_cnt
+         FROM binned GROUP BY bin
+       ), totals AS (
+         SELECT CAST(sum(ref_cnt) AS BIGINT) AS rt,
+                CAST(sum(cur_cnt) AS BIGINT) AS ct
+         FROM counts
+       )
+       SELECT bin, ref_cnt, cur_cnt,
+              round(CAST((c.cur_cnt / t.ct - c.ref_cnt / t.rt)
+                    * ln((c.cur_cnt / t.ct + 1e-6) / (c.ref_cnt / t.rt + 1e-6))
+                    AS DOUBLE), 6) AS psi_term
+       FROM counts c, totals t""",
+    "ML-ops temporal drift: PSI of the event value distribution between "
+    "the first and last week of the stream (reference PSI formula, "
+    "eps=1e-6, bins from the REFERENCE week's min/max so alerting is "
+    "anchored). Both week filters push to the scan; 2-row stats "
+    "broadcast; one groupBy on a 10-value bin key — drift monitoring on "
+    "100 TB of events is one cheap pass, and the same shape runs "
+    "windowed under Structured Streaming.",
+)
+def drift_events_weekly(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    dt = dict(df.dtypes)["ts"]
+    wk1 = F.lit("2024-01-08 00:00:00").cast(dt)
+    wk4 = F.lit("2024-01-22 00:00:00").cast(dt)
+    src = (
+        df.filter(
+            F.col("value").isNotNull() & ((F.col("ts") < wk1) | (F.col("ts") >= wk4))
+        )
+        .select(
+            F.col("value").cast("double").alias("x"),
+            F.when(F.col("ts") < wk1, "ref").otherwise("cur").alias("slice"),
+        )
+    )
+    stats = src.filter(F.col("slice") == "ref").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = src.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("x") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "slice",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("slice") == "ref").cast("long")).alias("ref_cnt"),
+        F.sum((F.col("slice") == "cur").cast("long")).alias("cur_cnt"),
+    )
+    w = Window.partitionBy()
+    with_tot = counts.withColumn("rt", F.sum("ref_cnt").over(w)).withColumn(
+        "ct", F.sum("cur_cnt").over(w)
+    )
+    ref_pct = F.col("ref_cnt").cast("double") / F.col("rt").cast("double")
+    cur_pct = F.col("cur_cnt").cast("double") / F.col("ct").cast("double")
+    term = (cur_pct - ref_pct) * F.log(
+        (cur_pct + F.lit(1e-6)) / (ref_pct + F.lit(1e-6))
+    )
+    return with_tot.select(
+        "bin", "ref_cnt", "cur_cnt", F.round(term, 6).alias("psi_term")
+    )
