@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_jaccard_documents",
     "dedup_simhash_documents",
     "dedup_clusters_documents",
+    "corpus_survivors_documents",
     "embedding_cosine_topk",
     "embedding_knn_join",
     "embedding_ivf_topk",

@@ -2245,3 +2245,84 @@ def drift_events_weekly(spark, sf_dir):
     return with_tot.select(
         "bin", "ref_cnt", "cur_cnt", F.round(term, 6).alias("psi_term")
     )
+
+
+def _survivors_oracle() -> str:
+    from .queries import QUERIES, _MINHASH_PAIRS_SELECT, _minhash_ctes
+
+    cur_sql = QUERIES["curation_decisions_documents"].oracle
+    return f"""WITH {_minhash_ctes()}, pairs AS (
+{_MINHASH_PAIRS_SELECT}
+), fp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+), rep AS (
+  SELECT fp, min(doc_id) AS rep_id FROM fp GROUP BY fp
+), fpr AS (
+  SELECT f.doc_id, r.rep_id FROM fp f JOIN rep r ON f.fp = r.fp
+), nd AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM pairs p
+  JOIN fpr a ON p.doc_a = a.doc_id AND a.doc_id = a.rep_id
+  JOIN fpr b ON p.doc_b = b.doc_id AND b.doc_id = b.rep_id
+), cur AS (
+  SELECT doc_id, kept FROM ({cur_sql}) t
+)
+SELECT fpr.doc_id,
+       CASE WHEN fpr.doc_id <> fpr.rep_id THEN 'exact_dup'
+            WHEN fpr.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+            WHEN NOT cur.kept THEN 'filtered'
+            ELSE 'kept' END AS status
+FROM fpr JOIN cur ON fpr.doc_id = cur.doc_id"""
+
+
+@register(
+    "corpus_survivors_documents",
+    _survivors_oracle(),
+    "LLM-pipeline FUNNEL: the full curation pipeline as one query — "
+    "exact dedup (normalized-fingerprint groups keep their min doc_id), "
+    "then MinHash-LSH near-dup (the greedy drop-higher-id rule over "
+    "candidate pairs whose BOTH ends survived stage 1; documented "
+    "non-transitive — dedup_clusters_documents is the transitive "
+    "variant), then the quality/language gate. Every doc gets a status "
+    "(kept / exact_dup / near_dup / filtered). Scale: stage 1 shuffles "
+    "16-byte digests, stage 2 reuses the banded LSH equi-join (never "
+    "all-pairs), stage 3 is map-side; statuses combine with two "
+    "broadcast-sized joins (duplicate lists are small).",
+)
+def corpus_survivors_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+    from .ext.text import curation_decisions, fingerprint_col
+
+    df = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    fp = df.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    fpr = fp.join(rep, "fp").select("doc_id", "rep_id")
+    pairs = X_dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    reps_only = fpr.filter(F.col("doc_id") == F.col("rep_id")).select(
+        F.col("doc_id").alias("rid")
+    )
+    nd = (
+        pairs.join(reps_only, pairs.doc_a == reps_only.rid)
+        .drop("rid")
+        .join(reps_only, pairs.doc_b == reps_only.rid)
+        .select(F.col("doc_b").alias("nd_id"))
+        .distinct()
+    )
+    cur = curation_decisions(df).select("doc_id", "kept")
+    status = (
+        F.when(F.col("doc_id") != F.col("rep_id"), "exact_dup")
+        .when(F.col("nd_id").isNotNull(), "near_dup")
+        .when(~F.col("kept"), "filtered")
+        .otherwise("kept")
+    )
+    return (
+        fpr.join(cur, "doc_id")
+        .join(F.broadcast(nd), fpr.doc_id == nd.nd_id, "left")
+        .select("doc_id", status.alias("status"))
+    )
