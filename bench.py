@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "json_extract_events",
     "dedup_minhash_lsh_documents",
     "dedup_jaccard_documents",
+    "dedup_containment_documents",
     "dedup_simhash_documents",
     "dedup_clusters_documents",
     "corpus_survivors_documents",

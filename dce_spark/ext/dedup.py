@@ -176,6 +176,62 @@ def jaccard_candidate_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle containment
+    |shingles(contained) ∩ shingles(container)| / |shingles(contained)|.
+
+    Catches the case Jaccard structurally misses — a short document
+    embedded verbatim inside a much longer one (quote farms, concat
+    dumps), where the union term drowns the overlap. Same
+    inverted-index join as :func:`jaccard_candidate_pairs` (documents
+    only meet on shared shingles, never a cross join); each unordered
+    overlap emits up to two directed (contained, container) rows, so
+    the asymmetry costs nothing extra in shuffle. Scale notes and
+    persist/unpersist contract match jaccard_candidate_pairs.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sh.count()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("__id").alias("ia"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("__id").alias("ib"), F.col("sz").alias("sz_b"))
+    both = common.join(F.broadcast(sa), "ia").join(F.broadcast(sb), "ib")
+    fwd = both.select(
+        F.col("ia").alias("contained"),
+        F.col("ib").alias("container"),
+        (F.col("common").cast("double") / F.col("sz_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("ib").alias("contained"),
+        F.col("ia").alias("container"),
+        (F.col("common").cast("double") / F.col("sz_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    out = (
+        fwd.unionByName(rev)
+        .withColumn("containment", F.round(F.col("containment"), 6))
+        .filter(F.col("containment") >= threshold)
+    )
+    out = out.persist()
+    out.count()
+    sh.unpersist()
+    return out
+
+
 def _hash_expr(seed: int, col: Column, fast: bool = False) -> Column:
     """Keyed hash for MinHash. Two interchangeable families:
 

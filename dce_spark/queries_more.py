@@ -2326,3 +2326,53 @@ def corpus_survivors_documents(spark, sf_dir):
         .join(F.broadcast(nd), fpr.doc_id == nd.nd_id, "left")
         .select("doc_id", status.alias("status"))
     )
+
+
+@register(
+    "dedup_containment_documents",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), shingles AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                      i -> array_to_string(list_slice(t, i, i + 2),
+                                                           ' '))) AS sh
+         FROM toks
+       ), sizes AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id
+       ), pairs AS (
+         SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS common
+         FROM shingles a JOIN shingles b
+           ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       ), sized AS (
+         SELECT p.ia, p.ib, p.common, sa.sz AS sz_a, sb.sz AS sz_b
+         FROM pairs p JOIN sizes sa ON p.ia = sa.doc_id
+                      JOIN sizes sb ON p.ib = sb.doc_id
+       ), directed AS (
+         SELECT CAST(ia AS BIGINT) AS contained, CAST(ib AS BIGINT) AS container,
+                round(CAST(common AS DOUBLE) / CAST(sz_a AS DOUBLE), 6) AS containment
+         FROM sized
+         UNION ALL
+         SELECT CAST(ib AS BIGINT), CAST(ia AS BIGINT),
+                round(CAST(common AS DOUBLE) / CAST(sz_b AS DOUBLE), 6)
+         FROM sized
+       )
+       SELECT contained, container, containment
+       FROM directed WHERE containment >= 0.7""",
+    "ext/dedup: ASYMMETRIC near-dup — word-3gram containment "
+    "|A∩B|/|A| >= 0.7, the signal Jaccard structurally misses when a "
+    "short document is embedded in a much longer one. Same "
+    "inverted-index join as the Jaccard query (shared-shingle equi-join, "
+    "never a cross join); both directions derive from one unordered "
+    "overlap count, so asymmetry adds zero shuffle.",
+)
+def dedup_containment_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    return X_dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
+    )

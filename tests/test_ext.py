@@ -319,3 +319,57 @@ def test_repetition_signals_semantics(spark):
     assert out[4]["n_bigrams"] == 0
     assert out[4]["top_bigram_frac"] == 0.0
     assert out[4]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_fold_matches_python_reference(spark):
+    """Property: the sorted-run fold equals a Counter-based reference on
+    randomized word streams (drawn once per seed for determinism)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260813)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    rows = []
+    expected = {}
+    for doc_id in range(40):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        rows.append((doc_id, " ".join(words)))
+        for gram_n, key in ((2, "bi"), (3, "tri")):
+            grams = [
+                " ".join(words[i : i + gram_n])
+                for i in range(max(len(words) - gram_n + 1, 0))
+            ]
+            c = Counter(grams)
+            expected.setdefault(doc_id, {})[key] = {
+                "total": len(grams),
+                "maxrun": max(c.values(), default=0),
+                "dup": sum(v for v in c.values() if v >= 2),
+            }
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in X_text.repetition_signals(df).collect()}
+    for doc_id, exp in expected.items():
+        r = out[doc_id]
+        bi, tri = exp["bi"], exp["tri"]
+        assert r["n_bigrams"] == bi["total"], doc_id
+        want_top = round(bi["maxrun"] / bi["total"], 6) if bi["total"] else 0.0
+        assert abs(r["top_bigram_frac"] - want_top) < 1e-9, doc_id
+        want_dup = round(tri["dup"] / tri["total"], 6) if tri["total"] else 0.0
+        assert abs(r["dup_trigram_frac"] - want_dup) < 1e-9, doc_id
+
+
+def test_containment_asymmetry(spark):
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa " + "filler one two three four five"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long_),
+         Row(doc_id=3, text="entirely different words everywhere still")],
+        schema="doc_id long, text string",
+    )
+    rows = {(r["contained"], r["container"]): r["containment"]
+            for r in X_dedup.containment_pairs(df, threshold=0.5).collect()}
+    # every 3-shingle of the short doc appears in the long doc
+    assert rows[(1, 2)] == 1.0
+    # the reverse direction is diluted below threshold
+    assert (2, 1) not in rows
+    assert not any(3 in k for k in rows)
