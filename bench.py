@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "embedding_quantize_int8",
     "text_stats_documents",
     "repetition_signals_documents",
+    "char_entropy_documents",
     "curation_decisions_documents",
     "tfidf_top_terms_documents",
     "split_assign_documents",

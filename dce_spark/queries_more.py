@@ -2376,3 +2376,69 @@ def dedup_containment_documents(spark, sf_dir):
     return X_dedup.containment_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.7
     )
+
+
+@register(
+    "char_entropy_documents",
+    """WITH chars AS (
+         SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+       ), freq AS (
+         SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         FROM chars GROUP BY doc_id, ch
+       )
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(sum(c) AS BIGINT) AS n_chars,
+              round(ln(CAST(sum(c) AS DOUBLE))
+                    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                      / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+       FROM freq GROUP BY doc_id""",
+    "text QC: per-document character Shannon entropy (nats) — "
+    "degenerate/binary-ish/low-diversity text scores low and gets "
+    "filtered in pretraining pipelines. Spark computes it as ONE fold "
+    "over the sorted char array using ln(N) - sum(c*ln c)/N with "
+    "run-length counts (equal chars adjacent after sort) and a finish "
+    "lambda for the last run — map-side only, zero shuffle, vs the "
+    "oracle's explode+groupBy which shuffles every character at scale.",
+)
+def char_entropy_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    chars = F.sort_array(F.split(F.col("text"), ""))
+    # fold state: (prev char, current run length, sum of c*ln(c) over
+    # completed runs); finish closes the final run
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("clnc"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        closed = F.when(
+            ~same & (acc["run"] > 0),
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (acc["clnc"] + closed).alias("clnc"),
+        )
+
+    def finish(acc):
+        last = F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0))
+        return acc["clnc"] + last
+
+    staged = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), chars.alias("__ch")
+    )
+    clnc = F.aggregate(F.col("__ch"), init, step, finish)
+    n = F.size(F.col("__ch")).cast("long")
+    return staged.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.round(
+            F.log(n.cast("double")) - clnc / n.cast("double"), 6
+        ).alias("entropy_nats"),
+    )
