@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "pii_scan_documents",
     "winnow_fingerprint_documents",
     "salted_group_counts_events",
+    "skew_report_lineitem_suppkey",
+    "per_day_quality_events",
     "ntile_bins_lineitem_approx",
     "multimodal_payload_stats",
     "multimodal_frame_sample",

@@ -2442,3 +2442,74 @@ def char_entropy_documents(spark, sf_dir):
             F.log(n.cast("double")) - clnc / n.cast("double"), 6
         ).alias("entropy_nats"),
     )
+
+
+@register(
+    "skew_report_lineitem_suppkey",
+    """WITH kc AS (
+         SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY l_suppkey
+       ), stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(cnt) AS BIGINT) AS max_cnt,
+                CAST(min(cnt) AS BIGINT) AS min_cnt,
+                CAST(sum(cnt) AS BIGINT) AS n_rows
+         FROM kc
+       )
+       SELECT n_keys, max_cnt, min_cnt,
+              round(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                    / CAST(n_rows AS DOUBLE), 6) AS skew_factor
+       FROM stats""",
+    "ops diagnostic: join-key skew report for a prospective shuffle key "
+    "— key cardinality, hottest/coldest key frequency, and the skew "
+    "factor (max_cnt / mean_cnt) that predicts whether a shuffled join "
+    "on this key needs AQE skew splitting or salting BEFORE running it "
+    "at 100 TB. One partial-aggregated groupBy + a 1-row reduction.",
+)
+def skew_report_lineitem_suppkey(spark, sf_dir):
+    kc = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.round(
+            F.max("cnt").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("skew_factor"),
+    )
+
+
+@register(
+    "per_day_quality_events",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                AS null_users,
+              CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
+                AS negative_values,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+       FROM events GROUP BY CAST(ts AS DATE)""",
+    "partition-wise QC: the contract's row-local checks summarized PER "
+    "DAY in one pass — the operational form for date-partitioned 100 TB "
+    "tables, where a failed day pinpoints the bad ingest instead of one "
+    "global verdict. Conditional counts fuse into the groupBy (no extra "
+    "scans); distinct-users is the one distinct agg, swap to HLL via "
+    "approx_distinct for monitoring.",
+)
+def per_day_quality_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+            F.sum((F.col("value") < 0).cast("long")).alias("negative_values"),
+            F.count_distinct("user_id").alias("distinct_users"),
+        )
+    )
