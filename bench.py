@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "quantiles_lineitem_approx",
     "histogram_lineitem_price",
     "corr_matrix_lineitem",
+    "trend_events_value",
     "grouped_quantiles_lineitem_approx",
     "class_balance_events",
     "psi_total_lineitem",

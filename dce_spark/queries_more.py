@@ -2513,3 +2513,53 @@ def per_day_quality_events(spark, sf_dir):
             F.count_distinct("user_id").alias("distinct_users"),
         )
     )
+
+
+@register(
+    "trend_events_value",
+    """WITH s AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS BIGINT)
+                  AS sx,
+                CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sy,
+                CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+                         * (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200))
+                     AS BIGINT) AS sxx,
+                CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+                         * CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sxy
+         FROM events GROUP BY event_type
+       )
+       SELECT event_type, n,
+              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e4, 12)
+                AS slope_per_sec
+       FROM s""",
+    "analytics: least-squares value-vs-time trend per event type. "
+    "Naive regr_slope disagrees across engines at epoch magnitudes "
+    "(catastrophic cancellation under different summation orders), so "
+    "the moment sums are EXACT int64 (x = seconds since 2024-01-01, y "
+    "quantized 1e4) and only the final closed-form combination runs in "
+    "IEEE doubles — bit-identical on any engine and partitioning. One "
+    "fused groupBy; the same pattern extends to any per-group OLS.",
+)
+def trend_events_value(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long")
+    y = F.round(F.col("value") * F.lit(1e4)).cast("long")
+    s = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / F.lit(1e4)
+    )
+    return s.select("event_type", "n", F.round(slope, 12).alias("slope_per_sec"))
