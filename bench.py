@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_documents",
     "dedup_jaccard_documents",
     "dedup_containment_documents",
+    "dedup_incremental_documents",
     "dedup_simhash_documents",
     "dedup_clusters_documents",
     "corpus_survivors_documents",

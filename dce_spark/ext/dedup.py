@@ -269,6 +269,69 @@ def minhash_signatures(
     return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
 
 
+def _band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    fast: bool,
+) -> DataFrame:
+    """(__id, band, bkey) LSH bucket rows — the shared layout for the
+    self-join (lsh_candidate_pairs) and the batch-vs-corpus join
+    (incremental_lsh_matches)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, fast)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bkey = (
+            F.xxhash64(*parts)
+            if fast
+            else F.md5(F.concat(*parts).cast("binary"))
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bkey.alias("bkey")))
+    return sigs.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def incremental_lsh_matches(
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    fast: bool = False,
+) -> DataFrame:
+    """Streaming-ingest dedup shape: candidate matches of a NEW batch
+    against an EXISTING corpus — (batch_id, corpus_id) pairs sharing any
+    LSH band bucket. Unlike the self-join, the corpus side is static: in
+    production its bucket table is precomputed once (or bucketed on
+    (band, bkey) at write time), so admitting a batch shuffles ONLY the
+    batch's signatures — the join cost scales with the batch, not the
+    100 TB corpus. Exact-duplicate texts share every band, so recall for
+    exact re-ingests is 1 by construction.
+    """
+    cb = _band_buckets(corpus_df, text_col, id_col, n, num_hashes, bands, fast)
+    bb = _band_buckets(batch_df, text_col, id_col, n, num_hashes, bands, fast)
+    c, b = cb.alias("c"), bb.alias("b")
+    return (
+        b.join(
+            c,
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.bkey") == F.col("c.bkey")),
+        )
+        .select(
+            F.col("b.__id").alias("batch_id"), F.col("c.__id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -288,25 +351,9 @@ def lsh_candidate_pairs(
     ~10x less hashing CPU — the production path; default md5 stays
     oracle-portable.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, fast)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bkey = (
-            F.xxhash64(*parts)
-            if fast
-            else F.md5(F.concat(*parts).cast("binary"))
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), bkey.alias("bkey")))
-    buckets = (
-        sigs.select(
-            F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
-        )
-        .select("__id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-        .persist()  # both sides of the self-join reuse this
-    )
+    buckets = _band_buckets(
+        df, text_col, id_col, n, num_hashes, bands, fast
+    ).persist()  # both sides of the self-join reuse this
     buckets.count()  # eager: see jaccard_candidate_pairs on the cache race
     a, b = buckets.alias("a"), buckets.alias("b")
     return (

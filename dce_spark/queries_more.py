@@ -2563,3 +2563,64 @@ def trend_events_value(spark, sf_dir):
         / F.lit(1e4)
     )
     return s.select("event_type", "n", F.round(slope, 12).alias("slope_per_sec"))
+
+
+def _incremental_lsh_oracle() -> str:
+    hash_aggs = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, side, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
+        for b in range(4)
+    )
+    return f"""WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+), all_docs AS (
+  SELECT doc_id, text, 'corpus' AS side FROM documents
+  UNION ALL
+  SELECT doc_id, text, 'batch' AS side FROM batch
+), toks AS (
+  SELECT doc_id, side,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM all_docs
+), shingles AS (
+  SELECT DISTINCT doc_id, side,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 2),
+                                                    ' '))) AS sh
+  FROM toks
+), sigs AS (
+  SELECT doc_id, side,
+         {hash_aggs}
+  FROM shingles GROUP BY doc_id, side
+), bands AS (
+{band_selects}
+)
+SELECT DISTINCT CAST(b.doc_id AS BIGINT) AS batch_id,
+                CAST(c.doc_id AS BIGINT) AS corpus_id
+FROM bands b JOIN bands c
+  ON b.band = c.band AND b.bkey = c.bkey
+WHERE b.side = 'batch' AND c.side = 'corpus'"""
+
+
+@register(
+    "dedup_incremental_documents",
+    _incremental_lsh_oracle(),
+    "ext/dedup: INCREMENTAL dedup — a new ingest batch (10 re-keyed "
+    "copies of existing docs) matched against the standing corpus via "
+    "the shared LSH bucket layout. The corpus bucket table is the "
+    "precomputed side (bucketed on (band, bkey) at write time in "
+    "production), so admitting a batch shuffles only the batch's "
+    "signatures: ingest cost scales with the batch, not the 100 TB "
+    "corpus. Exact re-ingests share every band -> recall 1 by "
+    "construction (each of the 10 finds its original).",
+)
+def dedup_incremental_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = corpus.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return X_dedup.incremental_lsh_matches(corpus, batch)
