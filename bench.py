@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "cube_orders_status_priority",
     "pivot_event_type_by_day",
     "window_topn_customers_per_segment",
+    "window_distribution_customers",
     "window_running_total_orders",
     "window_lag_delta_events",
     "window_moving_avg_events",

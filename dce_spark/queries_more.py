@@ -2624,3 +2624,48 @@ def dedup_incremental_documents(spark, sf_dir):
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
     return X_dedup.incremental_lsh_matches(corpus, batch)
+
+
+@register(
+    "window_distribution_customers",
+    """SELECT c_mktsegment,
+              CAST(c_custkey AS BIGINT) AS c_custkey,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cum_dist,
+              CAST(round(first_value(c_acctbal) OVER w2 * 100) AS BIGINT)
+                AS seg_min_cents,
+              CAST(round(last_value(c_acctbal) OVER w2 * 100) AS BIGINT)
+                AS seg_max_cents
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+              w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       QUALIFY row_number() OVER w <= 5""",
+    "window family: distribution functions — percent_rank/cume_dist "
+    "plus first/last over the full frame (segment min/max riding every "
+    "row). One shuffle on the partition key; the QUALIFY top-5 keeps "
+    "output small. Ordering ties broken by key for determinism; frame "
+    "for last_value explicitly unbounded (the default RANGE frame would "
+    "return the current row's value — a classic cross-engine trap).",
+)
+def window_distribution_customers(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        df.select(
+            "c_mktsegment",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.round(F.first("c_acctbal").over(w2) * 100)
+            .cast("long")
+            .alias("seg_min_cents"),
+            F.round(F.last("c_acctbal").over(w2) * 100)
+            .cast("long")
+            .alias("seg_max_cents"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
