@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "conditional_aggregates_lineitem",
     "quantiles_lineitem",
     "quantiles_lineitem_approx",
+    "approx_distinct_accuracy_events",
     "histogram_lineitem_price",
     "corr_matrix_lineitem",
     "trend_events_value",

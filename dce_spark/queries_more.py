@@ -2669,3 +2669,32 @@ def window_distribution_customers(spark, sf_dir):
         .filter(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+@register(
+    "approx_distinct_accuracy_events",
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+              TRUE AS hll_within_5pct
+       FROM events""",
+    "scale-path accuracy probe: exact COUNT(DISTINCT user_id) next to a "
+    "BOOLEAN asserting Spark's HLL approx_count_distinct(rsd=0.05) "
+    "landed within 5% of it. The oracle states the exact count and the "
+    "expectation (TRUE); the Spark side EARNS the boolean by computing "
+    "both aggregates in one pass — a driver-green row certifying the "
+    "approx-distinct option quality/uniqueness checks rely on at "
+    "100 TB (where the exact path's full key shuffle is the thing "
+    "being avoided).",
+)
+def approx_distinct_accuracy_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.05).cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            / F.count_distinct("user_id").cast("double")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )
