@@ -158,6 +158,17 @@ def _run_stats_col(grams: Column) -> Column:
     )
 
 
+def _frac_col(num: Column, den: Column) -> Column:
+    """round(num/den, 6) with a 0.0 guard on empty denominators — the
+    ONE definition of the repetition fractions, shared by the signal
+    query and the curation gate so thresholds tuned against one always
+    agree with the other."""
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -173,9 +184,6 @@ def repetition_signals(
     re-evaluates per element (the tokenizer would run O(tokens²)
     times; measured 20x wall-clock on the 5k-doc corpus).
     """
-    frac = lambda num, den: F.round(
-        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
-    )
     staged = (
         df.select(F.col(id_col), F.col(text_col))
         .withColumn("__words", tokens_col(F.col(text_col)))
@@ -187,8 +195,8 @@ def repetition_signals(
     return staged.select(
         F.col(id_col),
         b["total"].cast("long").alias("n_bigrams"),
-        frac(b["maxrun"], b["total"]).alias("top_bigram_frac"),
-        frac(t3["dup"], t3["total"]).alias("dup_trigram_frac"),
+        _frac_col(b["maxrun"], b["total"]).alias("top_bigram_frac"),
+        _frac_col(t3["dup"], t3["total"]).alias("dup_trigram_frac"),
     )
 
 
@@ -213,12 +221,7 @@ def curation_decisions(
         "__b2", _ngram_col(F.col("__words"), 2)
     )
     b = _run_stats_col(F.col("__b2"))
-    tbf = F.round(
-        F.when(
-            b["total"] > 0, b["maxrun"].cast("double") / b["total"].cast("double")
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    tbf = _frac_col(b["maxrun"], b["total"])
     sig = staged.select(
         F.col(id_col),
         F.col(lang_col),
@@ -227,7 +230,10 @@ def curation_decisions(
     )
     too_short = F.col("n_tokens") < min_tokens
     too_rep = F.col("top_bigram_frac") > max_top_bigram_frac
-    non_target = F.col(lang_col) != target_lang
+    # fail CLOSED on missing language: lang != target is NULL for NULL
+    # lang, which would make kept NULL (neither kept nor reasoned) and
+    # downstream consumers treat the doc as kept
+    non_target = F.col(lang_col).isNull() | (F.col(lang_col) != target_lang)
     reasons = F.array_join(
         F.array_sort(
             F.filter(

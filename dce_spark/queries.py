@@ -1107,16 +1107,33 @@ _MINHASH_PAIRS_SELECT = """SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CA
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
 
 
+def _minhash_hash_aggs(num_hashes: int = 8) -> str:
+    """SQL mirror of ext/dedup._hash_expr + minhash_signatures: one
+    min(md5('seed:'||shingle)) per seed. The ONE definition — reused by
+    the self-join oracle and the incremental batch-vs-corpus oracle so
+    the hashing convention cannot drift between them."""
+    return ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+
+
+def _minhash_band_selects(bands: int = 4, extra_cols: str = "") -> str:
+    """SQL mirror of ext/dedup._band_buckets' band-key derivation
+    (md5 of the concatenated per-band signature slice). ``extra_cols``
+    lets callers thread marker columns (e.g. a batch/corpus side tag)
+    through the UNION."""
+    ec = f"{extra_cols}, " if extra_cols else ""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {ec}{b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
+        for b in range(bands)
+    )
+
+
 def _minhash_ctes() -> str:
     """The toks/shingles/sigs/bands CTE chain (no leading WITH — callers
     choose WITH vs WITH RECURSIVE) for the MinHash-LSH pair pipeline."""
-    hash_aggs = ",\n         ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
-        for b in range(4)
-    )
+    hash_aggs = _minhash_hash_aggs()
+    band_selects = _minhash_band_selects()
     assert _SHINGLE_CTE.strip().startswith("WITH ")
     chain = _SHINGLE_CTE.strip()[len("WITH "):]
     return (

@@ -969,6 +969,22 @@ _BUCKET_SQL = (
 )
 
 
+def _doc_hash_col(id_col: str = "doc_id"):
+    """md5 of the stringified key — the ONE content-free hash every
+    deterministic-selection operator derives from (split assignment,
+    stratified sampling, per-group sampling, sequence packing). A doc's
+    hash — and therefore its bucket — decides all of them consistently;
+    keep this the single definition so that composability guarantee
+    survives edits. SQL mirror: md5(CAST(doc_id AS VARCHAR))."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def _doc_bucket_col(id_col: str = "doc_id"):
+    """First-two-hex-digit bucket (0-255) of :func:`_doc_hash_col`.
+    SQL mirror: ``_BUCKET_SQL`` over alias ``h``."""
+    return F.conv(F.substring(_doc_hash_col(id_col), 1, 2), 16, 10).cast("int")
+
+
 @register(
     "split_assign_documents",
     f"""WITH hashed AS (
@@ -991,8 +1007,7 @@ _BUCKET_SQL = (
 )
 def split_assign_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    bucket = _doc_bucket_col()
     split = (
         F.when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
     )
@@ -1686,11 +1701,13 @@ def repetition_signals_documents(spark, sf_dir):
        SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(n_tokens AS BIGINT) AS n_tokens,
               top_bigram_frac, lang,
-              (n_tokens >= 25 AND top_bigram_frac <= 0.08 AND lang = 'en') AS kept,
+              (n_tokens >= 25 AND top_bigram_frac <= 0.08
+               AND lang IS NOT NULL AND lang = 'en') AS kept,
               coalesce(array_to_string(list_sort(list_filter([
                 CASE WHEN n_tokens < 25 THEN 'too_short' END,
                 CASE WHEN top_bigram_frac > 0.08 THEN 'too_repetitive' END,
-                CASE WHEN lang <> 'en' THEN 'non_target_lang' END
+                CASE WHEN lang IS NULL OR lang <> 'en'
+                     THEN 'non_target_lang' END
               ], x -> x IS NOT NULL)), ','), '') AS drop_reasons
        FROM sig""",
     "LLM-pipeline curation gate: one map-side pass scores every document "
@@ -1985,8 +2002,7 @@ def q20_promotion_suppliers(spark, sf_dir):
 )
 def stratified_sample_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    bucket = _doc_bucket_col()
     rate = (
         F.when(F.col("lang") == "en", 128)
         .when(F.col("lang") == "zh", 256)
@@ -2018,7 +2034,7 @@ def stratified_sample_documents(spark, sf_dir):
 )
 def group_sample_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    h = _doc_hash_col()
     w = Window.partitionBy("lang").orderBy(F.col("__h"), F.col("doc_id"))
     return (
         df.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", h.alias("__h"))
@@ -2063,8 +2079,8 @@ def pack_assign_documents(spark, sf_dir):
     from .ext.text import token_count_col
 
     df = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 8).cast("long")
+    h = _doc_hash_col()
+    bucket = (_doc_bucket_col() % 8).cast("long")
     staged = df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         token_count_col(F.col("text")).alias("n_tokens"),
@@ -2528,7 +2544,7 @@ def per_day_quality_events(spark, sf_dir):
                      AS BIGINT) AS sxx,
                 CAST(sum((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
                          * CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sxy
-         FROM events GROUP BY event_type
+         FROM events WHERE value IS NOT NULL GROUP BY event_type
        )
        SELECT event_type, n,
               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -2546,7 +2562,11 @@ def per_day_quality_events(spark, sf_dir):
     "fused groupBy; the same pattern extends to any per-group OLS.",
 )
 def trend_events_value(spark, sf_dir):
-    df = load_table(spark, sf_dir, "events")
+    # NULL values must drop BEFORE aggregation: count(*)/sum(x) would
+    # otherwise include rows that sum(y)/sum(xy) silently skip, making
+    # the closed-form slope mathematically wrong (not the OLS of the
+    # non-null points)
+    df = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long")
     y = F.round(F.col("value") * F.lit(1e4)).cast("long")
     s = df.groupBy("event_type").agg(
@@ -2566,13 +2586,10 @@ def trend_events_value(spark, sf_dir):
 
 
 def _incremental_lsh_oracle() -> str:
-    hash_aggs = ",\n         ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(8)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, side, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
-        for b in range(4)
-    )
+    from .queries import _minhash_band_selects, _minhash_hash_aggs
+
+    hash_aggs = _minhash_hash_aggs()
+    band_selects = _minhash_band_selects(extra_cols="side")
     return f"""WITH batch AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
 ), all_docs AS (

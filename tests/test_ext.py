@@ -373,3 +373,16 @@ def test_containment_asymmetry(spark):
     # the reverse direction is diluted below threshold
     assert (2, 1) not in rows
     assert not any(3 in k for k in rows)
+
+
+def test_curation_fails_closed_on_null_lang(spark):
+    from dce_spark.ext.text import curation_decisions
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)), None)],
+        schema="doc_id long, text string, lang string",
+    )
+    row = curation_decisions(df).collect()[0]
+    # NULL lang must be an explicit drop, never a NULL kept
+    assert row["kept"] is False
+    assert row["drop_reasons"] == "non_target_lang"

@@ -195,7 +195,7 @@ def test_tpch_batch2_single_big_join(spark):
     BroadcastHashJoin."""
     import re
 
-    for name in ["q7_volume_shipping", "q8_market_share"]:
+    for name in ["q7_volume_shipping", "q8_market_share", "q21_waiting_suppliers"]:
         plan = plan_of(QUERIES[name].fn(spark, SF_DIR))
         smj_nodes = set(re.findall(r"\((\d+)\) SortMergeJoin", plan))
         assert len(smj_nodes) == 1, (name, smj_nodes)
