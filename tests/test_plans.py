@@ -248,3 +248,12 @@ def test_pack_assign_single_bucket_exchange(spark):
     assert "hashpartitioning" in plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_funnel_and_incremental_dedup_no_cartesian(spark):
+    """The composed funnel and the batch-vs-corpus dedup never fall back
+    to all-pairs shapes: every join is hash- or broadcast-based."""
+    for name in ["corpus_survivors_documents", "dedup_incremental_documents"]:
+        plan = plan_of(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
