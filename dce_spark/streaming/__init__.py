@@ -8,6 +8,7 @@ continuous monitoring, and a custom stateful operator template
 (applyInPandasWithState sessionization).
 """
 
+from .drift import psi_term_of, streaming_binned_drift
 from .enforce import (
     streaming_exact_dedup,
     streaming_quality_aggregates,

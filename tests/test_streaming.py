@@ -310,3 +310,55 @@ def test_streaming_curation_gate_matches_batch(spark, tmp_path):
     assert {k: tuple(v) for k, v in streamed.items()} == {
         k: tuple(v) for k, v in batch.items()
     }
+
+
+def test_streaming_binned_drift_matches_batch(spark, tmp_path):
+    """Windowed binned counts + ref proportions on a stream equal the
+    same computation done in batch, and the summed PSI is ~0 when the
+    stream IS the reference distribution."""
+    from dce_spark.streaming.drift import psi_term_of, streaming_binned_drift
+
+    srcdir = tmp_path / "drift_src"
+    srcdir.mkdir()
+    rows = [
+        (float(v % 10), f"2024-01-01 00:00:{s:02d}")
+        for s, v in enumerate(range(60))
+    ]
+    df = spark.createDataFrame(rows, schema="value double, ts_s string").select(
+        "value", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.parquet(str(srcdir / "b0"))
+
+    # reference: uniform over [0, 9] -> 5 equal bins
+    ref_props = [0.2] * 5
+    stream = (
+        spark.readStream.schema("value double, ts timestamp")
+        .parquet(str(srcdir / "b0"))
+    )
+    q = (
+        streaming_binned_drift(
+            stream, "value", "ts", ref_min=0.0, ref_max=9.0,
+            ref_props=ref_props, window_duration="1 minute",
+        )
+        .writeStream.format("memory")
+        .queryName("drift_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        # update, not append: with one availableNow batch the watermark
+        # never passes the window end, so append would emit nothing
+        .outputMode("update")
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM drift_stream")
+    rows_out = out.collect()
+    assert {r["bin"] for r in rows_out} == {0, 1, 2, 3, 4}
+    assert sum(r["n"] for r in rows_out) == 60
+    # PSI of the stream vs its own distribution ~ 0
+    tot = sum(r["n"] for r in rows_out)
+    psi = out.agg(
+        F.sum(
+            psi_term_of(F.col("n").cast("double") / F.lit(float(tot)), F.col("ref_prop"))
+        ).alias("psi")
+    ).collect()[0]["psi"]
+    assert abs(psi) < 1e-6
