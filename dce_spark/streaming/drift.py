@@ -31,7 +31,6 @@ def streaming_binned_drift(
     ref_props: list[float],
     window_duration: str = "1 minute",
     watermark_delay: str = "2 minutes",
-    eps: float = 1e-6,
 ) -> DataFrame:
     """Per event-time window: counts per reference-anchored bin and the
     PSI term of each bin vs ``ref_props`` (the reference week's bin
