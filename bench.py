@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "class_balance_events",
     "psi_total_lineitem",
     "drift_events_weekly",
+    "anomaly_days_events",
+    "monthly_revenue_yoy_lineitem",
     "profile_customer",
     "sessionization_events",
     "funnel_events",

@@ -2715,3 +2715,97 @@ def approx_distinct_accuracy_events(spark, sf_dir):
             <= 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+@register(
+    "anomaly_days_events",
+    """WITH daily AS (
+         SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY CAST(ts AS DATE)
+       ), stats AS (
+         SELECT CAST(sum(n) AS BIGINT) AS tot,
+                CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n * n) AS BIGINT) AS tot2
+         FROM daily
+       )
+       SELECT day, n,
+              round(abs(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) / k)
+                    / sqrt(CAST(tot2 AS DOUBLE) / k
+                           - (CAST(tot AS DOUBLE) / k) * (CAST(tot AS DOUBLE) / k)),
+                    6) AS z_score
+       FROM daily, stats
+       WHERE abs(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) / k)
+             > 2 * sqrt(CAST(tot2 AS DOUBLE) / k
+                        - (CAST(tot AS DOUBLE) / k) * (CAST(tot AS DOUBLE) / k))""",
+    "ops anomaly probe: days whose event volume deviates > 2 sigma from "
+    "the period mean. Mean/variance come from EXACT integer moment sums "
+    "over the tiny daily table (combined in doubles deterministically — "
+    "the same engine-portability recipe as trend_events_value), then a "
+    "1-row broadcast back onto the dailies. Daily rollup is one "
+    "groupBy; everything after is metadata-scale.",
+)
+def anomaly_days_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    daily = df.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("n") * F.col("n")).alias("tot2"),
+    )
+    mean = F.col("tot").cast("double") / F.col("k").cast("double")
+    var = F.col("tot2").cast("double") / F.col("k").cast("double") - mean * mean
+    dev = F.abs(F.col("n").cast("double") - mean)
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .filter(dev > 2 * F.sqrt(var))
+        .select("day", "n", F.round(dev / F.sqrt(var), 6).alias("z_score"))
+    )
+
+
+@register(
+    "monthly_revenue_yoy_lineitem",
+    f"""WITH monthly AS (
+         SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                CAST(month(l_shipdate) AS BIGINT) AS mo,
+                {_qsum_sql('l_extendedprice * (1 - l_discount)', 1e4)} AS revenue
+         FROM lineitem GROUP BY year(l_shipdate), month(l_shipdate)
+       )
+       SELECT yr, mo, revenue,
+              round(CASE WHEN lag(revenue, 12) OVER w IS NULL THEN NULL
+                         ELSE (revenue - lag(revenue, 12) OVER w)
+                              / lag(revenue, 12) OVER w END, 6) AS yoy_delta
+       FROM monthly
+       WINDOW w AS (ORDER BY yr, mo)""",
+    "analytics: monthly revenue with year-over-year growth — a window "
+    "LAG over an AGGREGATED series. The heavy groupBy reduces 600k rows "
+    "to ~80 months BEFORE the window, so the unpartitioned ordering "
+    "(formally a single-partition sort) touches only metadata-scale "
+    "rows — the right layering at any scale, vs windowing the raw fact "
+    "table. Quantized-exact revenue keeps the ratios engine-identical.",
+)
+def monthly_revenue_yoy_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    monthly = df.groupBy(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.month("l_shipdate").cast("long").alias("mo"),
+    ).agg(
+        _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        F.round(
+            F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+                (F.col("revenue") - prev) / prev
+            ),
+            6,
+        ).alias("yoy_delta"),
+    )
