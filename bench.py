@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "anomaly_days_events",
     "monthly_revenue_yoy_lineitem",
     "profile_customer",
+    "profile_documents",
+    "activity_matrix_events",
     "sessionization_events",
     "funnel_events",
     "retention_cohorts_events",

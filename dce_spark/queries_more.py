@@ -2809,3 +2809,59 @@ def monthly_revenue_yoy_lineitem(spark, sf_dir):
             6,
         ).alias("yoy_delta"),
     )
+
+
+@register(
+    "profile_documents",
+    r"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(n_chars) AS BIGINT) AS min_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars,
+              CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(sum(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT)) AS BIGINT)
+                AS total_tokens
+       FROM documents""",
+    "A9 widening onto the text table: corpus profile (doc count, char "
+    "bounds, total chars/tokens, language cardinality) in ONE fused agg "
+    "— the same single-scan profiling contract as profile_customer, "
+    "with tokenization running inside the aggregate projection.",
+)
+def profile_documents(spark, sf_dir):
+    from .ext.text import token_count_col
+
+    df = load_table(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(token_count_col(F.col("text"))).alias("total_tokens"),
+    )
+
+
+@register(
+    "activity_matrix_events",
+    """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+              CAST(hour(ts) AS BIGINT) AS hr,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY dayofweek(ts), hour(ts)""",
+    "analytics: day-of-week x hour activity matrix (the usage-heatmap "
+    "query every event pipeline runs). One groupBy on a 168-value "
+    "composite key — group count is fixed regardless of data size, so "
+    "the reduce side is constant at any scale; one distinct agg for "
+    "unique users (HLL-swappable). Cross-engine trap handled: DuckDB's "
+    "dayofweek is 0-6 Sunday-first, Spark's is 1-7 — the Spark side "
+    "subtracts 1 so both emit 0-6.",
+)
+def activity_matrix_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return df.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
