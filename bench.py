@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "quantiles_lineitem_approx",
     "approx_distinct_accuracy_events",
     "histogram_lineitem_price",
+    "affinity_supplier_brand_lineitem",
+    "token_hist_by_lang_documents",
     "corr_matrix_lineitem",
     "trend_events_value",
     "grouped_quantiles_lineitem_approx",

@@ -2865,3 +2865,97 @@ def activity_matrix_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "affinity_supplier_brand_lineitem",
+    """WITH pairs AS (
+         SELECT l.l_suppkey AS s, p.p_brand AS b,
+                CAST(count(*) AS BIGINT) AS nsb
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         GROUP BY l.l_suppkey, p.p_brand
+       ), sup AS (
+         SELECT s, CAST(sum(nsb) AS BIGINT) AS ns FROM pairs GROUP BY s
+       ), br AS (
+         SELECT b, CAST(sum(nsb) AS BIGINT) AS nb FROM pairs GROUP BY b
+       ), tot AS (
+         SELECT CAST(sum(nsb) AS BIGINT) AS n FROM pairs
+       )
+       SELECT CAST(p.s AS BIGINT) AS s_suppkey, p.b AS p_brand, p.nsb,
+              round(CAST(p.nsb AS DOUBLE) * CAST(t.n AS DOUBLE)
+                    / (CAST(sup.ns AS DOUBLE) * CAST(br.nb AS DOUBLE)), 6)
+                AS lift
+       FROM pairs p JOIN sup ON p.s = sup.s
+                    JOIN br ON p.b = br.b
+                    CROSS JOIN tot t
+       WHERE p.nsb >= 20
+       ORDER BY lift DESC, s_suppkey, p_brand
+       LIMIT 25""",
+    "analytics: market-basket lift between suppliers and brands — "
+    "P(s,b) / (P(s)P(b)) from exact integer co-occurrence counts "
+    "(support floor 20 kills noise pairs). Marginals derive from the "
+    "SAME pair aggregate (no second fact scan); brand marginal and "
+    "total broadcast; top-k via TakeOrdered with full tie-break. The "
+    "shape generalizes to any co-occurrence/lift analysis (token-doc, "
+    "user-item) at scale: one fact-table groupBy, everything else "
+    "metadata-sized.",
+)
+def affinity_supplier_brand_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pairs = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("p_brand").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nsb"))
+    )
+    sup = pairs.groupBy("s").agg(F.sum("nsb").alias("ns"))
+    br = pairs.groupBy("b").agg(F.sum("nsb").alias("nb"))
+    tot = pairs.agg(F.sum("nsb").alias("n"))
+    lift = F.round(
+        F.col("nsb").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("ns").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        pairs.filter(F.col("nsb") >= 20)
+        .join(sup, "s")
+        .join(F.broadcast(br), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").cast("long").alias("s_suppkey"),
+            F.col("b").alias("p_brand"),
+            "nsb",
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "s_suppkey", "p_brand")
+        .limit(25)
+    )
+
+
+@register(
+    "token_hist_by_lang_documents",
+    r"""WITH t AS (
+         SELECT lang,
+                len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                  AS n_tokens
+         FROM documents
+       )
+       SELECT lang,
+              CAST(least(n_tokens // 20, 4) AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY lang, least(n_tokens // 20, 4)""",
+    "grouped histogram: token-count distribution per language (fixed "
+    "20-token buckets, top-coded at 4) — the doc-length-by-language "
+    "report every curation run starts from. Map-side bucket expression, "
+    "one groupBy on a bounded (lang x 5) key space.",
+)
+def token_hist_by_lang_documents(spark, sf_dir):
+    from .ext.text import token_count_col
+
+    df = load_table(spark, sf_dir, "documents")
+    n = token_count_col(F.col("text"))
+    bucket = F.least(F.floor(n / 20).cast("long"), F.lit(4).cast("long"))
+    return df.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
