@@ -386,3 +386,59 @@ def test_curation_fails_closed_on_null_lang(spark):
     # NULL lang must be an explicit drop, never a NULL kept
     assert row["kept"] is False
     assert row["drop_reasons"] == "non_target_lang"
+
+
+def test_pack_assignment_invariants(spark):
+    """Every doc packed exactly once; packs within a bucket are
+    contiguous from 0; no pack exceeds budget + one document (docs are
+    never split, so overflow is bounded by the last-added doc)."""
+    from collections import defaultdict
+
+    from dce_spark.queries import QUERIES
+
+    rows = QUERIES["pack_assign_documents"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # each doc once
+    by_pack = defaultdict(int)
+    max_doc = defaultdict(int)
+    packs_per_bucket = defaultdict(set)
+    for r in rows:
+        key = (r["bucket"], r["pack_id"])
+        by_pack[key] += r["n_tokens"]
+        max_doc[key] = max(max_doc[key], r["n_tokens"])
+        packs_per_bucket[r["bucket"]].add(r["pack_id"])
+    for key, total in by_pack.items():
+        assert total <= 2048 + max_doc[key], key
+    for bucket, pids in packs_per_bucket.items():
+        assert pids == set(range(len(pids))), bucket  # contiguous from 0
+
+
+def test_stratified_sample_is_consistent_subset(spark):
+    """The sample is a strict subset of the corpus, deterministic across
+    invocations, and its en stratum is roughly half (binomial bounds)."""
+    from dce_spark.queries import QUERIES
+
+    SF = "/root/testdata/sf0.001"
+    fn = QUERIES["stratified_sample_documents"].fn
+    s1 = {(r["doc_id"], r["lang"]) for r in fn(spark, SF).collect()}
+    s2 = {(r["doc_id"], r["lang"]) for r in fn(spark, SF).collect()}
+    assert s1 == s2  # deterministic
+    from dce_spark.data import load_table
+
+    corpus = {
+        (r["doc_id"], r["lang"])
+        for r in load_table(spark, SF, "documents").select("doc_id", "lang").collect()
+    }
+    assert s1 <= corpus
+    en_corpus = sum(1 for _, l in corpus if l == "en")
+    en_sample = sum(1 for _, l in s1 if l == "en")
+    # 50% keep rate; allow 4-sigma binomial slack
+    import math
+
+    slack = 4 * math.sqrt(en_corpus * 0.25)
+    assert abs(en_sample - en_corpus / 2) <= slack
+    # zh kept whole
+    assert sum(1 for _, l in s1 if l == "zh") == sum(
+        1 for _, l in corpus if l == "zh"
+    )
