@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "window_running_total_orders",
     "window_lag_delta_events",
     "window_moving_avg_events",
+    "window_time_range_events",
     "tumbling_window_counts_events",
     "range_bucket_join_events",
     "conditional_aggregates_lineitem",

@@ -2959,3 +2959,38 @@ def token_hist_by_lang_documents(spark, sf_dir):
     return df.groupBy("lang", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "window_time_range_events",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+              CAST(user_id AS BIGINT) AS user_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                AS cents_last_hour
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "window family: TIME-RANGE frame (preceding 1 hour by event time, "
+    "not row count) — the frame type rows-based windows can't express. "
+    "Ordered on integer epoch seconds so the range bound is exact and "
+    "tie rows (same second) enter the frame identically on every "
+    "engine; integer-cent sums keep values portable. At scale the state "
+    "per partition is bounded by TIME (events within the hour), which "
+    "is the guarantee streaming watermark windows generalize.",
+)
+def window_time_range_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return df.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(cents).over(w).alias("cents_last_hour"),
+    )
