@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "group_sample_documents",
     "pack_assign_documents",
     "decontamination_overlap_documents",
+    "split_leakage_documents",
     "pii_scan_documents",
     "winnow_fingerprint_documents",
     "salted_group_counts_events",

@@ -2994,3 +2994,58 @@ def window_time_range_events(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(cents).over(w).alias("cents_last_hour"),
     )
+
+
+def _split_leakage_oracle() -> str:
+    from .queries import _MINHASH_PAIRS_SELECT, _minhash_ctes
+
+    return f"""WITH {_minhash_ctes()}, pairs AS (
+{_MINHASH_PAIRS_SELECT}
+), assigned AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET_SQL} < 205 THEN 'train'
+              WHEN {_BUCKET_SQL} < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+)
+SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+FROM pairs p JOIN assigned a ON p.doc_a = a.doc_id
+             JOIN assigned b ON p.doc_b = b.doc_id
+WHERE a.split <> b.split"""
+
+
+@register(
+    "split_leakage_documents",
+    _split_leakage_oracle(),
+    "LLM-pipeline AUDIT: test-set contamination via near-duplicates — "
+    "MinHash-LSH candidate pairs whose two documents land in DIFFERENT "
+    "deterministic splits (a near-copy of a training doc sitting in "
+    "val/test silently inflates eval). Composes the registered LSH pair "
+    "pipeline with the registered split assignment (same md5 bucket), "
+    "so the audit is exactly consistent with what the pipeline "
+    "actually shipped; split labels broadcast onto the tiny pair list. "
+    "The fix loop: route both members of a leaked pair to the same "
+    "split (or drop the eval copy) and re-run until empty.",
+)
+def split_leakage_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    pairs = X_dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    bucket = _doc_bucket_col()
+    assigned = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    a = assigned.select(F.col("doc_id").alias("ida"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("idb"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(a), pairs.doc_a == F.col("ida"))
+        .join(F.broadcast(b), pairs.doc_b == F.col("idb"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )
