@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms_documents",
     "split_assign_documents",
     "stratified_sample_documents",
+    "weighted_sample_documents",
     "group_sample_documents",
     "pack_assign_documents",
     "decontamination_overlap_documents",

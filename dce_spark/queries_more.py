@@ -3049,3 +3049,44 @@ def split_leakage_documents(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+@register(
+    "weighted_sample_documents",
+    f"""WITH u AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                CAST(({_BUCKET_SQL.replace("substr(h, 1, 1)", "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)").replace("substr(h, 2, 1)", "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")}) AS BIGINT)
+                  AS u256
+         FROM documents
+       ), mx AS (
+         SELECT CAST(max(w) AS BIGINT) AS max_w FROM u
+       )
+       SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.w
+       FROM u, mx
+       WHERE CAST(u.u256 AS DOUBLE) * CAST(mx.max_w AS DOUBLE)
+             < 256.0 * CAST(u.w AS DOUBLE)""",
+    "training-data op: weight-proportional deterministic sampling — "
+    "each doc kept with P = weight/max_weight (weight = n_chars here; "
+    "longer docs over-sampled for token-budget balance), decided by the "
+    "SAME content-free md5 uniform as every other selection operator. "
+    "The comparison u/256 < w/max_w runs as exact-int-derived double "
+    "cross-multiplication (no pow/ln, whose libm results differ across "
+    "engines), so the sample is byte-identical everywhere. Map-side "
+    "filter + a 1-row max broadcast: one scan at any scale.",
+)
+def weighted_sample_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("w"),
+    )
+    u256 = _doc_bucket_col().cast("long")
+    mx = df.agg(F.max("w").alias("max_w"))
+    return (
+        df.withColumn("u256", u256)
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("u256").cast("double") * F.col("max_w").cast("double")
+            < F.lit(256.0) * F.col("w").cast("double")
+        )
+        .select("doc_id", "w")
+    )
