@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "tumbling_window_counts_events",
     "range_bucket_join_events",
     "conditional_aggregates_lineitem",
+    "best_order_per_customer",
     "quantiles_lineitem",
     "quantiles_lineitem_approx",
     "approx_distinct_accuracy_events",

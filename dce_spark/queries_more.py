@@ -3090,3 +3090,35 @@ def weighted_sample_documents(spark, sf_dir):
         )
         .select("doc_id", "w")
     )
+
+
+@register(
+    "best_order_per_customer",
+    """SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+              CAST(max_by(o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
+                          + o_orderkey) AS BIGINT) AS best_orderkey,
+              CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS best_cents,
+              CAST(min_by(o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
+                          + o_orderkey) AS BIGINT) AS worst_orderkey
+       FROM orders GROUP BY o_custkey""",
+    "§2.7 widening: max_by/min_by argmax aggregates — each customer's "
+    "highest- and lowest-value order WITHOUT a window or self-join (one "
+    "hash aggregate, map-side partials; the window formulation would "
+    "sort every group). Both engines leave max_by ties unspecified, so "
+    "the ordering value is the exact integer cents * 1e6 + orderkey — "
+    "unique per row, making the argmax well-defined everywhere.",
+)
+def best_order_per_customer(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    ordv = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(1000000)
+        + F.col("o_orderkey")
+    )
+    return df.groupBy(F.col("o_custkey").cast("long").alias("c_custkey")).agg(
+        F.max_by("o_orderkey", ordv).cast("long").alias("best_orderkey"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("best_cents"),
+        F.min_by("o_orderkey", ordv).cast("long").alias("worst_orderkey"),
+    )
