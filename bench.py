@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "range_bucket_join_events",
     "conditional_aggregates_lineitem",
     "best_order_per_customer",
+    "priority_profile_per_customer",
     "quantiles_lineitem",
     "quantiles_lineitem_approx",
     "approx_distinct_accuracy_events",

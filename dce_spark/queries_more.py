@@ -3122,3 +3122,28 @@ def best_order_per_customer(spark, sf_dir):
         F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("best_cents"),
         F.min_by("o_orderkey", ordv).cast("long").alias("worst_orderkey"),
     )
+
+
+@register(
+    "priority_profile_per_customer",
+    """SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+              array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                AS priorities,
+              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+       FROM orders GROUP BY o_custkey""",
+    "§2.7 widening: set-valued aggregation (collect_set / list DISTINCT) "
+    "— the distinct order priorities each customer has used, emitted as "
+    "a SORTED joined string so the set has one canonical form on every "
+    "engine (raw collect_set order is partitioning-dependent — the trap "
+    "this query exists to document). One hash aggregate; set "
+    "cardinality is bounded by the 5-value domain, so state per group "
+    "is O(1) at any scale.",
+)
+def priority_profile_per_customer(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    return df.groupBy(F.col("o_custkey").cast("long").alias("c_custkey")).agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+    )
