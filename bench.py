@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "window_time_range_events",
     "tumbling_window_counts_events",
     "range_bucket_join_events",
+    "shipping_latency_buckets",
+    "null_safe_join_probe",
     "conditional_aggregates_lineitem",
     "best_order_per_customer",
     "priority_profile_per_customer",

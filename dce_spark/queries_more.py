@@ -3147,3 +3147,67 @@ def priority_profile_per_customer(spark, sf_dir):
         ),
         F.count_distinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+@register(
+    "null_safe_join_probe",
+    """WITH a(k, va) AS (VALUES (1, 'x'), (NULL, 'y'), (2, 'z')),
+         b(k, vb) AS (VALUES (1, 'p'), (NULL, 'q'), (3, 'r'))
+       SELECT coalesce(CAST(a.k AS BIGINT), -1) AS k, a.va, b.vb
+       FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    "semantics probe: NULL-SAFE equality join (Spark <=> / SQL IS NOT "
+    "DISTINCT FROM) over an in-memory batch — NULL keys MATCH each "
+    "other, unlike plain equality where they match nothing. Locks the "
+    "engine's null-join contract with a fixed 3x3 fixture (one NULL "
+    "pair, one common key, one unmatched each side -> exactly 2 rows).",
+)
+def null_safe_join_probe(spark, sf_dir):
+    a = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (2, "z")], schema="k long, va string"
+    )
+    b = spark.createDataFrame(
+        [(1, "p"), (None, "q"), (3, "r")], schema="k long, vb string"
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(F.coalesce(a["k"], F.lit(-1)).alias("k"), "va", "vb")
+    )
+
+
+@register(
+    "shipping_latency_buckets",
+    """WITH d AS (
+         SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS days
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       )
+       SELECT CAST(CASE WHEN days < 0 THEN -1
+                        ELSE least(days // 30, 5) END AS BIGINT) AS bucket_months,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(days) AS BIGINT) AS min_days,
+              CAST(max(days) AS BIGINT) AS max_days
+       FROM d GROUP BY 1""",
+    "§2.7 date arithmetic: order-to-ship latency histogram in 30-day "
+    "buckets (top-coded) — datediff in exact integer days on both "
+    "engines, no fractional month arithmetic (months_between rounding "
+    "differs across engines; the day-exact form doesn't). Negative "
+    "latencies (ship-before-order rows exist in the synthetic data) "
+    "clamp to one explicit bucket — integer '//' truncates toward zero "
+    "in DuckDB but floors in Spark, so the negative range must never "
+    "reach the division. One fact-fact join + a bounded-key groupBy.",
+)
+def shipping_latency_buckets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = F.when(days < 0, F.lit(-1).cast("long")).otherwise(
+        F.least(F.floor(days / 30).cast("long"), F.lit(5).cast("long"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("bucket_months"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(days).cast("long").alias("min_days"),
+            F.max(days).cast("long").alias("max_days"),
+        )
+    )
