@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "activity_matrix_events",
     "sessionization_events",
+    "interarrival_gap_stats_events",
     "funnel_events",
     "retention_cohorts_events",
     "asof_join_events",

@@ -3211,3 +3211,46 @@ def shipping_latency_buckets(spark, sf_dir):
             F.max(days).cast("long").alias("max_days"),
         )
     )
+
+
+@register(
+    "interarrival_gap_stats_events",
+    """WITH g AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+         FROM events
+       )
+       SELECT event_type,
+              CAST(count(gap_s) AS BIGINT) AS n_gaps,
+              CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+              CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+              round(CAST(sum(gap_s) AS DOUBLE) / count(gap_s), 6) AS avg_gap_s
+       FROM g WHERE gap_s IS NOT NULL
+       GROUP BY event_type""",
+    "behavioral analytics: inter-arrival gap statistics — per-user LAG "
+    "over event time (one shuffle on user_id, the sessionization "
+    "layout) feeding exact integer-second gap aggregates per event "
+    "type. First-event rows (NULL lag) are excluded from both count "
+    "and sum so the average is the true mean of existing gaps. The "
+    "input to any burst-detection / bot-filtering heuristic.",
+)
+def interarrival_gap_stats_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        df.select("event_type", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.round(
+                F.sum("gap_s").cast("double") / F.count("gap_s").cast("double"), 6
+            ).alias("avg_gap_s"),
+        )
+    )
