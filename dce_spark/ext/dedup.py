@@ -20,7 +20,7 @@ Everything is built-in expressions — no Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "shingles_col",
@@ -32,6 +32,7 @@ __all__ = [
     "dedup_clusters",
 ]
 
+from .spread import spread_for_cpu
 from .text import fingerprint_col, tokens_col
 
 
@@ -91,10 +92,11 @@ def _parallelize(df: DataFrame) -> DataFrame:
     hashing is compute-bound, so scale-out must not depend on file
     layout. At cluster scale the input has many splits and this
     round-robin repartition is a cheap, byte-proportional shuffle of
-    (id, text) only.
+    (id, text) only. Gated on a cheap input-file count (ext/spread.py;
+    the former ``df.rdd`` partition probe forced an RDD-conversion
+    plan — round-2's 6.5x payload_stats regression).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    return spread_for_cpu(df)
 
 
 def _shingle_table(
@@ -332,6 +334,30 @@ def incremental_lsh_matches(
     )
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop every (band, bkey) bucket holding more than
+    ``max_bucket_size`` members — the hot-bucket guard for LSH self
+    joins. A bucket of size B yields ~B²/2 candidate pairs, so one
+    boilerplate-flooded bucket (every page sharing a banner) turns the
+    equi-join quadratic; the cap bounds per-bucket fanout to
+    ``max_bucket_size²/2``.
+
+    Recall impact: a pair is lost only if EVERY band it co-occurs in is
+    oversized. Hot buckets are precisely near-identical boilerplate, so
+    what's dropped is the least informative candidate mass; genuinely
+    distinct near-dup pairs keep their other (smaller) band buckets.
+
+    Cost: one window count partitioned by (band, bkey) — the same key
+    the self-join shuffles on, so the exchange is reused, not added.
+    """
+    w = Window.partitionBy("band", "bkey")
+    return (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -340,20 +366,23 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     fast: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures -> band buckets ->
     pairs sharing any bucket. Returns distinct (doc_a, doc_b), a < b.
 
     At scale: the only join is bucket-equality on a compact key; a hot
-    bucket means near-identical boilerplate — cap with a per-bucket
-    count filter upstream if needed. ``fast=True`` uses xxhash64
-    end-to-end (signatures + band keys): same candidate semantics,
-    ~10x less hashing CPU — the production path; default md5 stays
-    oracle-portable.
+    bucket means near-identical boilerplate — ``max_bucket_size`` drops
+    oversized buckets before the self-join (see _cap_buckets for the
+    recall contract), mirroring jaccard's ``max_shingle_freq``.
+    ``fast=True`` uses xxhash64 end-to-end (signatures + band keys):
+    same candidate semantics, ~10x less hashing CPU — the production
+    path; default md5 stays oracle-portable.
     """
-    buckets = _band_buckets(
-        df, text_col, id_col, n, num_hashes, bands, fast
-    ).persist()  # both sides of the self-join reuse this
+    buckets = _band_buckets(df, text_col, id_col, n, num_hashes, bands, fast)
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, max_bucket_size)
+    buckets = buckets.persist()  # both sides of the self-join reuse this
     buckets.count()  # eager: see jaccard_candidate_pairs on the cache race
     a, b = buckets.alias("a"), buckets.alias("b")
     return (

@@ -184,10 +184,18 @@ def hyperplane_lsh_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= threshold) via random-hyperplane
     LSH bucketing — the scale path that replaces the O(n²) all-pairs
     comparison.
+
+    ``max_bucket_size`` drops (band, bkey) buckets larger than the cap
+    before the self-join — the hot-bucket guard (a cluster of
+    near-identical vectors, e.g. zero/boilerplate embeddings, otherwise
+    makes one bucket quadratic). Same recall contract as
+    ext/dedup._cap_buckets: a pair is lost only if every band it shares
+    is oversized.
 
     Per vector: ``bits`` sign bits, bit j = sign of the dot product with
     a deterministic ±1 hyperplane (P[bits agree] = 1 - angle/π, the
@@ -271,19 +279,27 @@ def hyperplane_lsh_pairs(
             lambda acc, x: acc + x,
         )
         band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    buckets = (
-        sig.select("__id", "__vec", "__n2", F.explode(F.array(*band_structs)).alias("bk"))
-        .select(
-            "__id",
-            "__vec",
-            "__n2",
-            F.col("bk.band").alias("band"),
-            F.col("bk.bkey").alias("bkey"),
-        )
-        .persist()  # both self-join sides reuse this; computing the
-        # signature once per row instead of once per side
-        # (callers clearCache after consuming, as with ext/dedup)
+    buckets = sig.select(
+        "__id", "__vec", "__n2", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "__id",
+        "__vec",
+        "__n2",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
     )
+    if max_bucket_size is not None:
+        # window count on the same (band, bkey) key the self-join
+        # shuffles on — drops hot buckets, reuses the exchange
+        wb = Window.partitionBy("band", "bkey")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    buckets = buckets.persist()  # both self-join sides reuse this;
+    # computing the signature once per row instead of once per side
+    # (callers clearCache after consuming, as with ext/dedup)
     buckets.count()  # eager, avoiding the two-sided cache race
 
     a, b = buckets.alias("a"), buckets.alias("b")

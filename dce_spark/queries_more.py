@@ -963,10 +963,20 @@ def kmeans_embeddings_2iter(spark, sf_dir):
 # =====================================================================
 
 _HEX_POS = "strpos('0123456789abcdef', {c}) - 1"
-_BUCKET_SQL = (
-    f"(({_HEX_POS.format(c='substr(h, 1, 1)')}) * 16 + "
-    f"({_HEX_POS.format(c='substr(h, 2, 1)')}))"
-)
+
+
+def _bucket_sql(h: str = "h") -> str:
+    """DuckDB SQL for the 0-255 first-two-hex-digit bucket of hash
+    expression ``h`` — parameterized so oracles that inline the md5
+    (rather than aliasing it as ``h`` in a CTE) build from the same
+    template instead of string-patching the constant."""
+    return (
+        f"(({_HEX_POS.format(c=f'substr({h}, 1, 1)')}) * 16 + "
+        f"({_HEX_POS.format(c=f'substr({h}, 2, 1)')}))"
+    )
+
+
+_BUCKET_SQL = _bucket_sql()
 
 
 def _doc_hash_col(id_col: str = "doc_id"):
@@ -1102,8 +1112,10 @@ def funnel_events(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     # each frontier feeds BOTH the next stage and its own count, and
     # AQE's exchange reuse does not dedupe the repeated subtrees —
-    # persist so every stage computes once (callers clearCache after,
-    # the ext/dedup convention)
+    # persist so every stage computes once. The final result is three
+    # scalars, so the stage counts are materialized eagerly and the
+    # frontier caches released HERE (no caller-side clearCache debt —
+    # the leak class round-2 flagged for long-lived sessions).
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1125,11 +1137,15 @@ def funnel_events(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    counts = [
-        df.agg(F.count(F.lit(1)).alias(alias))
-        for df, alias in [(v, "n_viewed"), (c, "n_clicked_after"), (p, "n_purchased_after")]
-    ]
-    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    try:
+        n_v, n_c, n_p = v.count(), c.count(), p.count()
+    finally:
+        c.unpersist()
+        v.unpersist()
+    return spark.createDataFrame(
+        [(n_v, n_c, n_p)],
+        schema="n_viewed long, n_clicked_after long, n_purchased_after long",
+    )
 
 
 @register(
@@ -1147,24 +1163,22 @@ def funnel_events(spark, sf_dir):
        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
        GROUP BY c.cohort_week, weeks_since""",
     "behavioral analytics: cohort retention — users grouped by first-"
-    "active week, counted per subsequent active week. Two groupBys and "
-    "one join on user_id; the cohort table is one row per user "
-    "(broadcastable after aggregation at any scale). Epoch-week "
+    "active week, counted per subsequent active week. The cohort week "
+    "is min(week) OVER (PARTITION BY user_id) on the distinct "
+    "user-weeks: one window instead of a groupBy + self-join, which "
+    "removes both the join and the persist the two-consumer plan "
+    "needed (no cache to leak). Per-user state is one long; epoch-week "
     "bucketing is timezone-free and engine-portable.",
 )
 def retention_cohorts_events(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    weekly = (
-        e.select(
-            "user_id",
-            F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("week"),
-        )
-        .distinct()
-        .persist()  # consumed by both the cohort agg and the join
-    )
-    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    weekly = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
     return (
-        weekly.join(cohort, "user_id")
+        weekly.withColumn("cohort_week", F.min("week").over(w))
         .groupBy(
             "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
         )
@@ -3055,7 +3069,7 @@ def split_leakage_documents(spark, sf_dir):
     "weighted_sample_documents",
     f"""WITH u AS (
          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-                CAST(({_BUCKET_SQL.replace("substr(h, 1, 1)", "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)").replace("substr(h, 2, 1)", "substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")}) AS BIGINT)
+                CAST(({_bucket_sql("md5(CAST(doc_id AS VARCHAR))")}) AS BIGINT)
                   AS u256
          FROM documents
        ), mx AS (
@@ -3096,25 +3110,28 @@ def weighted_sample_documents(spark, sf_dir):
     "best_order_per_customer",
     """SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
               CAST(max_by(o_orderkey,
-                          CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
+                          CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
                           + o_orderkey) AS BIGINT) AS best_orderkey,
               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                 AS best_cents,
               CAST(min_by(o_orderkey,
-                          CAST(round(o_totalprice * 100) AS BIGINT) * 1000000
+                          CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
                           + o_orderkey) AS BIGINT) AS worst_orderkey
        FROM orders GROUP BY o_custkey""",
     "§2.7 widening: max_by/min_by argmax aggregates — each customer's "
     "highest- and lowest-value order WITHOUT a window or self-join (one "
     "hash aggregate, map-side partials; the window formulation would "
     "sort every group). Both engines leave max_by ties unspecified, so "
-    "the ordering value is the exact integer cents * 1e6 + orderkey — "
-    "unique per row, making the argmax well-defined everywhere.",
+    "the ordering value is the exact integer cents * 1e10 + orderkey — "
+    "unique per row, making the argmax well-defined everywhere. Bounds: "
+    "valid while o_orderkey < 1e10 (TPC-H orderkey ~ 6M*SF, so safe "
+    "through SF~1000) and cents < 9.2e8 (price < $9.2M); both hold for "
+    "any TPC-H-shaped input this engine targets.",
 )
 def best_order_per_customer(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders")
     ordv = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(1000000)
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000000)
         + F.col("o_orderkey")
     )
     return df.groupBy(F.col("o_custkey").cast("long").alias("c_custkey")).agg(

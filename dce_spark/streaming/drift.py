@@ -38,6 +38,14 @@ def streaming_binned_drift(
 
     Output: window_start, window_end, bin, n, win_total, psi_term.
     """
+    if not ref_props:
+        raise ValueError("ref_props must be non-empty (one proportion per bin)")
+    if not ref_max > ref_min:
+        # a degenerate reference span would divide by zero (or clamp
+        # every value into bin 0 / k-1 via ±Infinity) — fail loudly
+        raise ValueError(
+            f"degenerate reference range: ref_min={ref_min} ref_max={ref_max}"
+        )
     k = len(ref_props)
     span = (ref_max - ref_min) / k
     bin_col = F.least(

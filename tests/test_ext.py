@@ -62,6 +62,66 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+@pytest.fixture(scope="module")
+def flooded_docs(spark):
+    """Boilerplate-flooded corpus: 30 identical banner docs (one hot
+    LSH bucket per band) + one genuinely distinct near-dup pair."""
+    banner = "copyright acme corp all rights reserved terms privacy cookies contact"
+    pa = "solar panels convert photons into electric current via silicon junctions"
+    pb = "solar panels convert photons into electric current via silicon junction"
+    rows = [Row(doc_id=i, text=banner) for i in range(100, 130)]
+    rows += [Row(doc_id=1, text=pa), Row(doc_id=2, text=pb)]
+    return spark.createDataFrame(rows)
+
+
+def test_lsh_hot_bucket_cap(spark, flooded_docs):
+    # uncapped: the 30-doc banner bucket alone yields 435 pairs
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in X_dedup.lsh_candidate_pairs(
+            flooded_docs, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert sum(a >= 100 for a, _ in uncapped) == 435
+    # capped: banner buckets (size 30 > 10) drop entirely; the distinct
+    # near-dup pair lives in 2-member buckets and survives
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in X_dedup.lsh_candidate_pairs(
+            flooded_docs, num_hashes=8, bands=4, max_bucket_size=10
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert not any(a >= 100 for a, _ in capped)
+    spark.catalog.clearCache()
+
+
+def test_hyperplane_lsh_hot_bucket_cap(spark):
+    import random
+
+    rng = random.Random(7)
+    boiler = [1.0] + [0.0] * 15  # 30 identical "banner" embeddings
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [v * 1.0001 for v in base]  # same direction -> cosine 1.0
+    rows = [Row(vec_id=i, embedding=boiler) for i in range(100, 130)]
+    rows += [Row(vec_id=1, embedding=base), Row(vec_id=2, embedding=near)]
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in X_sim.hyperplane_lsh_pairs(df, threshold=0.95).collect()
+    }
+    assert sum(a >= 100 for a, _ in uncapped) == 435
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in X_sim.hyperplane_lsh_pairs(
+            df, threshold=0.95, max_bucket_size=10
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert not any(a >= 100 for a, _ in capped)
+    spark.catalog.clearCache()
+
+
 def test_minhash_signature_properties(spark, docs):
     sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
             for r in X_dedup.minhash_signatures(docs, num_hashes=8).collect()}
@@ -396,9 +456,9 @@ def test_pack_assignment_invariants(spark):
 
     from dce_spark.queries import QUERIES
 
-    rows = QUERIES["pack_assign_documents"].fn(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from conftest import SF_DIR
+
+    rows = QUERIES["pack_assign_documents"].fn(spark, SF_DIR).collect()
     assert len(rows) == len({r["doc_id"] for r in rows})  # each doc once
     by_pack = defaultdict(int)
     max_doc = defaultdict(int)
@@ -419,7 +479,8 @@ def test_stratified_sample_is_consistent_subset(spark):
     invocations, and its en stratum is roughly half (binomial bounds)."""
     from dce_spark.queries import QUERIES
 
-    SF = "/root/testdata/sf0.001"
+    from conftest import SF_DIR as SF
+
     fn = QUERIES["stratified_sample_documents"].fn
     s1 = {(r["doc_id"], r["lang"]) for r in fn(spark, SF).collect()}
     s2 = {(r["doc_id"], r["lang"]) for r in fn(spark, SF).collect()}

@@ -132,6 +132,21 @@ def test_lsh_no_cartesian(spark):
     spark.catalog.clearCache()
 
 
+def test_lsh_bucket_cap_stays_equi_join(spark):
+    """The hot-bucket cap (max_bucket_size) must not change the join
+    shape: still a bucket-key equi-join, with the window count reusing
+    the same (band, bkey) partitioning — no cartesian, no NLJ."""
+    from dce_spark.data import load_table
+    from dce_spark.ext.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(lsh_candidate_pairs(docs, num_hashes=8, bands=4,
+                                       max_bucket_size=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
 def test_embedding_lsh_no_cartesian(spark):
     """The bucketed near-dup scale path must never degenerate into an
     all-pairs plan: candidates meet only via the band-bucket equi-join."""
