@@ -174,22 +174,34 @@ def main() -> None:
         # operator-internal persists are scoped to their query
         spark.catalog.clearCache()
 
-    # production fast-hash dedup variant (xxhash64 instead of the
-    # oracle-portable md5): measures the hashing-CPU headroom claimed in
-    # ext/dedup — not in the oracle catalog because xxhash64 is not
-    # replayable in DuckDB
+    # production fast-hash dedup variants (xxhash64 instead of the
+    # oracle-portable md5): measures the hashing-CPU / shuffle-width
+    # headroom claimed in ext/dedup — not in the oracle catalog because
+    # xxhash64 is not replayable in DuckDB. Each md5 family member gets
+    # a fast twin so the production path has its own trend line.
     from dce_spark.data import load_table as _lt
-    from dce_spark.ext.dedup import lsh_candidate_pairs as _lsh
-
-    t0 = time.monotonic()
-    force(_lsh(_lt(spark, SF_DIR, "documents"), num_hashes=8, bands=4, fast=True))
-    timings["dedup_minhash_lsh_fast"] = round(time.monotonic() - t0, 3)
-    print(
-        f"  dedup_minhash_lsh_fast: {timings['dedup_minhash_lsh_fast']}s",
-        file=sys.stderr,
-        flush=True,
+    from dce_spark.ext.dedup import (
+        containment_pairs as _cont,
+        jaccard_candidate_pairs as _jac,
+        lsh_candidate_pairs as _lsh,
     )
-    spark.catalog.clearCache()
+    from dce_spark.queries_more import corpus_survivors_documents as _surv
+
+    _docs = lambda: _lt(spark, SF_DIR, "documents")  # noqa: E731
+    fast_variants = {
+        "dedup_minhash_lsh_fast": lambda: _lsh(
+            _docs(), num_hashes=8, bands=4, fast=True
+        ),
+        "dedup_jaccard_fast": lambda: _jac(_docs(), threshold=0.5, fast=True),
+        "dedup_containment_fast": lambda: _cont(_docs(), threshold=0.7, fast=True),
+        "corpus_survivors_fast": lambda: _surv(spark, SF_DIR, fast=True),
+    }
+    for name, thunk in fast_variants.items():
+        t0 = time.monotonic()
+        force(thunk())
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        spark.catalog.clearCache()
 
     # flagship contract validation (fused pass + grouped + custom SQL)
     from datetime import datetime, timezone

@@ -100,16 +100,26 @@ def _parallelize(df: DataFrame) -> DataFrame:
 
 
 def _shingle_table(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, fast: bool = False
 ) -> DataFrame:
+    """(__id, sh) exploded distinct shingles. ``fast=True`` replaces the
+    shingle STRING with its xxhash64 — an 8-byte join/shuffle key
+    instead of an ~n-word string (the dominant shuffle width of the
+    inverted-index joins). Set semantics are preserved modulo 64-bit
+    hash collisions (~n²/2⁶⁵ — negligible at any corpus size that fits
+    a cluster); not oracle-replayable, so catalog queries keep md5-free
+    string shingles and the fast path is benched separately."""
     pruned = _parallelize(df.select(F.col(id_col).alias("__id"), F.col(text_col)))
     toks = pruned.select(
         "__id", tokens_col(F.lower(F.col(text_col))).alias("__toks")
     )
-    return toks.select(
-        "__id",
-        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh"),
+    out = toks.select(
+        "__id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("sh")
     )
+    if fast:
+        # hash AFTER explode (a generator can't nest inside xxhash64)
+        out = out.select("__id", F.xxhash64("sh").alias("sh"))
+    return out
 
 
 def jaccard_candidate_pairs(
@@ -119,8 +129,13 @@ def jaccard_candidate_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
+
+    ``fast=True`` joins on xxhash64(shingle) instead of the shingle
+    string — 8-byte shuffle keys, ~identical results (64-bit collision
+    odds), the production path; default stays oracle-portable.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
     jaccard >= threshold. ``max_shingle_freq`` drops shingles occurring
@@ -141,7 +156,7 @@ def jaccard_candidate_pairs(
     # BOTH sides of the self-join. Without the eager count, the two join
     # sides race to compute the same cache blocks and serialize on
     # block-manager locks; with it, every consumer reads warm cache.
-    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sh = _shingle_table(df, text_col, id_col, n, fast).persist()
     sh.count()
     if max_shingle_freq is not None:
         rare = (
@@ -184,6 +199,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    fast: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup detection: shingle containment
     |shingles(contained) ∩ shingles(container)| / |shingles(contained)|.
@@ -197,7 +213,7 @@ def containment_pairs(
     the asymmetry costs nothing extra in shuffle. Scale notes and
     persist/unpersist contract match jaccard_candidate_pairs.
     """
-    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sh = _shingle_table(df, text_col, id_col, n, fast).persist()
     sh.count()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

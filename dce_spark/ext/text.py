@@ -74,10 +74,14 @@ def quality_score_col(text: Column, lang: str = "en") -> Column:
     return length_score * punct_score * stop_score
 
 
-def fingerprint_col(text: Column) -> Column:
-    """Deterministic document fingerprint: md5 of whitespace-normalized,
-    lowercased text."""
+def fingerprint_col(text: Column, fast: bool = False) -> Column:
+    """Deterministic document fingerprint of whitespace-normalized,
+    lowercased text. Default md5 (oracle-portable); ``fast=True`` uses
+    xxhash64 — 8-byte group keys and ~10x less hashing CPU, the
+    production path (same convention as ext/dedup's MinHash)."""
     normalized = F.lower(F.trim(F.regexp_replace(text, "\\s+", " ")))
+    if fast:
+        return F.xxhash64(normalized)
     return F.md5(normalized.cast("binary"))
 
 

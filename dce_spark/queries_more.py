@@ -2321,18 +2321,21 @@ FROM fpr JOIN cur ON fpr.doc_id = cur.doc_id"""
     "all-pairs), stage 3 is map-side; statuses combine with two "
     "broadcast-sized joins (duplicate lists are small).",
 )
-def corpus_survivors_documents(spark, sf_dir):
+def corpus_survivors_documents(spark, sf_dir, fast=False):
+    # ``fast=True`` is the benched production-hash variant (xxhash64
+    # fingerprints + xxhash64 LSH) — identical funnel semantics, not
+    # oracle-replayable; the registered catalog entry runs fast=False.
     from .ext import dedup as X_dedup
     from .ext.text import curation_decisions, fingerprint_col
 
     df = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
     )
-    fp = df.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    fp = df.select("doc_id", fingerprint_col(F.col("text"), fast).alias("fp"))
     rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
     fpr = fp.join(rep, "fp").select("doc_id", "rep_id")
     pairs = X_dedup.lsh_candidate_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4, fast=fast
     )
     reps_only = fpr.filter(F.col("doc_id") == F.col("rep_id")).select(
         F.col("doc_id").alias("rid")

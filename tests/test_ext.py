@@ -122,6 +122,63 @@ def test_hyperplane_lsh_hot_bucket_cap(spark):
     spark.catalog.clearCache()
 
 
+def test_fast_hash_variants_match_portable(spark, docs):
+    """The xxhash64 production paths (jaccard / containment / survivors
+    fingerprint) must produce the same RESULTS as the md5-portable
+    paths — only the hash key width changes, not the set semantics."""
+    slow = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in X_dedup.jaccard_candidate_pairs(docs, threshold=0.5).collect()
+    )
+    fast = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in X_dedup.jaccard_candidate_pairs(
+            docs, threshold=0.5, fast=True
+        ).collect()
+    )
+    assert slow == fast and len(slow) > 0
+    slow_c = sorted(
+        (r["contained"], r["container"], r["containment"])
+        for r in X_dedup.containment_pairs(docs, threshold=0.7).collect()
+    )
+    fast_c = sorted(
+        (r["contained"], r["container"], r["containment"])
+        for r in X_dedup.containment_pairs(docs, threshold=0.7, fast=True).collect()
+    )
+    assert slow_c == fast_c and len(slow_c) > 0
+    spark.catalog.clearCache()
+
+
+def test_corpus_survivors_fast_invariants(spark):
+    """fast=True swaps the MinHash family (xxhash64 for md5), so the
+    LSH *candidate* set — and thus borderline near_dup statuses — may
+    legitimately differ. The hash-independent parts must not: same doc
+    universe, identical exact_dup groups (normalization is hash-free;
+    identical texts collide under ANY hash), and only kept/filtered/
+    near_dup statuses may flip between variants."""
+    from conftest import SF_DIR
+
+    from dce_spark.queries_more import corpus_survivors_documents
+
+    slow = {
+        r["doc_id"]: r["status"]
+        for r in corpus_survivors_documents(spark, SF_DIR).collect()
+    }
+    fast = {
+        r["doc_id"]: r["status"]
+        for r in corpus_survivors_documents(spark, SF_DIR, fast=True).collect()
+    }
+    assert slow.keys() == fast.keys()
+    assert {d for d, s in slow.items() if s == "exact_dup"} == {
+        d for d, s in fast.items() if s == "exact_dup"
+    }
+    assert len({s for s in fast.values()}) >= 3  # non-vacuous
+    # statuses agree on the overwhelming majority of docs
+    n_diff = sum(1 for d in slow if slow[d] != fast[d])
+    assert n_diff <= len(slow) * 0.05, n_diff
+    spark.catalog.clearCache()
+
+
 def test_minhash_signature_properties(spark, docs):
     sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
             for r in X_dedup.minhash_signatures(docs, num_hashes=8).collect()}
