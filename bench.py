@@ -121,6 +121,15 @@ BENCH_QUERIES = [
     "ntile_bins_lineitem_approx",
     "multimodal_payload_stats",
     "multimodal_frame_sample",
+    # round-3 additions
+    "passage_dedup_documents",
+    "lsh_verified_pairs_documents",
+    "embedding_dup_clusters",
+    "source_mix_resample_documents",
+    "mode_median_by_segment",
+    "dedup_minhash_lsh_capped",
+    "unigram_logprob_documents",
+    "session_window_native_events",
 ]
 
 

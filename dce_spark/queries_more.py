@@ -3282,3 +3282,444 @@ def interarrival_gap_stats_events(spark, sf_dir):
             ).alias("avg_gap_s"),
         )
     )
+
+
+# =====================================================================
+# Round-3 widening: passage-level dedup, verified near-dup pairs,
+# embedding dup clusters, source-mix resampling, deterministic
+# mode/median aggregates
+# =====================================================================
+
+
+@register(
+    "passage_dedup_documents",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), chunks AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                  list_filter(range(1, greatest(len(t) - 7, 0) + 1),
+                              i -> (i - 1) % 8 = 0),
+                  i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS chunk
+         FROM toks
+       )
+       SELECT chunk,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM chunks GROUP BY chunk HAVING count(*) > 1""",
+    "training-data op: PASSAGE-LEVEL exact dedup — non-overlapping "
+    "8-word chunks (stride = width, the cheap approximation of "
+    "suffix-array substring dedup a la Lee et al. 2022) exploded and "
+    "grouped; chunks appearing in >1 document are repeated boilerplate "
+    "candidates for span-removal. One explode + one groupBy on the "
+    "chunk text (production: xxhash64 the chunk — 8-byte shuffle keys, "
+    "same fast-twin convention as ext/dedup). Distinct-per-doc so a "
+    "chunk repeated inside ONE doc doesn't inflate the cross-doc count.",
+)
+def passage_dedup_documents(spark, sf_dir):
+    from .ext.dedup import _parallelize
+    from .ext.text import tokens_col
+
+    df = load_table(spark, sf_dir, "documents")
+    pruned = _parallelize(df.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    toks = pruned.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("t"))
+    k = F.size("t") - 7
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: ((i - 1) % 8 == 0) & (k >= 1),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice("t", i, 8)))
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _lsh_verified_oracle() -> str:
+    from .queries import _MINHASH_PAIRS_SELECT, _minhash_ctes
+
+    return (
+        f"WITH {_minhash_ctes()}"
+        + f""", pairs AS (
+{_MINHASH_PAIRS_SELECT}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+       round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                   / greatest(strlen(ta.text), strlen(tb.text)), 6) AS edit_sim
+FROM pairs p
+JOIN documents ta ON ta.doc_id = p.doc_a
+JOIN documents tb ON tb.doc_id = p.doc_b
+WHERE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+            / greatest(strlen(ta.text), strlen(tb.text)) >= 0.8"""
+    )
+
+
+@register(
+    "lsh_verified_pairs_documents",
+    _lsh_verified_oracle(),
+    "training-data op: two-stage near-dup — cheap MinHash-LSH candidate "
+    "generation, then EXACT edit-distance verification on the surviving "
+    "pairs only (keep if levenshtein similarity >= 0.8). The canonical "
+    "candidate->verify pattern: the O(len^2) Levenshtein DP runs on "
+    "|candidates| pairs (LSH-pruned, orders of magnitude below n^2/2), "
+    "and the text join is two broadcast-able lookups of (id, text). "
+    "Integer edit distance is engine-exact; the similarity ratio is one "
+    "IEEE division of exact ints. At 100 TB: cap verify cost by "
+    "truncating texts to a fixed prefix (the reference corpus here is "
+    "short); candidates stream through the verifier map-side.",
+)
+def lsh_verified_pairs_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = X_dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    dist = F.levenshtein("__ta", "__tb")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("__ta"), F.length("__tb")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .filter(sim >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+    )
+
+
+def _emb_cluster_oracle() -> str:
+    from .queries import _DIRTY_EMB_SQL, _PAIR_COS_EXPR
+
+    return f"""WITH RECURSIVE {_DIRTY_EMB_SQL},
+pairs AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS va, CAST(b.vec_id AS BIGINT) AS vb
+  FROM dirty a, dirty b
+  WHERE a.vec_id < b.vec_id AND round({_PAIR_COS_EXPR}, 6) >= 0.95
+), edges AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb AS a, va AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND r.a <> e.b
+)
+SELECT CAST(a AS BIGINT) AS vec_id,
+       CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a"""
+
+
+@register(
+    "embedding_dup_clusters",
+    _emb_cluster_oracle(),
+    "training-data op: connected components over EMBEDDING near-dup "
+    "pairs (hyperplane-LSH candidates, cosine >= 0.95 over the dirtied "
+    "view) — semantic dedup's canonical-representative step, the "
+    "embedding-space twin of dedup_clusters_documents. Same pointer-"
+    "jumping/union-find hybrid from ext/dedup.cluster; the edge list is "
+    "LSH-bucketed (equi-join only), never all-pairs. Oracle: recursive-"
+    "CTE transitive closure over the brute-force pair set (LSH recall "
+    "on this fixture is 100%, so the components are identical).",
+)
+def embedding_dup_clusters(spark, sf_dir):
+    from .ext import dedup as X_dedup
+    from .ext import similarity as X_sim
+    from .queries import _dirty_embeddings
+
+    df = _dirty_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    pairs = X_sim.hyperplane_lsh_pairs(df, threshold=0.95, bits=32, bands=4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = X_dedup.dedup_clusters(pairs)
+    return out.select(F.col("node").alias("vec_id"), F.col("cluster_id"))
+
+
+@register(
+    "source_mix_resample_documents",
+    f"""WITH counts AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents
+         GROUP BY source
+       ), tot AS (
+         SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+                CAST(count(*) AS BIGINT) AS n_sources
+         FROM counts
+       ), kept AS (
+         SELECT d.source, d.doc_id
+         FROM documents d
+         JOIN counts c ON c.source = d.source
+         CROSS JOIN tot
+         WHERE CAST(({_bucket_sql("md5(CAST(doc_id AS VARCHAR))")}) AS BIGINT)
+               * tot.n_sources * c.n_src < 256 * tot.n_total
+       )
+       SELECT k.source,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(any_value(c.n_src) AS BIGINT) AS n_orig
+       FROM kept k JOIN counts c ON c.source = k.source
+       GROUP BY k.source""",
+    "training-data op: SOURCE-MIX RESAMPLING toward a uniform target "
+    "share per source (domain rebalancing before training). Per-source "
+    "keep rate = min(1, (N_total / n_sources) / n_src); each doc's "
+    "keep/drop decision is the shared content-free md5 uniform "
+    "(composable with every other selection op), and the comparison "
+    "bucket*n_sources*n_src < 256*N_total stays in EXACT int64 "
+    "arithmetic — no float rates, engine-identical at any scale. "
+    "Shape: one count agg (broadcast back as 20 rows) + a map-side "
+    "filter; no shuffle of the corpus itself. Over-represented sources "
+    "are downsampled toward the target; under-represented ones kept "
+    "whole (rate clamps at 1 since bucket <= 255).",
+)
+def source_mix_resample_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    tot = counts.agg(
+        F.sum("n_src").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    bucket = _doc_bucket_col().cast("long")
+    kept = (
+        df.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(bucket * F.col("n_sources") * F.col("n_src") < 256 * F.col("n_total"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("n_src").alias("n_orig"),
+    )
+
+
+@register(
+    "mode_median_by_segment",
+    """WITH pc AS (
+         SELECT c_mktsegment, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY c_mktsegment, o_orderpriority
+       ), ranked AS (
+         SELECT c_mktsegment, o_orderpriority, cnt,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY cnt DESC, o_orderpriority) AS rn
+         FROM pc
+       ), med AS (
+         SELECT c_mktsegment,
+                median(CAST(round(c_acctbal * 100) AS BIGINT)) AS med_cents
+         FROM customer GROUP BY c_mktsegment
+       )
+       SELECT r.c_mktsegment,
+              r.o_orderpriority AS mode_priority,
+              r.cnt AS mode_count,
+              CAST(m.med_cents AS DOUBLE) / 100 AS median_acctbal
+       FROM ranked r JOIN med m ON m.c_mktsegment = r.c_mktsegment
+       WHERE r.rn = 1""",
+    "§2.7 widening: deterministic MODE and MEDIAN per group — the mode "
+    "is computed as an explicit count + rank (ORDER BY cnt DESC, value) "
+    "instead of the engines' mode() aggregates, whose tie-breaking is "
+    "unspecified and differs; the median runs on exact integer cents "
+    "(both engines interpolate even-count medians as the mean of the "
+    "two middles — exact on ints, then one IEEE division back to "
+    "dollars). Exact median is the documented parity probe; "
+    "approx_percentile is the registered production path for "
+    "quantiles at scale (see quantiles_lineitem_approx).",
+)
+def mode_median_by_segment(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pc = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    mode = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        (
+            F.median(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+            / F.lit(100)
+        ).alias("median_acctbal")
+    )
+    return mode.join(med, "c_mktsegment")
+
+
+def _capped_lsh_oracle(cap: int) -> str:
+    from .queries import _minhash_ctes
+
+    return (
+        f"WITH {_minhash_ctes()}"
+        + f""", capped AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           count(*) OVER (PARTITION BY band, bkey) AS bsz
+    FROM bands
+  ) WHERE bsz <= {cap}
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                CAST(b.doc_id AS BIGINT) AS doc_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+    )
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    _capped_lsh_oracle(2),
+    "ext/dedup: MinHash-LSH candidates WITH the hot-bucket cap "
+    "(max_bucket_size=2) — locks the cap's exact semantics cross-"
+    "engine: a (band,bkey) bucket larger than the cap contributes NO "
+    "pairs; pairs surviving via smaller buckets are unaffected. The "
+    "cap is the 100 TB guard against boilerplate-flooded buckets going "
+    "quadratic inside the self-join (cap=2 bites on this corpus: "
+    "size-3 buckets exist and are dropped). The window count rides the "
+    "same (band,bkey) exchange the join needs — no extra shuffle.",
+)
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    return X_dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=2,
+    )
+
+
+@register(
+    "unigram_logprob_documents",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), words AS (
+         SELECT doc_id, unnest(t) AS w FROM toks
+       ), vocab AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+       ), tot AS (
+         SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab
+       )
+       SELECT w.doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              round(sum(ln(CAST(v.cnt AS DOUBLE) / t.n)) / count(*), 6)
+                AS avg_logprob
+       FROM words w
+       JOIN vocab v ON v.w = w.w
+       CROSS JOIN tot t
+       GROUP BY w.doc_id""",
+    "training-data op: UNIGRAM LOG-PROBABILITY quality score — each "
+    "doc's mean ln P(token) under the corpus's own unigram "
+    "distribution (the cheap stand-in for LM-perplexity filtering; "
+    "low-probability-dense docs are gibberish/OCR-noise candidates). "
+    "Two aggregations: vocab counts (vocabulary-sized, broadcastable "
+    "after the cut), then a map-side join + per-doc fold. ln and the "
+    "final mean are float by nature -> round(6) on both engines; the "
+    "join keys and counts stay exact ints. At 100 TB the vocab table "
+    "gets a min-count cut (rare tails dominate size, not mass).",
+)
+def unigram_logprob_documents(spark, sf_dir):
+    from .ext.dedup import _parallelize
+    from .ext.text import tokens_col
+
+    df = load_table(spark, sf_dir, "documents")
+    pruned = _parallelize(
+        df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    words = pruned.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt").cast("double") / F.col("n")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "session_window_native_events",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN epoch(ts)
+                          - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                          > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+       ), sess AS (
+         SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM gaps
+       )
+       SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM sess GROUP BY user_id, sess_id""",
+    "Spark-native SESSION WINDOW (F.session_window, 30-min gap): the "
+    "same session semantics as the lag-based sessionization_events but "
+    "expressed as a first-class windowed aggregation — the form that "
+    "runs UNCHANGED on a stream (dynamic-gap session windows are the "
+    "Structured Streaming stateful primitive; the lag form is batch-"
+    "only). One shuffle on user_id; state per open session is O(1). "
+    "Oracle: gap-and-islands SQL (DuckDB has no session_window) — "
+    "equality PROVES the native operator implements the documented "
+    "gap-merge semantics. Ties: events at the same ts merge into one "
+    "session on both paths.",
+)
+def session_window_native_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start_s"),
+            "n_events",
+        )
+    )
