@@ -15,14 +15,20 @@
   buckets; never a cross join / broadcast NLJ over the corpus.
 
 Dot products use ``zip_with`` + ``aggregate`` (JVM-side, codegen) in
-double precision. No UDFs.
+double precision. The one Python stage is the hyperplane signature — an
+Arrow-batched integer matmul (exact, engine-portable), never
+row-at-a-time.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "dot_col",
@@ -226,35 +232,35 @@ def hyperplane_lsh_pairs(
     dim = len(first[0])
     W = _hyperplane_weights(bits, dim)
 
-    # integer-quantized element values: round(x * 1e6) as long, computed
-    # once per vector and reused by all `bits` projections
-    quant = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long")
-    )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
-        quant.alias("__q"),
     )
-    # ALL `bits` projections in ONE aggregate with an array accumulator:
-    # element d contributes q_d * W[:,d] (a `bits`-wide partial), partials
-    # sum elementwise. Exact integer arithmetic, so the sums — and the
-    # sign bits — are identical to computing each projection separately,
-    # but the expression tree is O(dim x bits) literals in one node
-    # instead of `bits` separate aggregates (cuts whole-stage-codegen
-    # compile from ~2s to ~0.2s per call and keeps the generated method
-    # small enough to JIT).
-    w_by_pos = F.array(
-        *[F.array(*[F.lit(W[j][d]) for j in range(bits)]) for d in range(dim)]
-    )
-    partials = F.zip_with(
-        F.col("__q"), w_by_pos, lambda q, wr: F.transform(wr, lambda w: q * w.cast("long"))
-    )
-    sums = F.aggregate(
-        partials,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, p: F.zip_with(acc, p, lambda a, b: a + b),
-    )
+    # ALL `bits` projections + band keys in ONE Arrow-batched matmul.
+    # Earlier form was a JVM higher-order-function tree (zip_with/
+    # aggregate over a dim x bits literal array) — HOFs are interpreted
+    # per element (never codegen'd) and the 2k-literal tree taxed every
+    # analyze/optimize pass: ~0.35 ms/row + seconds of planning. The
+    # batch form is exact INTEGER arithmetic, so bucket assignment is
+    # bit-identical to per-projection evaluation under any partitioning
+    # or engine: q = round_half_away(x * 1e6) as int64 (matching Spark
+    # ROUND semantics), S = q @ W^T in int64 (|S| <= dim * 1e6 * max|x|,
+    # far from overflow for unit-scale embeddings), bit j = S_j > 0.
+    Wt = np.asarray(W, dtype=np.int64).T  # (dim, bits)
+    band_powers = np.zeros((bits, bands), dtype=np.int64)
+    for b in range(bands):
+        for r in range(rows_per_band):
+            band_powers[b * rows_per_band + r, b] = 1 << r
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _band_keys(vecs: pd.Series) -> pd.Series:
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]) * 1e6
+        # Spark ROUND = half away from zero; np.rint is half-to-even
+        q = np.where(M >= 0, np.floor(M + 0.5), np.ceil(M - 0.5)).astype(np.int64)
+        sign_bits = (q @ Wt > 0).astype(np.int64)  # (n, bits)
+        keys = sign_bits @ band_powers  # (n, bands)
+        return pd.Series(list(keys.astype(np.int32)))
+
     sig = base.select(
         "__id",
         "__vec",
@@ -263,30 +269,14 @@ def hyperplane_lsh_pairs(
         # the same double arithmetic as cosine_col, element order
         # unchanged — bit-identical results, 3x less pair-stage work)
         dot_col(F.col("__vec"), F.col("__vec")).alias("__n2"),
-        F.transform(sums, lambda s: (s > 0).cast("int")).alias("__bits"),
+        _band_keys(F.col("__vec")).alias("__keys"),
     )
 
-    powers = F.array(*[F.lit(1 << r) for r in range(rows_per_band)])
-    band_structs = []
-    for b in range(bands):
-        key = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("__bits"), b * rows_per_band + 1, rows_per_band),
-                powers,
-                lambda x, p: x * p,
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
     buckets = sig.select(
-        "__id", "__vec", "__n2", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
         "__id",
         "__vec",
         "__n2",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bkey").alias("bkey"),
+        F.posexplode(F.col("__keys")).alias("band", "bkey"),
     )
     if max_bucket_size is not None:
         # window count on the same (band, bkey) key the self-join

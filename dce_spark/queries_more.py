@@ -912,15 +912,19 @@ def kmeans_embeddings_2iter(spark, sf_dir):
 
     def assign(cent_pairs):
         """(cid, d2) of the nearest centroid; cent_pairs is [(cid, vec)]
-        in ascending cid order, so strict-less replacement gives the
+        in ascending cid order, so first-occurrence-of-min gives the
         lowest cid on ties (the oracle's ORDER BY d2, cid). Explicit
-        cids survive empty clusters without positional drift."""
-        best_cid, best_d2 = F.lit(cent_pairs[0][0]), d2_to(cent_pairs[0][1])
-        for cid, c in cent_pairs[1:]:
-            di = d2_to(c)
-            better = di < best_d2
-            best_cid = F.when(better, F.lit(cid)).otherwise(best_cid)
-            best_d2 = F.when(better, di).otherwise(best_d2)
+        cids survive empty clusters without positional drift.
+
+        Shape note: the d2 expressions go into ONE array and the argmin
+        is array_min + array_position — each d2 appears exactly once in
+        the tree. The chained when(di < best_d2, ...) form duplicates
+        best_d2 per step, doubling the tree per centroid (O(2^k) nodes:
+        measured seconds of analysis + interpreted HOF eval at k=4)."""
+        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
+        best_d2 = F.array_min(d2s)
+        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
+        best_cid = F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
         return best_cid, best_d2
 
     # iteration 0: seeds are the first k vectors (collected: k x 64 doubles)
