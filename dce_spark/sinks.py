@@ -1,0 +1,159 @@
+"""Write-side sinks: partitioned, range-sorted, and compacted layouts.
+
+The reference's only sink is the validation report (contracts_cli
+main.rs text/JSON output; docs/ARCHITECTURE.md:60-66) — dce-spark keeps
+that (report.py / cli.py) and adds the write paths a 100 TB
+training-data pipeline needs on the data side:
+
+- :func:`write_partitioned` — hive-style ``partitionBy`` writes with
+  per-partition-directory file-count control. The naive
+  ``df.write.partitionBy(c)`` lets every upstream task write into every
+  partition directory, producing ``tasks x partitions`` small files at
+  cluster scale; repartitioning on the partition columns first makes
+  each directory come from a bounded number of tasks.
+- :func:`write_sorted` — ``repartitionByRange`` + ``sortWithinPartitions``
+  so every output file covers a disjoint key range and is internally
+  sorted: parquet writes min/max stats per row group, so point and
+  range scans over the sort key prune to a handful of files
+  (zone-map pruning) without any index service.
+- :func:`compact` — small-file compaction with ``coalesce`` (no
+  shuffle: bins existing splits into fewer tasks), the maintenance
+  job that keeps a streaming/append table scannable.
+- :func:`layout_stats` — per-file row counts + sort-key ranges of an
+  existing layout, computed as ONE distributed aggregation over
+  ``input_file_name()`` (never listing files on the driver).
+
+Bucketed (pre-shuffled, join-colocated) writes live in
+:mod:`dce_spark.ext.bucketing`.
+
+Scale notes: all writers take ``max_records_per_file`` (maps to the
+``maxRecordsPerFile`` writer option) as the row-level backstop against
+oversized files; ``write_sorted``'s file count should be sized so one
+file ~ one HDFS block / S3 part (128-512 MB). ``compact`` reads the
+source layout lazily and coalesces — partition-local concatenation,
+no shuffle, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_partitioned", "write_sorted", "compact", "layout_stats"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    files_per_partition: int = 1,
+    mode: str = "error",
+    format: str = "parquet",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Hive-partitioned write with a bounded file count per directory.
+
+    ``files_per_partition=1`` repartitions on the partition columns so
+    each partition value lands in exactly one task -> one file per
+    directory. For hot partitions (one value >> others), raise
+    ``files_per_partition``: a deterministic salt (xxhash64 of the full
+    row, mod N) spreads each partition value over N tasks/files.
+    ``max_records_per_file`` additionally splits any file that would
+    exceed the row cap (writer-side, no extra shuffle).
+    """
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition == 1:
+        out = df.repartition(*keys)
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(files_per_partition))
+        out = df.withColumn("__salt", salt).repartition(*keys, F.col("__salt"))
+        out = out.drop("__salt")
+    writer = out.write.mode(mode).format(format).partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: Sequence[str],
+    num_files: int,
+    mode: str = "error",
+    format: str = "parquet",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Range-partitioned, locally-sorted write (zone-map layout).
+
+    ``repartitionByRange`` samples the sort key and assigns each output
+    task a disjoint key range (one range shuffle); ``sortWithinPartitions``
+    orders rows inside each task so parquet row-group min/max stats are
+    tight. A later ``WHERE sort_key = x`` / ``BETWEEN`` scan prunes to
+    the one file (and row group) whose range contains ``x`` — the same
+    effect a clustered index gives, from layout alone. This is the
+    cheap 1-D version of Z-ordering; for multi-key locality put the
+    highest-selectivity key first in ``sort_by``.
+    """
+    if num_files < 1:
+        raise ValueError("num_files must be >= 1")
+    keys = [F.col(c) for c in sort_by]
+    out = df.repartitionByRange(num_files, *keys).sortWithinPartitions(*keys)
+    writer = out.write.mode(mode).format(format)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    num_files: int,
+    format: str = "parquet",
+    mode: str = "error",
+) -> None:
+    """Rewrite a many-small-files layout as ``num_files`` files.
+
+    Uses ``coalesce`` (not ``repartition``): existing splits are binned
+    into fewer tasks with NO shuffle — each output file is a
+    concatenation of whole input splits, which is exactly what
+    compaction wants. Writes to ``dest_path`` (never in place: Spark
+    cannot overwrite a path mid-scan, and a failed in-place rewrite
+    must not destroy the source — swap paths after success, as table
+    formats do with atomic metadata commits).
+    """
+    if num_files < 1:
+        raise ValueError("num_files must be >= 1")
+    if src_path == dest_path:
+        raise ValueError("compact writes to a new path; swap after success")
+    df = spark.read.format(format).load(src_path)
+    df.coalesce(num_files).write.mode(mode).format(format).save(dest_path)
+
+
+def layout_stats(
+    spark: SparkSession,
+    path: str,
+    sort_by: Optional[Sequence[str]] = None,
+    format: str = "parquet",
+) -> DataFrame:
+    """Per-file stats of an existing layout: ``(file, rows[, min/max
+    of each sort key])`` — one distributed aggregation grouped on
+    ``input_file_name()``; nothing is listed or collected on the
+    driver. Feed the result to a compaction policy (files below the
+    target size) or a sortedness audit (overlapping key ranges =>
+    layout degraded, re-cluster)."""
+    df = spark.read.format(format).load(path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in sort_by or []:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .orderBy("file")
+    )

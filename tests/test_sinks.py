@@ -1,0 +1,127 @@
+"""Write-side layout sinks: partitioned, range-sorted, compacted.
+
+Each test verifies the LAYOUT (file counts per directory, per-file key
+ranges, partition pruning in the plan), not just the data roundtrip —
+the layout is the product at 100 TB.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, load
+from dce_spark.sinks import compact, layout_stats, write_partitioned, write_sorted
+
+
+def _parquet_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def test_write_partitioned_one_file_per_dir(spark, tmp_path):
+    out = str(tmp_path / "docs_by_lang")
+    df = load(spark, SF_DIR, "documents")
+    write_partitioned(df, out, ["lang"], files_per_partition=1)
+
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "lang=*")))
+    langs = sorted(r["lang"] for r in df.select("lang").distinct().collect())
+    assert dirs == [f"lang={l}" for l in langs]
+    for d in glob.glob(os.path.join(out, "lang=*")):
+        assert len(_parquet_files(d)) == 1, d
+
+    back = spark.read.parquet(out)
+    got = {r["lang"]: r["n"] for r in back.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    exp = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp
+
+
+def test_write_partitioned_salted_file_count(spark, tmp_path):
+    out = str(tmp_path / "docs_salted")
+    df = load(spark, SF_DIR, "documents")
+    write_partitioned(df, out, ["lang"], files_per_partition=3)
+    for d in glob.glob(os.path.join(out, "lang=*")):
+        # salt spreads each partition over AT MOST N files (a tiny
+        # partition may hash into fewer salt values)
+        assert 1 <= len(_parquet_files(d)) <= 3, d
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_write_partitioned_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path / "docs_pruned")
+    df = load(spark, SF_DIR, "documents")
+    write_partitioned(df, out, ["lang"], files_per_partition=1)
+    q = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # hive-partition filter must prune at the FileIndex, not post-scan
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:800]
+
+
+def test_write_sorted_disjoint_ranges_and_local_order(spark, tmp_path):
+    out = str(tmp_path / "orders_sorted")
+    df = load(spark, SF_DIR, "orders")
+    write_sorted(df, out, ["o_totalprice"], num_files=4)
+    files = _parquet_files(out)
+    assert len(files) == 4
+
+    stats = layout_stats(spark, out, sort_by=["o_totalprice"]).collect()
+    assert sum(r["rows"] for r in stats) == df.count()
+    # file ranges are pairwise disjoint (range partitioner boundaries)
+    ranges = sorted((r["min_o_totalprice"], r["max_o_totalprice"]) for r in stats)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+    # rows are sorted WITHIN each file (zone-map tightness)
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "o_totalprice"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    viol = (
+        back.withColumn("prev", F.lag("o_totalprice").over(w))
+        .filter(F.col("prev") > F.col("o_totalprice"))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_compact_reduces_files_without_shuffle(spark, tmp_path):
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    df = load(spark, SF_DIR, "events")
+    df.repartition(16).write.parquet(src)
+    assert len(_parquet_files(src)) == 16
+
+    compact(spark, src, dst, num_files=2)
+    assert len(_parquet_files(dst)) == 2
+    assert spark.read.parquet(dst).count() == df.count()
+
+    # coalesce, not repartition: the compaction plan has NO exchange
+    plan = (
+        spark.read.parquet(src)
+        .coalesce(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    p = str(tmp_path / "same")
+    with pytest.raises(ValueError):
+        compact(spark, p, p, num_files=1)
+
+
+def test_layout_stats_per_file_rows(spark, tmp_path):
+    out = str(tmp_path / "flat")
+    df = load(spark, SF_DIR, "nation")
+    df.repartition(3).write.parquet(out)
+    stats = layout_stats(spark, out).collect()
+    assert len(stats) == 3
+    assert sum(r["rows"] for r in stats) == df.count()
