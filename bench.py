@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "ntile_bins_lineitem_approx",
     "multimodal_payload_stats",
     "multimodal_frame_sample",
+    "multimodal_header_meta",
     # round-3 additions
     "passage_dedup_documents",
     "lsh_verified_pairs_documents",

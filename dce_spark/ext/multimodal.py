@@ -1,12 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as ``binary`` columns with a metadata
-struct. The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``
-transforms, partitioning-friendly signatures — is real and tested; the
-actual media decoding is STUBBED (the image/audio libraries are not in
-this environment): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-pipeline shape can be exercised end-to-end.
+struct. Three tiers of realness:
+
+1. The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``
+   transforms, partitioning-friendly signatures — is real and tested.
+2. Container-header METADATA decoding is REAL: :func:`parse_header`
+   reads PNG IHDR, JPEG SOFn markers, GIF/BMP descriptors, and WAV
+   RIFF chunks from raw bytes (fixed struct layouts, no media
+   libraries) — the production first stage that filters by
+   dimensions/duration BEFORE paying for pixel decode.
+3. Pixel/sample decoding is STUBBED (PIL/ffmpeg absent from this
+   environment): ``decode_image`` raises NotImplementedError unless
+   ``fake=True``, which substitutes a deterministic fake decoder so
+   the pipeline shape can be exercised end-to-end.
 
 At scale: payload columns dominate bytes, so transforms select only
 (id, payload) before mapInPandas (column pruning), keep batches bounded
@@ -28,8 +35,12 @@ from .spread import spread_for_cpu
 
 __all__ = [
     "MEDIA_META_SCHEMA",
+    "MEDIA_HEADER_SCHEMA",
     "attach_payload",
     "payload_stats",
+    "parse_header",
+    "parse_media_headers",
+    "synthesize_payload",
     "decode_image_batch",
     "extract_image_features",
     "sample_frames",
@@ -102,6 +113,180 @@ def payload_stats(df: DataFrame, id_col: str, payload_col: str = "payload") -> D
             )
 
     return pruned.mapInPandas(compute, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# REAL container-metadata decoding (no media libraries needed): the
+# dimension/sample-rate fields live in fixed-layout file headers, so a
+# pure byte parser extracts them — this is the production first stage
+# of any media pipeline (filter by size/format BEFORE paying for pixel
+# decode). Pixel/sample decoding itself stays stubbed below (PIL/ffmpeg
+# absent from this environment).
+# ---------------------------------------------------------------------
+
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),  # png|jpeg|gif|bmp|wav|unknown
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # PNG color type -> samples/pixel
+
+
+def parse_header(b: bytes) -> dict:
+    """Parse real container headers: PNG IHDR, JPEG SOFn marker walk,
+    GIF logical screen descriptor, BMP DIB header, WAV RIFF chunks.
+
+    Returns a dict matching MEDIA_HEADER_SCHEMA minus (id, n_bytes);
+    ``format='unknown'`` (all fields None) for unrecognized/truncated
+    payloads — corrupt bytes must classify, not throw, at scale."""
+    out = {
+        "format": "unknown",
+        "width": None,
+        "height": None,
+        "channels": None,
+        "bit_depth": None,
+        "sample_rate": None,
+        "duration_ms": None,
+    }
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR" and len(b) >= 26:
+            out["format"] = "png"
+            out["width"] = int.from_bytes(b[16:20], "big")
+            out["height"] = int.from_bytes(b[20:24], "big")
+            out["bit_depth"] = b[24]
+            out["channels"] = _PNG_CHANNELS.get(b[25])
+            return out
+        if b[:2] == b"\xff\xd8":  # JPEG SOI; walk marker segments
+            out["format"] = "jpeg"
+            i = 2
+            while i + 3 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn (baseline..lossless)
+                    out["bit_depth"] = b[i + 4]
+                    out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                    out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                    out["channels"] = b[i + 9]
+                    return out
+                i += 2 + seg_len
+            return out
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            out["format"] = "gif"
+            out["width"] = int.from_bytes(b[6:8], "little")
+            out["height"] = int.from_bytes(b[8:10], "little")
+            return out
+        if b[:2] == b"BM" and len(b) >= 26:
+            out["format"] = "bmp"
+            out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+            out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+            return out
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            out["format"] = "wav"
+            i = 12
+            byte_rate = None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(b):
+                    out["channels"] = int.from_bytes(b[i + 10 : i + 12], "little")
+                    out["sample_rate"] = int.from_bytes(b[i + 12 : i + 16], "little")
+                    byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+                    if i + 24 <= len(b):
+                        out["bit_depth"] = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif cid == b"data" and byte_rate:
+                    out["duration_ms"] = clen * 1000 // byte_rate
+                    return out
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            return out
+    except (IndexError, KeyError):
+        pass
+    return out
+
+
+def synthesize_payload(kind: str, width: int = 0, height: int = 0,
+                       channels: int = 1, sample_rate: int = 8000,
+                       data_bytes: int = 0) -> bytes:
+    """Build a byte-valid container header (+ dummy body) of the given
+    kind — real struct layouts, so :func:`parse_header` exercises the
+    same byte paths production files hit. PNG gets a real IHDR chunk
+    (CRC is dummy — the parser, like any metadata scanner, does not
+    verify checksums); JPEG gets a COM segment BEFORE the SOF0 so the
+    marker walk is exercised, not just offset math; WAV gets fmt+data
+    RIFF chunks with a correct byte_rate."""
+    if kind == "png":
+        ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 0]))  # bit depth 8, color type 2 (RGB)
+        return (b"\x89PNG\r\n\x1a\n" + len(ihdr).to_bytes(4, "big") + b"IHDR"
+                + ihdr + b"\x00\x00\x00\x00")
+    if kind == "jpeg":
+        com = b"synthetic"
+        sof = (bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+               + bytes([3]))  # precision 8, 3 components
+        return (b"\xff\xd8"
+                + b"\xff\xfe" + (len(com) + 2).to_bytes(2, "big") + com
+                + b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+                + b"\xff\xd9")
+    if kind == "wav":
+        bits = 16
+        byte_rate = sample_rate * channels * bits // 8
+        fmt = (b"\x01\x00" + channels.to_bytes(2, "little")
+               + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+               + (channels * bits // 8).to_bytes(2, "little")
+               + bits.to_bytes(2, "little"))
+        data = bytes(data_bytes)
+        body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data)
+        return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + body
+    raise ValueError(f"unknown payload kind {kind!r}")
+
+
+def parse_media_headers(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched header metadata extraction over binary payloads:
+    (id, format, width, height, channels, bit_depth, sample_rate,
+    duration_ms, n_bytes). Pure byte parsing per payload — no decode
+    libraries, no exceptions on corrupt input (format='unknown')."""
+    pruned = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_header(bytes(b)) for b in pdf["p"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "format": [m["format"] for m in metas],
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "channels": pd.array([m["channels"] for m in metas], dtype="Int32"),
+                    "bit_depth": pd.array([m["bit_depth"] for m in metas], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] for m in metas], dtype="Int64"
+                    ),
+                    "n_bytes": [len(bytes(b)) for b in pdf["p"]],
+                }
+            )
+
+    return pruned.mapInPandas(run, schema=MEDIA_HEADER_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:

@@ -1507,6 +1507,73 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_header_meta",
+    """SELECT CAST(doc_id AS BIGINT) AS id,
+              CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+              CASE WHEN doc_id % 3 < 2
+                   THEN CAST(16 + doc_id % 512 AS INTEGER) END AS width,
+              CASE WHEN doc_id % 3 < 2
+                   THEN CAST(16 + (doc_id * 7) % 512 AS INTEGER) END AS height,
+              CASE WHEN doc_id % 3 < 2 THEN CAST(3 AS INTEGER)
+                   ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+              CASE WHEN doc_id % 3 = 2 THEN CAST(16 AS INTEGER)
+                   ELSE CAST(8 AS INTEGER) END AS bit_depth,
+              CASE WHEN doc_id % 3 = 2
+                   THEN CAST(8000 * (1 + doc_id % 5) AS INTEGER) END AS sample_rate,
+              CASE WHEN doc_id % 3 = 2
+                   THEN CAST((4 * (doc_id % 1000) + 4) * 1000
+                             // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+                        AS BIGINT) END AS duration_ms,
+              CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN CAST(33 AS BIGINT)
+                   WHEN 1 THEN CAST(27 AS BIGINT)
+                   ELSE CAST(44 + 4 * (doc_id % 1000) + 4 AS BIGINT) END AS n_bytes
+       FROM documents""",
+    "ext/multimodal: REAL container-header metadata decode — payloads "
+    "are synthesized as byte-valid PNG/JPEG/WAV containers (struct-"
+    "packed IHDR chunk, marker-walked SOF0 behind a COM segment, RIFF "
+    "fmt+data chunks) with dimensions/rates derived from doc_id, then "
+    "parse_header reads the fields BACK FROM THE BYTES; the oracle "
+    "recomputes the generator's arithmetic, so any parser bit-offset "
+    "error breaks the match. Pixel decode stays the documented stub — "
+    "header metadata extraction is the production pre-filter stage "
+    "(drop by size/duration before paying for decode).",
+)
+def multimodal_header_meta(spark, sf_dir):
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "_It[_pd.DataFrame]"):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                kind = ("png", "jpeg", "wav")[i % 3]
+                if kind == "wav":
+                    b = X_mm.synthesize_payload(
+                        "wav",
+                        channels=1 + i % 2,
+                        sample_rate=8000 * (1 + i % 5),
+                        data_bytes=4 * (i % 1000) + 4,
+                    )
+                else:
+                    b = X_mm.synthesize_payload(
+                        kind, width=16 + i % 512, height=16 + (i * 7) % 512
+                    )
+                ids.append(i)
+                payloads.append(b)
+            yield _pd.DataFrame({"doc_id": _pd.Series(ids, dtype="int64"),
+                                 "payload": payloads})
+
+    payloads = df.mapInPandas(synth, "doc_id long, payload binary")
+    return X_mm.parse_media_headers(payloads, "doc_id")
+
+
+@register(
     "asof_join_events",
     """WITH u AS (
          SELECT user_id, ts, event_id, (event_type = 'click') AS is_c

@@ -336,6 +336,81 @@ def test_multimodal_frame_sampling(spark):
     assert [f["ts_ms"] for f in frames] == [0, 1000]
 
 
+def test_parse_header_roundtrips_synthesized_containers():
+    p = X_mm.synthesize_payload("png", width=640, height=480)
+    m = X_mm.parse_header(p)
+    assert (m["format"], m["width"], m["height"], m["bit_depth"], m["channels"]) == (
+        "png", 640, 480, 8, 3,
+    )
+    j = X_mm.synthesize_payload("jpeg", width=1024, height=768)
+    m = X_mm.parse_header(j)
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("jpeg", 1024, 768, 3)
+    w = X_mm.synthesize_payload("wav", channels=2, sample_rate=16000, data_bytes=64000)
+    m = X_mm.parse_header(w)
+    assert (m["format"], m["channels"], m["sample_rate"], m["bit_depth"]) == (
+        "wav", 2, 16000, 16,
+    )
+    assert m["duration_ms"] == 64000 * 1000 // (16000 * 2 * 2)
+
+
+def test_parse_header_real_spec_canonical_png_and_gif_bmp():
+    """Not just our own synthesizer: a spec-layout PNG with REAL zlib
+    CRCs and IDAT, plus GIF/BMP headers built field-by-field from the
+    published formats."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 27))
+        + chunk(b"IEND", b"")
+    )
+    m = X_mm.parse_header(png)
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("png", 2, 3, 4)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    m = X_mm.parse_header(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+
+    # minimal BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER with
+    # negative height (top-down rows — parser must abs() it)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 17, -11, 1, 24, 0, 16, 0, 0, 0, 0)
+    )
+    m = X_mm.parse_header(bmp)
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 17, 11)
+
+
+def test_parse_header_corrupt_classifies_never_throws():
+    for junk in [b"", b"\x89PNG", b"\xff\xd8\xff", b"RIFF\x00\x00\x00\x00JUNK",
+                 b"garbage" * 3, b"BM\x00"]:
+        m = X_mm.parse_header(junk)
+        assert isinstance(m, dict) and m["width"] is None
+
+
+def test_parse_media_headers_distributed(spark):
+    rows = [
+        Row(doc_id=0, payload=X_mm.synthesize_payload("png", width=100, height=50)),
+        Row(doc_id=1, payload=X_mm.synthesize_payload("jpeg", width=30, height=40)),
+        Row(doc_id=2, payload=X_mm.synthesize_payload(
+            "wav", channels=1, sample_rate=8000, data_bytes=8000 * 2)),
+        Row(doc_id=3, payload=b"not a media file"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["id"]: r for r in X_mm.parse_media_headers(df, "doc_id").collect()}
+    assert got[0]["format"] == "png" and got[0]["width"] == 100
+    assert got[1]["format"] == "jpeg" and got[1]["height"] == 40
+    assert got[2]["format"] == "wav" and got[2]["duration_ms"] == 1000
+    assert got[3]["format"] == "unknown" and got[3]["width"] is None
+    assert got[3]["n_bytes"] == 16
+
+
 def test_fast_hash_lsh_same_exact_dup_collisions(spark, docs):
     """xxhash64 production path: identical/normalized-identical docs
     must still collide in every band (any hash family agrees on equal
