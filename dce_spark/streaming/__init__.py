@@ -14,6 +14,11 @@ from .enforce import (
     streaming_quality_aggregates,
     validate_stream,
 )
+from .enrich import (
+    enrich_stream,
+    streaming_anomaly_flags,
+    windowed_anomaly_counts,
+)
 from .sessionize import fold_sessions, stateful_sessionize
 
 __all__ = [
@@ -22,4 +27,7 @@ __all__ = [
     "streaming_exact_dedup",
     "stateful_sessionize",
     "fold_sessions",
+    "enrich_stream",
+    "streaming_anomaly_flags",
+    "windowed_anomaly_counts",
 ]

@@ -2,6 +2,8 @@
 
 import time
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from dce_spark.parser import parse_yaml
@@ -362,3 +364,114 @@ def test_streaming_binned_drift_matches_batch(spark, tmp_path):
         ).alias("psi")
     ).collect()[0]["psi"]
     assert abs(psi) < 1e-6
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: each micro-batch left-joins a static
+    dimension; the batch form of the same join must match exactly."""
+    from dce_spark.streaming import enrich_stream
+
+    srcdir = tmp_path / "enrich_src"
+    srcdir.mkdir()
+    events = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click"), (4, "unknown_kind")],
+        schema="id long, kind string",
+    )
+    events.coalesce(1).write.parquet(str(srcdir / "b0"))
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 1.0)], schema="kind string, weight double"
+    )
+
+    batch = {
+        r["id"]: r["weight"]
+        for r in enrich_stream(spark.read.parquet(str(srcdir / "b0")), dim, on="kind").collect()
+    }
+    assert batch == {1: 2.0, 2: 1.0, 3: 2.0, 4: None}
+
+    stream = (
+        spark.readStream.schema("id long, kind string").parquet(str(srcdir / "b0"))
+    )
+    out = enrich_stream(stream, dim, on="kind")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {
+        r["id"]: r["weight"] for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    assert streamed == batch
+
+
+def test_enrich_stream_rejects_stream_nulling_join(spark):
+    from dce_spark.streaming import enrich_stream
+
+    df = spark.createDataFrame([(1, "a")], schema="id long, kind string")
+    with pytest.raises(ValueError):
+        enrich_stream(df, df, on="kind", how="right")
+
+
+def test_streaming_anomaly_flags_batch_equivalence(spark):
+    from dce_spark.streaming import streaming_anomaly_flags
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, -9.0), (4, None)], schema="id long, v double"
+    )
+    got = {
+        r["id"]: (r["is_anomaly"], r["zscore"])
+        for r in streaming_anomaly_flags(df, "v", ref_mean=0.0, ref_std=2.0).collect()
+    }
+    assert got[1] == (False, 0.0)
+    assert got[2] == (True, 5.0)
+    assert got[3] == (True, -4.5)
+    assert got[4][0] is False and got[4][1] is None  # null value -> not an anomaly
+
+    with pytest.raises(ValueError):
+        streaming_anomaly_flags(df, "v", ref_mean=0.0, ref_std=0.0)
+
+
+def test_windowed_anomaly_counts_stream(spark, tmp_path):
+    from dce_spark.streaming import windowed_anomaly_counts
+
+    srcdir = tmp_path / "anom_src"
+    srcdir.mkdir()
+    rows = [
+        (1, "2024-01-01 00:00:10", 0.5),
+        (2, "2024-01-01 00:00:20", 99.0),   # anomaly
+        (3, "2024-01-01 00:01:10", -0.2),
+        (4, "2024-01-01 00:01:20", -80.0),  # anomaly
+        (5, "2024-01-01 00:01:30", 1.1),
+    ]
+    df = spark.createDataFrame(rows, schema="id long, ts string, v double").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    df.coalesce(1).write.parquet(str(srcdir / "b0"))
+    stream = spark.readStream.schema("id long, ts timestamp, v double").parquet(
+        str(srcdir / "b0")
+    )
+    out = windowed_anomaly_counts(
+        stream, "v", ref_mean=0.0, ref_std=2.0, ts_col="ts", window="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_counts")
+        # update, not append: one availableNow batch never advances the
+        # watermark past the window end
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        str(r["window_start"]): (r["n_rows"], r["n_anomalies"])
+        for r in spark.sql("SELECT * FROM anom_counts").collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (2, 1),
+        "2024-01-01 00:01:00": (3, 1),
+    }
