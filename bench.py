@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "grouped_quantiles_lineitem_approx",
     "class_balance_events",
     "psi_total_lineitem",
+    "outlier_counts_events",
     "drift_events_weekly",
     "anomaly_days_events",
     "monthly_revenue_yoy_lineitem",

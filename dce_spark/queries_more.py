@@ -3727,3 +3727,67 @@ def session_window_native_events(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# =====================================================================
+# Robust outlier detection: MAD modified z-score per group
+# =====================================================================
+
+
+@register(
+    "outlier_counts_events",
+    """WITH med AS (
+         SELECT event_type, median(value) AS med
+         FROM events WHERE value IS NOT NULL GROUP BY event_type
+       ), dev AS (
+         SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+         FROM events e JOIN med m USING (event_type)
+         WHERE e.value IS NOT NULL
+       ), mad AS (
+         SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+       )
+       SELECT d.event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN 0.6745 * abs(d.value - d.med) > 3.5 * m.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              d.med AS median_value,
+              m.mad AS mad_value
+       FROM dev d JOIN mad m USING (event_type)
+       GROUP BY d.event_type, d.med, m.mad""",
+    "robust outlier detection: per-group MAD modified z-score "
+    "(0.6745*(x-med)/MAD, |z|>3.5 — the Iglewicz-Hoaglin convention). "
+    "Median/MAD resist the very outliers they hunt, unlike mean/std "
+    "which an extreme value drags toward itself. Multiplication form "
+    "(0.6745*|x-med| > 3.5*MAD) avoids dividing by a zero MAD: a "
+    "degenerate group (>=50% identical values) flags nothing unless "
+    "the value differs, never NaN-poisons. Exact grouped medians make "
+    "this the small-SF parity probe; the scale paths are "
+    "percentile_approx (bounded-memory sketch, see "
+    "quantiles_lineitem_approx's self-verifying pattern) and the "
+    "streaming reference-anchored z-score "
+    "(streaming/enrich.streaming_anomaly_flags). Three passes over "
+    "one column, each a map-side agg + broadcast join back.",
+)
+def outlier_counts_events(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = df.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                F.lit(0.6745) * F.abs(F.col("value") - F.col("med"))
+                > F.lit(3.5) * F.col("mad")
+            ).cast("long")
+        ).alias("n_outliers"),
+        F.first("med").alias("median_value"),
+        F.first("mad").alias("mad_value"),
+    )
