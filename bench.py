@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "class_balance_events",
     "psi_total_lineitem",
     "outlier_counts_events",
+    "zorder_key_events",
     "drift_events_weekly",
     "anomaly_days_events",
     "monthly_revenue_yoy_lineitem",

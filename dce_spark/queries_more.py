@@ -3791,3 +3791,61 @@ def outlier_counts_events(spark, sf_dir):
         F.first("med").alias("median_value"),
         F.first("mad").alias("mad_value"),
     )
+
+
+# =====================================================================
+# Z-order (Morton) clustering keys: multi-dimensional layout
+# =====================================================================
+
+
+def _zorder_sql(bx: str, by: str, bits: int) -> str:
+    """Unrolled Morton interleave in portable SQL (bit i of bx -> 2i,
+    of by -> 2i+1) — the oracle twin of sinks.zorder_key."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({bx}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({by}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_key_events",
+    f"""WITH stats AS (
+          SELECT min(value) AS mn, max(value) AS mx
+          FROM events WHERE value IS NOT NULL
+        ), bucketed AS (
+          SELECT event_id,
+                 user_id % 256 AS bx,
+                 least(255, greatest(0,
+                   CAST(floor((value - s.mn) / (s.mx - s.mn) * 256) AS BIGINT)
+                 )) AS by
+          FROM events, stats s WHERE value IS NOT NULL
+        )
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(bx AS BIGINT) AS bx,
+               CAST(by AS BIGINT) AS by,
+               CAST({_zorder_sql('bx', 'by', 8)} AS BIGINT) AS zkey
+        FROM bucketed""",
+    "sinks.zorder_key: Morton-interleaved 2-D clustering key over "
+    "(user_id mod-bucket, value minmax-bucket). Sorting/range-"
+    "partitioning by this ONE key bounds every output file in BOTH "
+    "dimensions at once, so parquet min/max stats prune filters on "
+    "either column — a lexicographic sort only ever prunes its "
+    "leading column. Pure codegen bit arithmetic (shift/and/add on "
+    "disjoint bit positions); the minmax quantizer is plain double "
+    "arithmetic, so the oracle reproduces buckets and keys exactly. "
+    "Feed the key to sinks.write_sorted for the actual layout.",
+)
+def zorder_key_events(spark, sf_dir):
+    from .sinks import minmax_bucket, zorder_key
+
+    df = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mn, mx = df.agg(F.min("value"), F.max("value")).head()
+    bx = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    by = minmax_bucket(F.col("value"), mn, mx, 8)
+    return df.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        bx.alias("bx"),
+        by.alias("by"),
+        zorder_key([bx, by], bits=8).alias("zkey"),
+    )

@@ -38,10 +38,64 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_sorted", "compact", "layout_stats"]
+__all__ = [
+    "write_partitioned",
+    "write_sorted",
+    "compact",
+    "layout_stats",
+    "zorder_key",
+    "minmax_bucket",
+]
+
+
+def minmax_bucket(col: Column, mn: float, mx: float, bits: int) -> Column:
+    """Affine-bucketize a numeric column into ``[0, 2^bits)`` given its
+    (pre-computed) min/max — the cheap linear quantizer feeding
+    :func:`zorder_key`. Values at ``mx`` clamp into the top bucket;
+    out-of-range values clamp at the edges (a stats-drifted row must
+    not corrupt the interleave). Plain double arithmetic, so any
+    engine reproduces the same buckets."""
+    if not mx > mn:
+        raise ValueError(f"need mx > mn, got [{mn}, {mx}]")
+    nb = 1 << bits
+    raw = F.floor((col.cast("double") - F.lit(float(mn)))
+                  / F.lit(float(mx) - float(mn)) * F.lit(nb))
+    return F.least(F.lit(nb - 1).cast("long"), F.greatest(F.lit(0).cast("long"),
+                                                          raw.cast("long")))
+
+
+def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of pre-bucketed non-negative ints:
+    bit i of column j lands at position ``i * n_cols + j``.
+
+    Sorting/range-partitioning by this ONE key gives every output file
+    a bounded hyper-rectangle in ALL participating dimensions at once —
+    so parquet min/max stats prune selective filters on ANY of the
+    columns, where a lexicographic sort only ever prunes its leading
+    column. This is how multi-dimensional clustering ships in lakehouse
+    table formats, expressed as a pure column expression: feed it to
+    :func:`write_sorted` (``sort_by=[zorder_key(...)]`` via a named
+    column).
+
+    ``bits * len(cols)`` must fit in 63 bits. The disjoint bit
+    positions make ``+`` equivalent to bitwise OR — and both stay in
+    whole-stage codegen.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 63-bit key space")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * n + j)
+    return key
 
 
 def write_partitioned(

@@ -125,3 +125,60 @@ def test_layout_stats_per_file_rows(spark, tmp_path):
     stats = layout_stats(spark, out).collect()
     assert len(stats) == 3
     assert sum(r["rows"] for r in stats) == df.count()
+
+
+def test_zorder_key_matches_reference_morton(spark):
+    from dce_spark.sinks import zorder_key
+
+    def morton_py(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, schema="x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()
+    }
+    assert got == {(x, y): morton_py(x, y, 3) for x, y in pts}
+    # the canonical 2x2 Morton walk
+    assert [got[(0, 0)], got[(1, 0)], got[(0, 1)], got[(1, 1)]] == [0, 1, 2, 3]
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Range-sorted-by-zkey files cover bounded rectangles in BOTH
+    dimensions — the property that lets min/max stats prune filters on
+    either column."""
+    from dce_spark.sinks import layout_stats, write_sorted, zorder_key
+
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, schema="x long, y long").withColumn(
+        "zkey", zorder_key([F.col("x"), F.col("y")], bits=6)
+    )
+    out = str(tmp_path / "zordered")
+    write_sorted(df, out, ["zkey"], num_files=16)
+    stats = layout_stats(spark, out, sort_by=["x", "y"]).collect()
+    assert len(stats) == 16
+    for r in stats:
+        # 4096 points over 16 files = 256 points/file; a zorder file's
+        # bounding box stays near-square (<= quarter of the 64-wide
+        # domain per side), while a lexicographic x-sort would give
+        # full-height y ranges (span 63) for every file
+        assert r["max_x"] - r["min_x"] <= 16, r
+        assert r["max_y"] - r["min_y"] <= 16, r
+
+
+def test_zorder_key_validates_inputs(spark):
+    from dce_spark.sinks import minmax_bucket, zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
+    with pytest.raises(ValueError):
+        minmax_bucket(F.col("x"), 5.0, 5.0, 8)
