@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "psi_total_lineitem",
     "outlier_counts_events",
     "zorder_key_events",
+    "chi_square_drift_events",
+    "key_skew_profile_events",
     "drift_events_weekly",
     "anomaly_days_events",
     "monthly_revenue_yoy_lineitem",

@@ -3849,3 +3849,114 @@ def zorder_key_events(spark, sf_dir):
         by.alias("by"),
         zorder_key([bx, by], bits=8).alias("zkey"),
     )
+
+
+# =====================================================================
+# Distribution tests + skew diagnostics
+# =====================================================================
+
+
+@register(
+    "chi_square_drift_events",
+    f"""WITH cells AS (
+          SELECT user_id % 2 AS split, event_type, count(*) AS n
+          FROM events GROUP BY user_id % 2, event_type
+        ), m AS (
+          SELECT split, event_type, CAST(n AS DOUBLE) AS n,
+                 CAST(sum(n) OVER (PARTITION BY split) AS DOUBLE) AS row_total,
+                 CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS col_total,
+                 CAST(sum(n) OVER () AS DOUBLE) AS grand
+          FROM cells
+        )
+        SELECT {_qsum_sql('(n - row_total * col_total / grand) '
+                          '* (n - row_total * col_total / grand) '
+                          '/ (row_total * col_total / grand)', 1e6)} AS chi2,
+               CAST((count(DISTINCT split) - 1)
+                    * (count(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+               CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n
+        FROM m""",
+    "distribution test: Pearson chi-square independence statistic "
+    "between a hash split (user_id mod 2) and event_type — the "
+    "categorical drift test PSI does not cover (PSI needs a reference "
+    "window; chi-square tests two live samples against each other). "
+    "One shuffle to the contingency cells, then margins via windows "
+    "over the TINY cell table (cardinality = splits x categories, "
+    "never data-sized) and a quantized-exact sum of the per-cell "
+    "terms so the statistic is bit-identical under any partitioning. "
+    "Threshold lookup (p-value) is the caller's: dof rides along.",
+)
+def chi_square_drift_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    cells = (
+        df.groupBy(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("split"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("split")
+    w_col = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    nn = F.col("n").cast("double")
+    e = (
+        F.sum("n").over(w_row).cast("double")
+        * F.sum("n").over(w_col).cast("double")
+        / F.sum("n").over(w_all).cast("double")
+    )
+    return (
+        cells.withColumn("term", (nn - e) * (nn - e) / e)
+        .agg(
+            _qsum(F.col("term"), 1e6).alias("chi2"),
+            (
+                (F.countDistinct("split") - F.lit(1))
+                * (F.countDistinct("event_type") - F.lit(1))
+            ).cast("long").alias("dof"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "key_skew_profile_events",
+    """WITH c AS (
+         SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+       ), t AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(cnt) AS BIGINT) AS n_rows FROM c
+       )
+       SELECT CAST(c.user_id AS BIGINT) AS user_id,
+              CAST(c.cnt AS BIGINT) AS cnt,
+              round(CAST(c.cnt AS DOUBLE) / t.n_rows, 9) AS share,
+              round(CAST(c.cnt AS DOUBLE) * t.n_keys / t.n_rows, 9)
+                AS x_mean,
+              t.n_keys
+       FROM c, t
+       ORDER BY c.cnt DESC, c.user_id LIMIT 10""",
+    "scale diagnostics: heavy-hitter profile of a prospective "
+    "join/groupBy key — top-10 keys by row count with their share of "
+    "all rows and their multiple of the mean key load (x_mean ~ 1 -> "
+    "uniform; x_mean >> 1 -> salt this key or rely on AQE skew "
+    "splitting). The decision input for every skew mitigation in "
+    "SCALING.md. One shuffle to per-key counts; the global totals "
+    "are a broadcast-joined 1-row aggregate; TakeOrdered top-10 — "
+    "nothing data-sized on the driver.",
+)
+def key_skew_profile_events(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    c = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 9).alias("share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 9
+            ).alias("x_mean"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy(F.desc("cnt"), F.col("user_id"))
+        .limit(10)
+    )
