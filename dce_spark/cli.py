@@ -183,6 +183,32 @@ def cmd_init(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Schema-evolution gate: exit 0 if the new contract version is
+    compatible, 2 if any change is breaking (CI-friendly), 1 on parse
+    errors. No Spark session — pure contract comparison."""
+    from .diff import diff_contracts
+
+    try:
+        old = contract_parser.parse_file(args.old)
+        new = contract_parser.parse_file(args.new)
+    except Exception as e:
+        print(f"contract invalid: {e}")
+        return 1
+    d = diff_contracts(old, new)
+    if args.format == "json":
+        import json as _json
+
+        print(_json.dumps(d.to_dict(), indent=2))
+    else:
+        if not d.changes:
+            print("no schema/constraint changes")
+        for c in d.changes:
+            where = f" [{c.field}]" if c.field else ""
+            print(f"{c.impact:17s} {c.kind}{where}: {c.detail}")
+    return 2 if d.is_breaking else 0
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dce-spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -201,6 +227,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("check", help="parse and summarize a contract")
     c.add_argument("contract")
     c.set_defaults(func=cmd_check)
+
+    d = sub.add_parser("diff", help="classify contract evolution as breaking/compatible")
+    d.add_argument("old")
+    d.add_argument("new")
+    d.add_argument("--format", choices=["text", "json"], default="text")
+    d.set_defaults(func=cmd_diff)
 
     i = sub.add_parser("init", help="infer a contract from a table")
     i.add_argument("format")
