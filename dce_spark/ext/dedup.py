@@ -95,6 +95,12 @@ def _parallelize(df: DataFrame) -> DataFrame:
     (id, text) only. Gated on a cheap input-file count (ext/spread.py;
     the former ``df.rdd`` partition probe forced an RDD-conversion
     plan — round-2's 6.5x payload_stats regression).
+
+    JVM mode (no ``bytes_per_task``): shingling runs in built-in
+    expressions, so extra partitions cost only task scheduling —
+    always fan to core count. (Round-3 lesson: size-gating this the
+    way the Python-stage spread is gated left a 5k-doc corpus in ONE
+    task and tripled the whole dedup family at sf0.1.)
     """
     return spread_for_cpu(df)
 

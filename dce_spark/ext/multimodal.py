@@ -62,9 +62,12 @@ MEDIA_META_SCHEMA = T.StructType(
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure payload batches are spread across cores before Python
     workers — a single input split must not serialize the whole corpus
-    through one Arrow pipe. Gated on a cheap input-file count (see
+    through one Arrow pipe. Python-stage mode: the fan-out is
+    size-gated (one task per 32 MB of input) because every post-
+    shuffle partition pays an Arrow python-worker spin-up — 32
+    partitions of 150 rows cost 7x the work itself (see
     ext/spread.py; the former ``df.rdd`` probe cost 6.5x at sf0.1)."""
-    return spread_for_cpu(df)
+    return spread_for_cpu(df, bytes_per_task=32 << 20)
 
 
 def attach_payload(

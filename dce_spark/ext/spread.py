@@ -2,44 +2,50 @@
 payload digests, media decode) whose input may arrive as a single
 split.
 
-The gate must be CHEAP and the target must be SIZE-AWARE:
+The gate must be CHEAP: probing ``df.rdd.getNumPartitions()`` builds
+an RDD-conversion plan and serializes the query through it — measured
+6.5x on ``payload_stats`` at sf0.1 (round-2 regression). Instead we
+count the scan's input files via the FileIndex and, when needed, read
+the plan-statistics size estimate — neither launches a job.
 
-- probing ``df.rdd.getNumPartitions()`` builds an RDD-conversion plan
-  and serializes the query through it — measured 6.5x on
-  ``payload_stats`` at sf0.1 (round-2 regression);
-- repartitioning a small input to ``defaultParallelism`` is its own
-  regression: each post-shuffle partition feeds a separate Arrow
-  python-worker pipe, so 32 partitions of 150 rows pay 32 worker
-  spin-ups for microseconds of work each — measured 2.3s vs 0.33s on
-  5k docs (round-3 finding).
+Two spread modes, because the per-partition overhead differs by ~two
+orders of magnitude depending on WHERE the compute runs:
 
-So: count the scan's input files via the FileIndex (no job, no RDD)
-and take the plan-statistics size estimate (catalog/file metadata, no
-job either). Spread only when the data is big enough to keep every
-target task busy — one task per ``bytes_per_task`` of input, capped at
-``defaultParallelism``. A 100 TB corpus saturates the cap; a 5 MB
-fixture stays in its one split. One big splittable file undercounts
-splits, which errs toward spreading — the safe direction for a
-CPU-bound stage.
+- **JVM expression stages** (``bytes_per_task=None``, default):
+  shingling/hashing via built-in expressions. Extra partitions cost
+  only task scheduling (~ms); leaving a corpus in one split serializes
+  seconds of CPU. Spread to ``defaultParallelism`` whenever the scan
+  has fewer files than cores. (Round-3 lesson: size-gating this mode
+  left 5k docs in ONE task and tripled the dedup family at sf0.1.)
+- **Python stages** (``bytes_per_task=<bytes>``): ``mapInPandas``
+  work pays an Arrow python-worker spin-up PER PARTITION (~50-100 ms
+  each), so 32 partitions of 150 rows cost more than the work itself
+  — measured 2.3s vs 0.33s on 5k docs (round-3 finding). Gate the
+  fan-out on the plan-stats size: one task per ``bytes_per_task``,
+  capped at ``defaultParallelism``. A 100 TB input saturates the cap;
+  a 5 MB fixture stays in its one split.
+
+One big splittable file undercounts splits, which errs toward
+spreading — the safe direction for a CPU-bound stage.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 
 __all__ = ["spread_for_cpu"]
 
-# One Python-worker task per this many input bytes. Sized so worker
-# startup (~50 ms) is <1% of the per-task decode work at typical
-# CPU-bound throughput (~100 MB/s -> 32 MB ~ 300 ms of compute).
-_BYTES_PER_TASK = 32 << 20
 
-
-def spread_for_cpu(df: DataFrame, bytes_per_task: int = _BYTES_PER_TASK) -> DataFrame:
-    """Round-robin repartition ``df`` for a CPU-bound Python stage iff
-    its scan has both fewer files than cores AND enough bytes that the
-    extra tasks do real work (plan-stats size probe; never forces an
-    RDD conversion, never launches a job)."""
+def spread_for_cpu(
+    df: DataFrame, bytes_per_task: Optional[int] = None
+) -> DataFrame:
+    """Round-robin repartition ``df`` for a CPU-bound stage iff its
+    scan has fewer files than cores — unconditionally for JVM
+    expression work (``bytes_per_task=None``), size-gated for Python
+    stages (see module docstring). Never forces an RDD conversion,
+    never launches a job."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
@@ -47,6 +53,8 @@ def spread_for_cpu(df: DataFrame, bytes_per_task: int = _BYTES_PER_TASK) -> Data
         return df
     if n_files >= target:
         return df
+    if bytes_per_task is None:
+        return df.repartition(target)
     try:
         size = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
