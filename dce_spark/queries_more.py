@@ -3960,3 +3960,56 @@ def key_skew_profile_events(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.col("user_id"))
         .limit(10)
     )
+
+
+# =====================================================================
+# One-pass correlation matrix (all numeric pairs, single scan)
+# =====================================================================
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+_CORR_MATRIX_ORACLE = (
+    "WITH a AS (SELECT "
+    + ", ".join(
+        f"round(corr(CAST({x} AS DOUBLE), CAST({y} AS DOUBLE)), 6) AS c{i}"
+        for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{x}' AS col_a, '{y}' AS col_b, c{i} AS corr FROM a"
+        for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+)
+
+
+@register(
+    "corr_matrix_lineitem",
+    _CORR_MATRIX_ORACLE,
+    "profiling: full Pearson correlation matrix over 4 numeric columns "
+    "— all 6 pairwise corr() aggregates in ONE fused scan (the same "
+    "single-pass philosophy as the contract compiler: the reference "
+    "would issue one SQL statement per pair, datafusion_engine.rs:"
+    "518-571), then stack() unpivots the 1x6 row to long format "
+    "map-side. Feature-selection input: pairs with |corr| ~ 1 are "
+    "redundant features or leakage suspects. 6dp rounding makes the "
+    "doubles engine-portable. At any scale this is one scan + a "
+    "6-value aggregate — nothing grows with data size.",
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(
+            F.corr(F.col(x).cast("double"), F.col(y).cast("double")), 6
+        ).alias(f"c{i}")
+        for i, (x, y) in enumerate(_CORR_PAIRS)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{x}', '{y}', c{i}" for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+    return one.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr)"
+    )
