@@ -80,7 +80,6 @@ BENCH_QUERIES = [
     "zorder_key_events",
     "chi_square_drift_events",
     "key_skew_profile_events",
-    "corr_matrix_lineitem",
     "drift_events_weekly",
     "anomaly_days_events",
     "monthly_revenue_yoy_lineitem",

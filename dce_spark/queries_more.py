@@ -1223,30 +1223,8 @@ def histogram_lineitem_price(spark, sf_dir):
     )
 
 
-@register(
-    "corr_matrix_lineitem",
-    """SELECT round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6)
-                AS corr_qty_price,
-              round(corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
-                AS corr_qty_disc,
-              round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)), 6)
-                AS corr_price_disc
-       FROM lineitem""",
-    "A5 widening: pairwise Pearson correlation MATRIX of three numeric "
-    "columns in ONE fused agg pass (the reference runs one SQL "
-    "statement per feature pair, datafusion_engine.rs:518-571) — the "
-    "all-pairs leakage screen at a single scan's cost.",
-)
-def corr_matrix_lineitem(spark, sf_dir):
-    df = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("double")
-    p = F.col("l_extendedprice").cast("double")
-    d = F.col("l_discount").cast("double")
-    return df.agg(
-        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
-        F.round(F.corr(q, d), 6).alias("corr_qty_disc"),
-        F.round(F.corr(p, d), 6).alias("corr_price_disc"),
-    )
+# (corr_matrix_lineitem lives at the end of this module — round 3
+# widened it from 3 wide-format pairs to all 6 pairs in long format.)
 
 
 # =====================================================================
