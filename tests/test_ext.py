@@ -635,3 +635,27 @@ def test_stratified_sample_is_consistent_subset(spark):
     assert sum(1 for _, l in s1 if l == "zh") == sum(
         1 for _, l in corpus if l == "zh"
     )
+
+
+def test_parse_header_fuzz_never_throws():
+    """Corrupt/truncated/adversarial bytes must classify, never raise —
+    at corpus scale every possible prefix WILL occur."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a", b"BM",
+        b"RIFF", b"RIFFxxxxWAVE", b"\xff\xd8\xff\xc0", b"",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.sampled_from(magics),
+        body=st.binary(min_size=0, max_size=64),
+    )
+    def run(prefix, body):
+        m = X_mm.parse_header(prefix + body)
+        assert isinstance(m, dict)
+        assert m["format"] in ("png", "jpeg", "gif", "bmp", "wav", "unknown")
+
+    run()
