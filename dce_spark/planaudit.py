@@ -1,0 +1,203 @@
+"""Plan audit: a programmatic linter for DataFrame physical plans.
+
+The scale discipline in SCALING.md is only real if it is checkable by
+machine — tests/test_plans.py pins it for the built-in catalog;
+``planaudit`` exposes the same checks as a public API so USER queries
+get them too (CI gate: ``assert_scalable(df)`` next to the unit
+tests).
+
+What it reads (all from ``df.explain("formatted")`` output plus the
+executed-plan tree — no execution, no data touched):
+
+- join strategies by node type (broadcast hash / sort-merge /
+  shuffled hash / broadcast nested loop / cartesian)
+- shuffle exchange count (every ``Exchange`` is a full network
+  rewrite of its input at 100 TB; broadcast exchanges counted apart)
+- per-scan pushdown: data format, ``PushedFilters``, ``ReadSchema``
+  width (a scan reading all columns for a 2-column projection means
+  pruning failed)
+- Python boundary nodes: Arrow-batched (``ArrowEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas``) vs row-at-a-time
+  (``BatchEvalPython`` — the 10-100x slow path, always flagged)
+- whole-stage-codegen span count (wider spans = fewer interpreter
+  boundaries)
+
+``assert_scalable`` turns the report into a pass/fail gate with an
+explicit allowlist for the few shapes that are legitimate by design
+(e.g. a broadcast NLJ in a documented O(n^2) parity probe).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ScanInfo", "PlanReport", "PlanLintError", "audit", "assert_scalable"]
+
+
+@dataclass
+class ScanInfo:
+    format: str
+    pushed_filters: list[str]
+    read_columns: list[str]
+
+
+@dataclass
+class PlanReport:
+    joins: dict[str, int] = field(default_factory=dict)
+    shuffle_exchanges: int = 0
+    broadcast_exchanges: int = 0
+    scans: list[ScanInfo] = field(default_factory=list)
+    arrow_python_stages: int = 0
+    row_python_stages: int = 0
+    codegen_spans: int = 0
+
+    @property
+    def cartesian_like(self) -> int:
+        return self.joins.get("CartesianProduct", 0) + self.joins.get(
+            "BroadcastNestedLoopJoin", 0
+        )
+
+
+class PlanLintError(AssertionError):
+    pass
+
+
+_JOIN_NODES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _codegen_spans(df: DataFrame) -> int:
+    """Count whole-stage-codegen subtrees. Under AQE the staged plan
+    defers codegen until execution, so the count reads as 0 — re-plan
+    the same logical plan with AQE off (plan-only; nothing executes)
+    and ask the codegen explain, restoring the conf afterwards.
+    Returns 0 if the internal re-plan API is unavailable — the other
+    report fields never depend on it."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        plain = DataFrame(jdf, spark)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            plain.explain("codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+        return int(m.group(1)) if m else 0
+    except Exception:
+        return 0
+    finally:
+        spark.conf.set(key, prev)
+
+
+def audit(df: DataFrame) -> PlanReport:
+    """Lint ``df``'s physical plan without executing it."""
+    text = _formatted_plan(df)
+    rep = PlanReport()
+    # the formatted output shows each node twice (tree "Node (4)" +
+    # details "(4) Node ..."); count ONLY the details lines
+    nodes = re.findall(r"^\(\d+\)\s+(\w+)", text, flags=re.MULTILINE)
+    for node in _JOIN_NODES:
+        n = sum(1 for x in nodes if x == node)
+        if n:
+            rep.joins[node] = n
+    # "Exchange" = shuffle; BroadcastExchange is executor-local reuse
+    rep.shuffle_exchanges = sum(1 for x in nodes if x == "Exchange")
+    rep.broadcast_exchanges = sum(1 for x in nodes if x == "BroadcastExchange")
+    rep.arrow_python_stages = sum(
+        1
+        for x in nodes
+        if x in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                 "FlatMapGroupsInPandasWithState")
+    )
+    rep.row_python_stages = sum(1 for x in nodes if x == "BatchEvalPython")
+    rep.codegen_spans = _codegen_spans(df)
+
+    # scan blocks: "(1) Scan parquet ..." followed by indented attributes
+    for m in re.finditer(r"\(\d+\)\s+Scan (\w+)", text):
+        block_start = m.end()
+        block = text[block_start : block_start + 2000]
+        pushed: list[str] = []
+        pm = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        if pm and pm.group(1).strip():
+            pushed = [f.strip() for f in pm.group(1).split(",")]
+        cols: list[str] = []
+        rm = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        if rm and rm.group(1).strip():
+            cols = [c.split(":")[0].strip() for c in rm.group(1).split(",")]
+        rep.scans.append(
+            ScanInfo(format=m.group(1), pushed_filters=pushed, read_columns=cols)
+        )
+    return rep
+
+
+def assert_scalable(
+    df: DataFrame,
+    allow_nlj: bool = False,
+    allow_row_python: bool = False,
+    max_shuffle_exchanges: int | None = None,
+    max_scan_columns: int | None = None,
+) -> PlanReport:
+    """Raise :class:`PlanLintError` listing every violation; return the
+    report when clean. Use in CI next to result assertions — a query
+    whose RESULT is right but whose plan cartesian-joins will not
+    survive the first real scale-up."""
+    rep = audit(df)
+    problems: list[str] = []
+    if rep.joins.get("CartesianProduct"):
+        problems.append(
+            f"CartesianProduct x{rep.joins['CartesianProduct']}: unconditional "
+            "all-pairs join — refactor to an equi-join (bucket/LSH/inverted index)"
+        )
+    if rep.joins.get("BroadcastNestedLoopJoin") and not allow_nlj:
+        problems.append(
+            f"BroadcastNestedLoopJoin x{rep.joins['BroadcastNestedLoopJoin']}: "
+            "O(n*m) probe — acceptable only for documented parity probes "
+            "(pass allow_nlj=True) or tiny broadcast sides"
+        )
+    if rep.row_python_stages and not allow_row_python:
+        problems.append(
+            f"BatchEvalPython x{rep.row_python_stages}: row-at-a-time Python "
+            "UDF — rewrite as built-in expressions or an Arrow-batched "
+            "pandas UDF (10-100x)"
+        )
+    if (
+        max_shuffle_exchanges is not None
+        and rep.shuffle_exchanges > max_shuffle_exchanges
+    ):
+        problems.append(
+            f"{rep.shuffle_exchanges} shuffle exchanges > cap "
+            f"{max_shuffle_exchanges}: each one rewrites its input over "
+            "the network at full data size"
+        )
+    if max_scan_columns is not None:
+        for s in rep.scans:
+            if len(s.read_columns) > max_scan_columns:
+                problems.append(
+                    f"scan reads {len(s.read_columns)} columns "
+                    f"({', '.join(s.read_columns[:6])}...): column pruning "
+                    "failed — select only what you use"
+                )
+    if problems:
+        raise PlanLintError("; ".join(problems))
+    return rep

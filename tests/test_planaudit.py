@@ -1,0 +1,67 @@
+"""planaudit: the machine-checkable scale discipline as a public API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR, load
+from dce_spark.planaudit import PlanLintError, assert_scalable, audit
+from dce_spark.queries import QUERIES
+
+
+def test_audit_reads_star_join_shape(spark):
+    rep = audit(QUERIES["q5_nation_revenue"].fn(spark, SF_DIR))
+    assert rep.joins.get("BroadcastHashJoin", 0) >= 3  # dims broadcast
+    assert not rep.cartesian_like
+    # the region filter reaches a scan
+    assert any(
+        any("r_name" in f for f in s.pushed_filters) for s in rep.scans
+    )
+    assert rep.codegen_spans >= 1
+    assert rep.row_python_stages == 0
+
+
+def test_audit_counts_shuffles_and_pruning(spark):
+    df = load(spark, SF_DIR, "lineitem").groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s")
+    )
+    rep = audit(df)
+    assert rep.shuffle_exchanges == 1  # one hash exchange for the agg
+    (scan,) = rep.scans
+    assert set(scan.read_columns) == {"l_returnflag", "l_quantity"}
+    assert_scalable(df, max_shuffle_exchanges=1, max_scan_columns=2)
+
+
+def test_assert_scalable_rejects_cartesian(spark):
+    a = load(spark, SF_DIR, "nation")
+    b = load(spark, SF_DIR, "region")
+    cross = a.crossJoin(b.hint("shuffle_replicate_nl"))
+    with pytest.raises(PlanLintError, match="CartesianProduct"):
+        assert_scalable(cross)
+
+
+def test_assert_scalable_nlj_allowlist(spark):
+    probe = QUERIES["embedding_near_dup_pairs"].fn(spark, SF_DIR)
+    rep = audit(probe)
+    assert rep.joins.get("BroadcastNestedLoopJoin", 0) == 1
+    with pytest.raises(PlanLintError, match="BroadcastNestedLoopJoin"):
+        assert_scalable(probe)
+    assert_scalable(probe, allow_nlj=True)  # the documented parity probe
+
+
+def test_assert_scalable_flags_row_python_udf(spark):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = load(spark, SF_DIR, "nation").select(slow(F.col("n_nationkey")))
+    with pytest.raises(PlanLintError, match="BatchEvalPython"):
+        assert_scalable(df)
+    assert_scalable(df, allow_row_python=True)
+
+
+def test_audit_sees_arrow_python_stage(spark):
+    from dce_spark.ext.multimodal import attach_payload, payload_stats
+
+    df = attach_payload(load(spark, SF_DIR, "documents"), "text")
+    rep = audit(payload_stats(df, "doc_id"))
+    assert rep.arrow_python_stages == 1
+    assert rep.row_python_stages == 0
