@@ -81,6 +81,28 @@ def main() -> None:
     n_packs = packs.select("bucket", "pack_id").distinct().count()
     print(f"sequence packing: {n_packs} packs of <=2048 tokens (+1 doc overflow)")
 
+    # 4. ship the curated corpus as a query-friendly LAYOUT: survivors
+    # hive-partitioned by language, each directory range-sorted by the
+    # deterministic content fingerprint (zone-map pruning for lookup
+    # joins); then prove the layout with one distributed stats pass.
+    import tempfile
+
+    from dce_spark.ext.text import fingerprint_col
+    from dce_spark.sinks import layout_stats, write_partitioned
+
+    out = os.path.join(tempfile.mkdtemp(prefix="curated_"), "docs")
+    curated = (
+        load_table(spark, sf_dir, "documents")
+        .join(survivors, "doc_id")
+        .withColumn("fp", fingerprint_col(F.col("text")))
+    )
+    write_partitioned(curated, out, ["lang"], files_per_partition=1)
+    stats = layout_stats(spark, out).collect()
+    print(
+        f"layout: {len(stats)} files under {out} "
+        f"({sum(r['rows'] for r in stats)} rows; one file per lang partition)"
+    )
+
     spark.stop()
 
 
