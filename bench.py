@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "class_balance_events",
     "psi_total_lineitem",
     "outlier_counts_events",
+    "outlier_counts_events_approx",
     "zorder_key_events",
     "chi_square_drift_events",
     "key_skew_profile_events",

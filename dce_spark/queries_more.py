@@ -3991,3 +3991,64 @@ def corr_matrix_lineitem(spark, sf_dir):
     return one.selectExpr(
         f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+@register(
+    "outlier_counts_events_approx",
+    f"""WITH v AS (
+         SELECT event_type, CAST(value AS DOUBLE) AS value
+         FROM events WHERE value IS NOT NULL
+       ), med AS (
+         SELECT event_type, approx_quantile(value, 0.5) AS med
+         FROM v GROUP BY event_type
+       ), dev AS (
+         SELECT v.event_type, v.value, m.med, abs(v.value - m.med) AS adev
+         FROM v JOIN med m USING (event_type)
+       ), mad AS (
+         SELECT event_type, approx_quantile(adev, 0.5) AS mad
+         FROM dev GROUP BY event_type
+       )
+       SELECT d.event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              {_rank_ok_sql('d.med', 'd.value', 0.5)} AS med_ok,
+              {_rank_ok_sql('m.mad', 'd.adev', 0.5)} AS mad_ok
+       FROM dev d JOIN mad m USING (event_type)
+       GROUP BY d.event_type""",
+    "SCALE twin of outlier_counts_events: grouped median and MAD from "
+    "percentile_approx (mergeable GK sketch, bounded memory at any "
+    "group size — no full-value buffering), each SELF-VERIFIED against "
+    "the data's true rank interval per group, the same driver-checkable "
+    "verdict pattern as quantiles_lineitem_approx (sketch values "
+    "differ across engines; the rank-guarantee booleans do not). The "
+    "exact MAD probe stays as the small-SF parity check; this shape — "
+    "three sketch passes, broadcast joins of k-row stats — is what "
+    "runs at 100 TB.",
+)
+def outlier_counts_events_approx(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("value"))
+    )
+    med = df.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", 0.5, 10000).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    n = F.count(F.lit(1)).cast("double")
+
+    def rank_ok(val, col):
+        le = F.sum((col <= val).cast("long")).cast("double") / n
+        lt = F.sum((col < val).cast("long")).cast("double") / n
+        return (le >= F.lit(0.5 - _RANK_TOL)) & (lt <= F.lit(0.5 + _RANK_TOL))
+
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rank_ok(F.col("med"), F.col("value")).alias("med_ok"),
+        rank_ok(F.col("mad"), F.col("adev")).alias("mad_ok"),
+    )
