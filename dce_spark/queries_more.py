@@ -3924,6 +3924,12 @@ def key_skew_profile_events(spark, sf_dir):
     t = c.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
     )
+    # one-row broadcast cross join: plans as BroadcastNestedLoopJoin,
+    # which is exactly right here — the "nested loop" runs once per
+    # probe row against a single build row (a constant-key equi-join
+    # doesn't help: Catalyst folds the trivially-true condition and
+    # plans the same NLJ). planaudit callers allowlist this shape via
+    # allow_nlj=True with the build side documented as scalar.
     return (
         c.join(F.broadcast(t))
         .select(

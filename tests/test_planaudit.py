@@ -65,3 +65,45 @@ def test_audit_sees_arrow_python_stage(spark):
     rep = audit(payload_stats(df, "doc_id"))
     assert rep.arrow_python_stages == 1
     assert rep.row_python_stages == 0
+
+
+def test_round3_operators_plan_shapes(spark):
+    """Scale-shape locks for the round-3 additions, via the public
+    linter: no cartesian products anywhere; joins broadcast; Python
+    only as Arrow batches."""
+    # zorder: pure map-side expressions after the 1-row min/max agg
+    rep = assert_scalable(QUERIES["zorder_key_events"].fn(spark, SF_DIR))
+    assert not rep.joins and rep.shuffle_exchanges == 0
+    (scan,) = rep.scans
+    assert set(scan.read_columns) == {"event_id", "user_id", "value"}
+
+    # MAD outlier probes: k-row stats joined back by broadcast only
+    for name in ("outlier_counts_events", "outlier_counts_events_approx"):
+        rep = assert_scalable(QUERIES[name].fn(spark, SF_DIR))
+        assert set(rep.joins) == {"BroadcastHashJoin"}, (name, rep.joins)
+
+    # chi-square: margins via windows over the tiny cell table — the
+    # only data-sized shuffle is the contingency groupBy
+    rep = assert_scalable(QUERIES["chi_square_drift_events"].fn(spark, SF_DIR))
+    assert not rep.joins
+
+    # skew profile: one per-key shuffle; the 1-row totals aggregate
+    # cross-joins back as a broadcast NLJ whose build side is scalar —
+    # the one legitimate NLJ shape, explicitly allowlisted
+    rep = assert_scalable(
+        QUERIES["key_skew_profile_events"].fn(spark, SF_DIR), allow_nlj=True
+    )
+    assert rep.joins == {"BroadcastNestedLoopJoin": 1}
+
+    # header metadata: two Arrow stages (synthesize, parse), no joins,
+    # never row-at-a-time
+    rep = assert_scalable(QUERIES["multimodal_header_meta"].fn(spark, SF_DIR))
+    assert rep.arrow_python_stages == 2 and rep.row_python_stages == 0
+    assert not rep.joins
+
+    # corr matrix: ONE scan reading exactly the 4 numeric columns
+    rep = assert_scalable(QUERIES["corr_matrix_lineitem"].fn(spark, SF_DIR))
+    (scan,) = rep.scans
+    assert set(scan.read_columns) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    }
