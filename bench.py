@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "source_mix_resample_documents",
     "mode_median_by_segment",
     "dedup_minhash_lsh_capped",
+    "minhash_jaccard_estimate_documents",
     "unigram_logprob_documents",
     "session_window_native_events",
 ]

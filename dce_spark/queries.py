@@ -2061,3 +2061,50 @@ def pii_scan_documents(spark, sf_dir):
         F.sum(t.rlike(card).cast("long")).alias("n_cardish_docs"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "minhash_jaccard_estimate_documents",
+    f"""WITH {_minhash_ctes()}, pairs AS (
+{_MINHASH_PAIRS_SELECT}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(({" + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8))}) AS DOUBLE) / 8
+         AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b""",
+    "ext/dedup: the VERIFICATION-FREE scale path — Jaccard similarity "
+    "estimated from MinHash signature agreement (E[agree/k] = true "
+    "Jaccard; k=8 here) on LSH candidate pairs, instead of re-"
+    "shingling both documents for an exact check. At 100 TB the exact "
+    "verify join re-reads full text for every candidate; the estimate "
+    "joins two 8-column signature rows per pair (already computed for "
+    "bucketing) — act on the estimate, spot-verify a sample. The "
+    "estimate is a rational with denominator 8, so doubles are "
+    "engine-exact.",
+)
+def minhash_jaccard_estimate_documents(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    sigs = X_dedup.minhash_signatures(df, num_hashes=8)
+    pairs = X_dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(8)).alias("est_jaccard"),
+        )
+    )
