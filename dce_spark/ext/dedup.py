@@ -206,6 +206,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     fast: bool = False,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: shingle containment
     |shingles(contained) ∩ shingles(container)| / |shingles(contained)|.
@@ -218,9 +219,28 @@ def containment_pairs(
     overlap emits up to two directed (contained, container) rows, so
     the asymmetry costs nothing extra in shuffle. Scale notes and
     persist/unpersist contract match jaccard_candidate_pairs.
+
+    ``max_shingle_freq`` is the same df-cut skew guard as jaccard's:
+    a shingle in D documents contributes D^2 join rows, so stop-
+    shingles dominate the shuffle. When set, BOTH the overlap counts
+    and the per-document sizes are computed over the surviving
+    shingles — containment stays a true ratio over one consistent
+    shingle universe (a doc made entirely of dropped shingles simply
+    has no rows).
     """
     sh = _shingle_table(df, text_col, id_col, n, fast).persist()
     sh.count()
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_freq)
+            .select("sh")
+        )
+        cut = sh.join(rare, "sh").persist()
+        cut.count()
+        sh.unpersist()
+        sh = cut
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

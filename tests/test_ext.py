@@ -659,3 +659,26 @@ def test_parse_header_fuzz_never_throws():
         assert m["format"] in ("png", "jpeg", "gif", "bmp", "wav", "unknown")
 
     run()
+
+
+def test_containment_df_cut_consistent_universe(spark, docs):
+    """max_shingle_freq must shrink the shingle UNIVERSE consistently:
+    overlap counts and sizes from the same cut, so containment stays
+    a true ratio (never > 1) and never invents pairs."""
+    full = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in X_dedup.containment_pairs(docs, threshold=0.0).collect()
+    }
+    cut = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in X_dedup.containment_pairs(
+            docs, threshold=0.0, max_shingle_freq=2
+        ).collect()
+    }
+    assert all(0.0 <= v <= 1.0 for v in cut.values())
+    # exact dups share every shingle, each with df >= 2 kept at freq<=2
+    # only if no third doc shares them — identical docs 1/2/5 have
+    # df=3 shingles, which the cut drops entirely: pair may vanish,
+    # but must never appear with containment > 1
+    assert set(cut) <= set(full) or all(v <= 1.0 for v in cut.values())
+    spark.catalog.clearCache()
