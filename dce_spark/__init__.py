@@ -17,6 +17,8 @@ from .api import (
     parse_contract_toml,
     parse_contract_yaml,
     profile_df,
+    validate_batch,
+    validate_batches,
     validate_contract,
     validate_df,
     validate_dfs,
@@ -43,6 +45,8 @@ __all__ = [
     "parse_data_type",
     "profile_df",
     "validate_contract",
+    "validate_batch",
+    "validate_batches",
     "validate_df",
     "validate_dfs",
     "validate_ml_only",

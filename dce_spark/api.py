@@ -32,6 +32,8 @@ __all__ = [
     "validate_contract",
     "validate_df",
     "validate_dfs",
+    "validate_batch",
+    "validate_batches",
     "validate_schema_only",
     "validate_quality_only",
     "validate_ml_only",
@@ -96,6 +98,51 @@ def validate_dfs(
     for other in dfs[1:]:
         df = df.unionByName(other)
     return validate_df(spark, df, contract, **kwargs)
+
+
+def _batch_to_df(spark: SparkSession, batch: Any) -> DataFrame:
+    """PyArrow RecordBatch/Table or pandas DataFrame -> Spark DataFrame.
+
+    Mirrors the reference's zero-copy PyArrow entry (contracts-python
+    lib.rs:318-341). Spark 4 ingests a pyarrow Table natively through
+    createDataFrame (Arrow IPC transfer, no per-row conversion); older
+    versions fall back through pandas.
+    """
+    import pyarrow as pa
+
+    if isinstance(batch, pa.RecordBatch):
+        batch = pa.Table.from_batches([batch])
+    if isinstance(batch, pa.Table):
+        try:
+            return spark.createDataFrame(batch)
+        except Exception:
+            return spark.createDataFrame(batch.to_pandas())
+    return spark.createDataFrame(batch)
+
+
+def validate_batch(
+    spark: SparkSession,
+    batch: Any,
+    contract: Contract | str,
+    **kwargs: Any,
+) -> ValidationReport:
+    """Validate one in-memory batch (pyarrow RecordBatch/Table or
+    pandas DataFrame) — name-for-name parity with the reference's
+    ``validate_batch`` (lib.rs:318-341)."""
+    return validate_df(spark, _batch_to_df(spark, batch), contract, **kwargs)
+
+
+def validate_batches(
+    spark: SparkSession,
+    batches: Iterable[Any],
+    contract: Contract | str,
+    **kwargs: Any,
+) -> ValidationReport:
+    """Validate several in-memory batches as one dataset — parity with
+    the reference's ``validate_batches`` (lib.rs:344-369), which clones
+    every row to concatenate; here the union stays lazy."""
+    dfs = [_batch_to_df(spark, b) for b in batches]
+    return validate_dfs(spark, dfs, contract, **kwargs)
 
 
 def validate_schema_only(

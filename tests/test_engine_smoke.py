@@ -115,3 +115,41 @@ def test_schema_only_runs_no_quality(spark, sf_dir):
     report = validate_df(spark, df, CONTRACT, schema_only=True)
     assert report.passed
     assert all(c.category == "schema" for c in report.checks)
+
+
+def test_validate_batch_arrow_and_pandas(spark):
+    """Arrow-native entry points: pyarrow RecordBatch/Table and pandas
+    frames validate identically to the Spark-DataFrame path (reference
+    validate_batch/validate_batches parity)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from dce_spark import validate_batch, validate_batches
+
+    contract = """
+version: "1.0.0"
+name: t
+owner: o
+schema:
+  fields:
+    - name: id
+      type: int64
+      nullable: false
+    - name: v
+      type: float64
+quality_checks:
+  completeness:
+    threshold: 0.99
+    fields: [id]
+"""
+    tbl = pa.table({"id": [1, 2, 3], "v": [1.0, 2.0, None]})
+    rep = validate_batch(spark, tbl, contract)
+    assert rep.passed and rep.stats.records_validated == 3
+
+    rb = tbl.to_batches()[0]
+    rep2 = validate_batch(spark, rb, contract)
+    assert rep2.passed and rep2.stats.records_validated == 3
+
+    pdf = pd.DataFrame({"id": [4, 5], "v": [0.5, 0.25]})
+    rep3 = validate_batches(spark, [tbl, pdf], contract)
+    assert rep3.passed and rep3.stats.records_validated == 5
