@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_capped",
     "minhash_jaccard_estimate_documents",
     "unigram_logprob_documents",
+    "script_detect_documents",
     "session_window_native_events",
 ]
 

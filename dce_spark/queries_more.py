@@ -4058,3 +4058,107 @@ def outlier_counts_events_approx(spark, sf_dir):
         rank_ok(F.col("med"), F.col("value")).alias("med_ok"),
         rank_ok(F.col("mad"), F.col("adev")).alias("mad_ok"),
     )
+
+
+# =====================================================================
+# Unicode script detection (multilingual curation)
+# =====================================================================
+
+# literal-character ranges so the SAME class text parses identically in
+# Java regex (Spark) and RE2 (DuckDB) — \uXXXX vs \x{...} escape syntax
+# differs between them, literal chars do not
+_SCRIPTS = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+]
+
+# deterministic non-Latin injections (the synthetic corpus is all
+# Latin-script; both engines append the IDENTICAL literal rows)
+_SCRIPT_PROBES = [
+    (1000001, "привет мир как дела сегодня"),
+    (1000002, "你好世界欢迎光临大家好"),
+    (1000003, "مرحبا بالعالم اليوم"),
+    (1000004, "नमस्ते दुनिया आज"),
+    (1000005, "hello привет мир wide мир"),
+]
+
+
+def _script_count_sql(cls: str) -> str:
+    return f"length(regexp_replace(text, '[^{cls}]', '', 'g'))"
+
+
+_SCRIPT_ORACLE = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    + " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in _SCRIPT_PROBES
+    )
+    + "), counted AS (SELECT doc_id, "
+    + ", ".join(
+        f"{_script_count_sql(cls)} AS c_{name}" for name, cls in _SCRIPTS
+    )
+    + " FROM corpus), dom AS (SELECT doc_id, "
+    + " + ".join(f"c_{name}" for name, _ in _SCRIPTS)
+    + " AS total, CASE "
+    + " ".join(
+        f"WHEN c_{name} = greatest("
+        + ", ".join(f"c_{n2}" for n2, _ in _SCRIPTS)
+        + f") THEN '{name}'"
+        for name, _ in _SCRIPTS
+    )
+    + " END AS script, "
+    + ", ".join(f"c_{name}" for name, _ in _SCRIPTS)
+    + " FROM counted) "
+    "SELECT script, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(total) AS BIGINT) AS n_script_chars "
+    "FROM dom WHERE total > 0 GROUP BY script"
+)
+
+
+@register(
+    "script_detect_documents",
+    _SCRIPT_ORACLE,
+    "multilingual curation: dominant Unicode SCRIPT per document "
+    "(Latin/Cyrillic/CJK/Arabic/Devanagari) from per-class character "
+    "counts — the signal language-ID models need as a prior and the "
+    "first routing key of a multilingual pipeline (script != language: "
+    "one script serves many languages, but a CJK doc in an 'en' batch "
+    "is mislabeled for sure). Char classes are literal-character "
+    "ranges so the identical regex parses the same under Java regex "
+    "and RE2. Dominance ties break by fixed script order (first "
+    "max wins) in BOTH engines. Map-side regexp_replace + one "
+    "groupBy; the corpus gains 5 injected non-Latin probe docs "
+    "(identical literals both sides) because the synthetic corpus is "
+    "all-Latin — de-vacuization, same pattern as the dirtied "
+    "embedding views.",
+)
+def script_detect_documents(spark, sf_dir):
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = spark.createDataFrame(_SCRIPT_PROBES, schema="doc_id long, text string")
+    corpus = base.unionByName(probes)
+    counted = corpus.select(
+        "doc_id",
+        *[
+            F.length(F.regexp_replace(F.col("text"), f"[^{cls}]", "")).alias(
+                f"c_{name}"
+            )
+            for name, cls in _SCRIPTS
+        ],
+    )
+    total = sum(F.col(f"c_{name}") for name, _ in _SCRIPTS)
+    mx = F.greatest(*[F.col(f"c_{name}") for name, _ in _SCRIPTS])
+    dom = F.when(F.col(f"c_{_SCRIPTS[0][0]}") == mx, F.lit(_SCRIPTS[0][0]))
+    for name, _ in _SCRIPTS[1:]:
+        dom = dom.when(F.col(f"c_{name}") == mx, F.lit(name))
+    return (
+        counted.withColumn("total", total)
+        .withColumn("script", dom)
+        .filter(F.col("total") > 0)
+        .groupBy("script")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total").cast("long").alias("n_script_chars"),
+        )
+    )
