@@ -23,6 +23,7 @@ from .api import (
     validate_df,
     validate_dfs,
     validate_ml_only,
+    validate_partitions,
     validate_quality_only,
     validate_schema_only,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "validate_df",
     "validate_dfs",
     "validate_ml_only",
+    "validate_partitions",
     "validate_quality_only",
     "validate_schema_only",
 ]

@@ -37,6 +37,7 @@ __all__ = [
     "validate_schema_only",
     "validate_quality_only",
     "validate_ml_only",
+    "validate_partitions",
     "profile_df",
 ]
 
@@ -199,3 +200,42 @@ def validate_ml_only(
 
 def profile_df(df: DataFrame, approx: bool = False, columns: list[str] | None = None):
     return _profile_df(df, approx=approx, columns=columns)
+
+
+def validate_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    contract: Contract | str,
+    partition_col: str,
+    since: Any = None,
+    values: Optional[Iterable[Any]] = None,
+    **kwargs: Any,
+) -> dict[Any, ValidationReport]:
+    """Incremental validation: one ValidationReport PER PARTITION VALUE
+    of ``partition_col`` — the validation mode a 100 TB daily pipeline
+    actually runs (validate yesterday's partition, not the table).
+
+    No counterpart in the reference (it validates one finite batch at
+    a time; looping lives in the caller) — here the loop is first-class
+    so each run's scan is PARTITION-PRUNED: with a hive-partitioned
+    layout (sinks.write_partitioned), ``df.filter(col == v)`` prunes at
+    the FileIndex and never touches other partitions' bytes.
+
+    ``since`` keeps only partition values strictly greater (the
+    incremental frontier); ``values`` pins an explicit set instead.
+    Partition values are discovered with a distinct on the partition
+    column — metadata-cheap under hive partitioning, where the value
+    comes from the directory name.
+    """
+    from pyspark.sql import functions as F
+
+    if values is None:
+        rows = df.select(partition_col).distinct().collect()
+        values = sorted(r[0] for r in rows if r[0] is not None)
+    if since is not None:
+        values = [v for v in values if v > since]
+    out: dict[Any, ValidationReport] = {}
+    for v in values:
+        part = df.filter(F.col(partition_col) == F.lit(v))
+        out[v] = validate_df(spark, part, contract, **kwargs)
+    return out

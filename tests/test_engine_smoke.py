@@ -153,3 +153,60 @@ quality_checks:
     pdf = pd.DataFrame({"id": [4, 5], "v": [0.5, 0.25]})
     rep3 = validate_batches(spark, [tbl, pdf], contract)
     assert rep3.passed and rep3.stats.records_validated == 5
+
+
+def test_validate_partitions_incremental(spark, tmp_path):
+    """Per-partition incremental validation over a hive layout: the bad
+    day fails alone, `since` limits the frontier, and each run's scan
+    is partition-pruned."""
+    from pyspark.sql import functions as F
+
+    from dce_spark import validate_partitions
+    from dce_spark.sinks import write_partitioned
+
+    contract = """
+version: "1.0.0"
+name: daily
+owner: o
+schema:
+  fields:
+    - name: id
+      type: int64
+      nullable: false
+    - name: v
+      type: float64
+      constraints:
+        - type: range
+          min: 0
+          max: 100
+    - name: day
+      type: date
+"""
+    rows = [(i, 1.0 * i, "2024-01-01") for i in range(10)]
+    rows += [(100 + i, 1.0 * i, "2024-01-02") for i in range(10)]
+    rows += [(200 + i, 999.0, "2024-01-03") for i in range(10)]  # range violations
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+
+    back = spark.read.parquet(out)
+    import datetime as _dt
+
+    d1, d2, d3 = (_dt.date(2024, 1, i) for i in (1, 2, 3))
+    reports = validate_partitions(spark, back, contract, "day")
+    assert sorted(reports) == [d1, d2, d3]  # hive layout types the dir value
+    assert reports[d1].passed and reports[d2].passed
+    assert not reports[d3].passed
+    assert all(r.stats.records_validated == 10 for r in reports.values())
+
+    inc = validate_partitions(spark, back, contract, "day", since=d2)
+    assert sorted(inc) == [d3]
+
+    # the per-partition scan is pruned at the FileIndex
+    plan = (
+        back.filter(F.col("day") == "2024-01-03")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
