@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "dedup_containment_documents",
     "dedup_incremental_documents",
     "dedup_simhash_documents",
+    "dedup_simhash_pairs_documents",
     "dedup_clusters_documents",
     "corpus_survivors_documents",
     "embedding_cosine_topk",

@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "simhash_near_pairs",
     "dedup_clusters",
 ]
 
@@ -614,3 +615,73 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Hamming-ball near-dup pairs from SimHash fingerprints via
+    bit-band LSH — the third dedup geometry (MinHash ~ set overlap,
+    hyperplane ~ embedding angle, SimHash ~ weighted token profile).
+
+    Split the ``bits``-bit fingerprint into ``bands`` contiguous
+    slices; ``d`` bit flips touch at most ``d`` bands, so with
+    ``bands > max_hamming`` two fingerprints within the Hamming ball
+    MUST agree on >= 1 band (pigeonhole) — candidate recall is exactly
+    1.0, unlike MinHash banding's probabilistic recall. Candidates are
+    a band-key equi-join (never all-pairs); the popcount(xor) verify
+    runs only on candidates. Returns (doc_a, doc_b, hamming).
+    """
+    if not bands > max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    assert bits % bands == 0
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col, id_col, bits, fast)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = fp.select(
+        F.col(id_col).alias("__id"), "simhash", F.explode(slices).alias("bk")
+    ).select("__id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    buckets = buckets.persist()
+    buckets.count()  # eager: see jaccard_candidate_pairs on the cache race
+    a, b = buckets.alias("a"), buckets.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    out = out.persist()
+    out.count()
+    buckets.unpersist()
+    return out

@@ -682,3 +682,34 @@ def test_containment_df_cut_consistent_universe(spark, docs):
     # but must never appear with containment > 1
     assert set(cut) <= set(full) or all(v <= 1.0 for v in cut.values())
     spark.catalog.clearCache()
+
+
+def test_simhash_near_pairs_pigeonhole_recall(spark, docs):
+    """Identical docs -> hamming 0; near-dup pair found; unrelated doc
+    never paired; bands<=max_hamming rejected (no recall guarantee)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in X_dedup.simhash_near_pairs(
+            docs, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0  # exact dups
+    assert not any(4 in p for p in pairs)  # unrelated doc out of ball
+    # a 1-word change in a LARGE vocabulary stays inside the ball
+    # (majority votes over 60 words barely move); the small fixture's
+    # doc 3 flips too many majority bits to qualify, correctly
+    big = " ".join(f"token{i}" for i in range(60))
+    near = " ".join(f"token{i}" for i in range(59)) + " changed"
+    big_df = spark.createDataFrame(
+        [Row(doc_id=10, text=big), Row(doc_id=11, text=near)]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in X_dedup.simhash_near_pairs(
+            big_df, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert (10, 11) in got and got[(10, 11)] <= 3
+    with pytest.raises(ValueError):
+        X_dedup.simhash_near_pairs(docs, bands=2, max_hamming=3)
+    spark.catalog.clearCache()
