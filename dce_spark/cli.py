@@ -70,6 +70,36 @@ def cmd_validate(args: argparse.Namespace) -> int:
             problems = contract.validate_definition()
             print("contract definition " + ("OK" if not problems else f"invalid: {problems}"))
             return 0 if not problems else 1
+        if args.partition_col:
+            # incremental per-partition validation (api.validate_partitions):
+            # one report per partition value, each scan partition-pruned
+            from .api import validate_partitions
+
+            reports = validate_partitions(
+                spark,
+                df,
+                contract,
+                args.partition_col,
+                since=args.since,
+                strict=args.strict,
+                schema_only=args.schema_only,
+                sample_size=args.sample_size,
+            )
+            all_ok = all(r.passed for r in reports.values())
+            if args.format == "json":
+                import json as _json
+
+                print(_json.dumps(
+                    {str(k): r.to_dict() for k, r in reports.items()}, default=str
+                ))
+            else:
+                for k, r in reports.items():
+                    status = "PASS" if r.passed else "FAIL"
+                    print(f"== partition {args.partition_col}={k}: {status} "
+                          f"({r.stats.records_validated} records)")
+                    if not r.passed:
+                        print(_render_text(r))
+            return 0 if all_ok else 1
         ctx = ValidationContext(
             strict=args.strict,
             schema_only=args.schema_only,
@@ -222,6 +252,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # HLL uniqueness instead of exact COUNT(DISTINCT): the monitoring-
     # grade scale path (single-pass, no expand — see SCALING.md §1)
     v.add_argument("--approx-distinct", action="store_true")
+    # incremental mode: one report per partition value (> --since)
+    v.add_argument("--partition-col", default=None)
+    v.add_argument("--since", default=None)
     v.set_defaults(func=cmd_validate)
 
     c = sub.add_parser("check", help="parse and summarize a contract")

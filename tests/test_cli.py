@@ -87,3 +87,49 @@ def test_validate_approx_distinct_flag(tmp_path):
         if c["name"].startswith("quality.uniqueness")
     ]
     assert len(uniq) == 1 and uniq[0]["passed"]
+
+
+PARTITIONED = """
+version: "1.0.0"
+name: daily
+owner: o
+schema:
+  format: parquet
+  location: {loc}
+  fields:
+    - name: id
+      type: int64
+      nullable: false
+    - name: v
+      type: float64
+      constraints:
+        - type: range
+          min: 0
+          max: 100
+    - name: day
+      type: string
+"""
+
+
+def test_validate_partition_mode(spark, tmp_path):
+    from dce_spark.sinks import write_partitioned
+
+    rows = [(i, 1.0 * i, "a") for i in range(5)]
+    rows += [(10 + i, 500.0, "b") for i in range(5)]  # range violations
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+    r = run_cli("validate", str(p), "--partition-col", "day")
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "partition day=a: PASS" in r.stdout
+    assert "partition day=b: FAIL" in r.stdout
+
+    # incremental frontier: only 'b' checked, still failing
+    r2 = run_cli("validate", str(p), "--partition-col", "day", "--since", "a",
+                 "--format", "json")
+    assert r2.returncode == 1
+    d = json.loads(r2.stdout)
+    assert list(d) == ["b"] and d["b"]["passed"] is False
