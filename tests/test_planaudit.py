@@ -107,3 +107,20 @@ def test_round3_operators_plan_shapes(spark):
     assert set(scan.read_columns) == {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     }
+
+
+def test_estimate_and_script_plan_shapes(spark):
+    """Round-3 additions, continued: the Jaccard estimator joins only
+    on equality (bucket key + signature lookups), never all-pairs; the
+    script detector is join-free map-side + one groupBy."""
+    rep = assert_scalable(
+        QUERIES["minhash_jaccard_estimate_documents"].fn(spark, SF_DIR)
+    )
+    assert not rep.cartesian_like
+    assert rep.joins.get("CartesianProduct") is None
+
+    rep = assert_scalable(QUERIES["script_detect_documents"].fn(spark, SF_DIR))
+    assert not rep.joins and rep.shuffle_exchanges == 1
+
+    rep = assert_scalable(QUERIES["dedup_simhash_pairs_documents"].fn(spark, SF_DIR))
+    assert not rep.cartesian_like and rep.row_python_stages == 0
