@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "minhash_jaccard_estimate_documents",
     "unigram_logprob_documents",
     "script_detect_documents",
+    "chunk_documents",
     "session_window_native_events",
 ]
 

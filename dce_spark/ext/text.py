@@ -21,6 +21,7 @@ __all__ = [
     "fingerprint_col",
     "text_stats",
     "text_quality",
+    "chunk_documents",
 ]
 
 # tiny multilingual stopword lists for the language-id heuristic
@@ -258,4 +259,61 @@ def curation_decisions(
         F.col(lang_col),
         (~too_short & ~too_rep & ~non_target).alias("kept"),
         reasons.alias("drop_reasons"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    stage every RAG/embedding/training pipeline runs before encoding.
+
+    Windows start every ``chunk_tokens - overlap`` tokens and span
+    ``chunk_tokens`` (the final window may be shorter; a doc shorter
+    than one window yields one chunk). Returns
+    (id, chunk_idx, start_token, n_tokens, chunk_text) — offsets are
+    1-based token positions so chunks can be traced back into the
+    source.
+
+    Scale shape: tokenization is staged as a REAL column before the
+    window explode (HOF-lambda capture re-evaluates computed
+    expressions per element — the documented O(n^2) tokenizer
+    pitfall), then one map-side explode. No shuffle at all: chunking
+    is embarrassingly parallel, and downstream encoders read
+    (id, chunk_idx)-addressed rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col), tokens_col(F.lower(F.col(text_col))).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    chunked = toks.select(
+        id_col,
+        n.alias("__n"),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start_token"), chunk_tokens)
+    return (
+        chunked.filter(
+            # drop a trailing window that would duplicate pure overlap
+            # (start beyond the tokens) — only possible on empty docs
+            (F.col("start_token") <= F.col("__n")) | (F.col("chunk_idx") == 0)
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.col("start_token"),
+            F.size(piece).alias("n_tokens"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+        )
     )

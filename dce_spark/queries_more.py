@@ -4162,3 +4162,53 @@ def script_detect_documents(spark, sf_dir):
             F.sum("total").cast("long").alias("n_script_chars"),
         )
     )
+
+
+# =====================================================================
+# Document chunking (RAG / embedding-pipeline windows)
+# =====================================================================
+
+_CHUNK, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents",
+    f"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), st AS (
+          SELECT doc_id, len(t) AS n, t,
+                 unnest(range(1, greatest(len(t), 1) + 1, {_CHUNK_STEP}))
+                   AS start_token
+          FROM toks
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST((start_token - 1) // {_CHUNK_STEP} AS INTEGER) AS chunk_idx,
+               CAST(start_token AS INTEGER) AS start_token,
+               CAST(len(list_slice(t, start_token, start_token + {_CHUNK} - 1))
+                    AS INTEGER) AS n_tokens,
+               array_to_string(
+                 list_slice(t, start_token, start_token + {_CHUNK} - 1), ' ')
+                 AS chunk_text
+        FROM st
+        WHERE start_token <= n OR (start_token - 1) // {_CHUNK_STEP} = 0""",
+    "training-data op: document CHUNKING into overlapping token "
+    f"windows ({_CHUNK} tokens, {_CHUNK_OVERLAP} overlap) — the stage "
+    "every RAG/embedding/pretraining pipeline runs before encoding. "
+    "1-based token offsets trace each chunk back into its source doc. "
+    "Tokens staged as a real column BEFORE the explode (the HOF-"
+    "lambda-capture O(n^2) tokenizer pitfall), then one map-side "
+    "posexplode — ZERO shuffles, embarrassingly parallel at any "
+    "corpus size.",
+)
+def chunk_documents(spark, sf_dir):
+    from .ext.text import chunk_documents as _chunk
+
+    return _chunk(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=_CHUNK,
+        overlap=_CHUNK_OVERLAP,
+    )

@@ -713,3 +713,31 @@ def test_simhash_near_pairs_pigeonhole_recall(spark, docs):
     with pytest.raises(ValueError):
         X_dedup.simhash_near_pairs(docs, bands=2, max_hamming=3)
     spark.catalog.clearCache()
+
+
+def test_chunk_documents_window_invariants(spark):
+    """Chunk windows: correct starts/overlap, full coverage, traceable
+    offsets, short-doc single chunk, parameter validation."""
+    from dce_spark.ext.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text="tiny doc")]
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=16, overlap=4).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts every 12 tokens over 50 tokens: 1, 13, 25, 37, 49
+    assert [r["start_token"] for r in d1] == [1, 13, 25, 37, 49]
+    assert [r["n_tokens"] for r in d1] == [16, 16, 16, 14, 2]
+    assert d1[0]["chunk_text"].startswith("w0 w1 ")
+    assert d1[-1]["chunk_text"] == "w48 w49"
+    # consecutive chunks overlap by exactly 4 tokens
+    a, b = d1[0]["chunk_text"].split(), d1[1]["chunk_text"].split()
+    assert a[-4:] == b[:4]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 2
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
