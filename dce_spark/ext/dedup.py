@@ -30,6 +30,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "simhash_near_pairs",
+    "save_lsh_index",
+    "match_against_lsh_index",
     "dedup_clusters",
 ]
 
@@ -692,3 +694,70 @@ def simhash_near_pairs(
     out.count()
     buckets.unpersist()
     return out
+
+
+def save_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    fast: bool = True,
+    num_files: int = 8,
+) -> None:
+    """Persist the corpus LSH bucket table — the operational form of
+    incremental dedup at 100 TB: signatures for the full corpus are
+    computed ONCE at index-build time, and every future ingest batch
+    joins against the stored buckets (match_against_lsh_index) paying
+    only its own signature cost. Re-deriving corpus signatures per
+    batch (incremental_lsh_matches) is the ad-hoc form.
+
+    Layout: (doc_id, band, bkey) range-sorted by (band, bkey) via
+    sinks.write_sorted, so the batch join's lookups hit a bounded band
+    of files (parquet min/max pruning on the join key ranges).
+    Defaults to ``fast=True`` (xxhash64) — an index is a production
+    artifact; pass ``fast=False`` only when oracle replay matters.
+
+    The hashing parameters are persisted alongside (``<path>/meta``)
+    and re-applied at query time — a batch hashed with different
+    parameters would silently match nothing, so the index is
+    self-describing by construction.
+    """
+    from ..sinks import write_sorted
+
+    spark = df.sparkSession
+    bb = _band_buckets(df, text_col, id_col, n, num_hashes, bands, fast).select(
+        F.col("__id").alias("doc_id"), "band", "bkey"
+    )
+    write_sorted(bb, path + "/buckets", ["band", "bkey"], num_files=num_files)
+    meta = [(1, n, num_hashes, bands, bool(fast))]
+    df.sparkSession.createDataFrame(
+        meta, schema="version int, n int, num_hashes int, bands int, fast boolean"
+    ).coalesce(1).write.mode("overwrite").json(path + "/meta")
+
+
+def match_against_lsh_index(
+    spark,
+    path: str,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(batch_id, corpus_id) candidate matches of a new batch against a
+    persisted LSH index (save_lsh_index). The batch's signatures are
+    computed with the INDEX's stored parameters — never the caller's
+    guess. Join cost scales with the batch; the corpus is only read
+    along the matching band-key ranges."""
+    m = spark.read.json(path + "/meta").head()
+    bb = _band_buckets(
+        batch_df, text_col, id_col, int(m["n"]), int(m["num_hashes"]),
+        int(m["bands"]), bool(m["fast"]),
+    )
+    idx = spark.read.parquet(path + "/buckets")
+    return (
+        bb.join(idx, ["band", "bkey"])
+        .select(F.col("__id").alias("batch_id"), F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )

@@ -741,3 +741,34 @@ def test_chunk_documents_window_invariants(spark):
     assert len(d2) == 1 and d2[0]["n_tokens"] == 2
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_lsh_index_save_and_match(spark, docs, tmp_path):
+    """Persisted LSH index: build once, match batches against it with
+    the STORED hashing parameters; exact re-ingest always matches;
+    unrelated new docs match nothing; the join is equi-only."""
+    from dce_spark.ext.dedup import match_against_lsh_index, save_lsh_index
+    from dce_spark.planaudit import audit
+
+    idx = str(tmp_path / "lsh_index")
+    save_lsh_index(docs, idx, fast=True, num_files=2)
+
+    batch = spark.createDataFrame(
+        [
+            # exact re-ingest of doc 1 -> must match (recall 1.0)
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog near the river bank today"),
+            Row(doc_id=101, text="entirely novel content with zero overlap whatsoever here"),
+        ]
+    )
+    out = match_against_lsh_index(spark, idx, batch)
+    matches = {(r["batch_id"], r["corpus_id"]) for r in out.collect()}
+    assert (100, 1) in matches and (100, 2) in matches  # both exact dups
+    assert not any(b == 101 for b, _ in matches)
+
+    rep = audit(out)
+    assert not rep.cartesian_like
+
+    # stored params win: the index self-describes its hashing
+    m = spark.read.json(idx + "/meta").head()
+    assert (m["n"], m["num_hashes"], m["bands"], m["fast"]) == (3, 8, 4, True)
+    spark.catalog.clearCache()
