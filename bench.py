@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "unigram_logprob_documents",
     "script_detect_documents",
     "chunk_documents",
+    "bpe_pair_counts_documents",
     "session_window_native_events",
 ]
 

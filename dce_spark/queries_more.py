@@ -4212,3 +4212,55 @@ def chunk_documents(spark, sf_dir):
         chunk_tokens=_CHUNK,
         overlap=_CHUNK_OVERLAP,
     )
+
+
+# =====================================================================
+# Tokenizer training: BPE first-merge pair statistics
+# =====================================================================
+
+
+@register(
+    "bpe_pair_counts_documents",
+    """WITH words AS (
+         SELECT unnest(list_filter(string_split_regex(lower(text),
+                  '[[:space:]]+'), x -> x <> '')) AS w
+         FROM documents
+       ), pairs AS (
+         SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substr(w, i, 2))) AS pair
+         FROM words WHERE length(w) >= 2
+       )
+       SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       FROM pairs GROUP BY pair
+       ORDER BY cnt DESC, pair LIMIT 20""",
+    "tokenizer training: corpus-wide adjacent character-pair "
+    "frequencies — the statistic the FIRST BPE merge decision "
+    "maximizes (and each subsequent round recomputes over re-"
+    "tokenized text). Occurrence-weighted (every word instance "
+    "counts, unlike the dedup shinglers' distinct sets). Map-side "
+    "explode of length-1 windows per word, one groupBy, TakeOrdered "
+    "top-20 with deterministic (count desc, pair) tie-break — the "
+    "full merge loop is this query iterated with a growing symbol "
+    "vocabulary.",
+)
+def bpe_pair_counts_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    df = load_table(spark, sf_dir, "documents")
+    words = df.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pair"))
+        .limit(20)
+    )
