@@ -11,6 +11,7 @@ continuous monitoring, and a custom stateful operator template
 from .drift import psi_term_of, streaming_binned_drift
 from .enforce import (
     streaming_exact_dedup,
+    streaming_near_dup_filter,
     streaming_quality_aggregates,
     validate_stream,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "validate_stream",
     "streaming_quality_aggregates",
     "streaming_exact_dedup",
+    "streaming_near_dup_filter",
     "stateful_sessionize",
     "fold_sessions",
     "enrich_stream",

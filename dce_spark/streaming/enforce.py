@@ -120,3 +120,44 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def streaming_near_dup_filter(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_path: str,
+    on_batch: Callable[[int, DataFrame], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **write_stream_opts,
+):
+    """Streaming NEAR-dup admission control against a persisted LSH
+    index (ext.dedup.save_lsh_index) — the streaming face of
+    incremental corpus dedup, completing the pair with
+    ``streaming_exact_dedup`` (exact fingerprints, watermarked state).
+
+    Per micro-batch via foreachBatch: hash the batch with the INDEX's
+    stored parameters, equi-join its band buckets against the stored
+    bucket table (cost scales with the batch, corpus read only along
+    matching band-key ranges), left-anti the matched ids away, and
+    hand the surviving rows to ``on_batch``. State lives in the index
+    files, not the stream — restart-safe by construction, and the
+    index can be rebuilt/compacted offline while the stream runs
+    (swap paths between batches).
+
+    ``on_batch`` receives (batch_id, survivors_df) and owns the write
+    (append to the corpus + index refresh cadence is a policy choice).
+    """
+    from ..ext.dedup import match_against_lsh_index
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matched = match_against_lsh_index(
+            spark, index_path, batch_df, text_col=text_col, id_col=id_col
+        ).select(F.col("batch_id").alias(id_col)).distinct()
+        survivors = batch_df.join(matched, id_col, "left_anti")
+        on_batch(batch_id, survivors)
+
+    writer = stream_df.writeStream.foreachBatch(per_batch)
+    for k, v in write_stream_opts.items():
+        writer = writer.option(k, v)
+    return writer.start()

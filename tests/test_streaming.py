@@ -475,3 +475,50 @@ def test_windowed_anomaly_counts_stream(spark, tmp_path):
         "2024-01-01 00:00:00": (2, 1),
         "2024-01-01 00:01:00": (3, 1),
     }
+
+
+def test_streaming_near_dup_filter_against_index(spark, tmp_path):
+    """Streaming admission control vs a persisted LSH index: the
+    re-ingested duplicate is dropped, the novel doc survives; state
+    lives in the index files, not the stream."""
+    from pyspark.sql import Row
+
+    from dce_spark.ext.dedup import save_lsh_index
+    from dce_spark.streaming import streaming_near_dup_filter
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different content about spark engines"),
+        ]
+    )
+    idx = str(tmp_path / "index")
+    save_lsh_index(corpus, idx, fast=True, num_files=1)
+
+    srcdir = tmp_path / "stream_src"
+    srcdir.mkdir()
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=101, text="novel text with zero corpus overlap whatsoever"),
+        ]
+    )
+    batch.coalesce(1).write.parquet(str(srcdir / "b0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(srcdir / "b0")
+    )
+    seen = {}
+    q = streaming_near_dup_filter(
+        spark,
+        stream,
+        idx,
+        on_batch=lambda bid, df: seen.setdefault(bid, [r["doc_id"] for r in df.collect()]),
+        checkpointLocation=str(tmp_path / "ckpt_ndf"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    survivors = sorted(x for ids in seen.values() for x in ids)
+    assert survivors == [101]
+    spark.catalog.clearCache()
