@@ -772,3 +772,28 @@ def test_lsh_index_save_and_match(spark, docs, tmp_path):
     m = spark.read.json(idx + "/meta").head()
     assert (m["n"], m["num_hashes"], m["bands"], m["fast"]) == (3, 8, 4, True)
     spark.catalog.clearCache()
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, vecs, tmp_path):
+    """Persisted IVF index: results identical to the in-memory ivf_topk
+    with the same centroids, and the probe scan is PARTITION-PRUNED to
+    its cells' directories."""
+    from dce_spark.ext.similarity import ivf_index_topk, ivf_topk, save_ivf_index
+
+    rows = vecs.collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in rows[:3]]
+    qv = [float(x) for x in rows[0]["embedding"]]
+
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(vecs, idx, centroids)
+
+    mem = ivf_topk(vecs, qv, centroids, k=5, nprobe=2).collect()
+    disk = ivf_index_topk(spark, idx, qv, k=5, nprobe=2).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in mem] == [
+        (r["vec_id"], r["cos_sim"]) for r in disk
+    ]
+    assert len(mem) > 0
+
+    probe = ivf_index_topk(spark, idx, qv, k=5, nprobe=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan or "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:120], plan[:600]
