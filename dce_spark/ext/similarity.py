@@ -9,6 +9,9 @@
 - ``ivf_topk``: the scale path — partition the corpus by a coarse
   quantizer (here: nearest of k seed centroids), search only the
   query's cell. Recall < 1.0 by construction; nprobe widens the search.
+- ``save_ivf_index`` / ``ivf_index_topk``: the PERSISTED form — cells
+  as hive partitions + stored centroids, so a probe's scan is
+  partition-pruned to 1/n_cells of the corpus files.
 - ``hyperplane_lsh_pairs``: the scale path for *all-pairs* near-dup
   detection — random-hyperplane (SimHash-for-vectors) sign-bit
   bucketing so candidate pairs only ever meet inside equal band
