@@ -239,6 +239,29 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 2 if d.is_breaking else 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Profile a table without a contract (reference profile_batch,
+    contracts-python lib.rs:419): row count + per-column nulls /
+    distincts / numeric min-max-mean, one fused aggregation pass.
+    --approx swaps exact COUNT(DISTINCT) for HLL (the monitoring-grade
+    scale path)."""
+    from .checks.profile import profile_df as _profile
+
+    spark = _spark()
+    try:
+        df = sources.load_source(spark, args.format, args.location)
+        prof = _profile(
+            df, approx=args.approx,
+            columns=args.columns.split(",") if args.columns else None,
+        )
+        import json as _json
+
+        print(_json.dumps(prof, indent=2, default=str))
+        return 0
+    finally:
+        spark.stop()
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dce-spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -266,6 +289,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     d.add_argument("new")
     d.add_argument("--format", choices=["text", "json"], default="text")
     d.set_defaults(func=cmd_diff)
+
+    pr = sub.add_parser("profile", help="profile a table (rows, nulls, distincts, numeric stats)")
+    pr.add_argument("format")
+    pr.add_argument("location")
+    pr.add_argument("--approx", action="store_true")
+    pr.add_argument("--columns", default=None, help="comma-separated subset")
+    pr.set_defaults(func=cmd_profile)
 
     i = sub.add_parser("init", help="infer a contract from a table")
     i.add_argument("format")

@@ -133,3 +133,14 @@ def test_validate_partition_mode(spark, tmp_path):
     assert r2.returncode == 1
     d = json.loads(r2.stdout)
     assert list(d) == ["b"] and d["b"]["passed"] is False
+
+
+def test_profile_verb(tmp_path):
+    r = run_cli(
+        "profile", "parquet", "/root/testdata/sf0.001/nation.parquet",
+        "--columns", "n_nationkey",
+    )
+    assert r.returncode == 0, r.stderr
+    d = json.loads(r.stdout)
+    assert d["row_count"] == 25
+    assert d["columns"]["n_nationkey"]["distinct_count"] == 25
