@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
     "embedding_knn_join",
     "embedding_ivf_topk",
+    "embedding_ivf_knn_join",
     "embedding_near_dup_lsh",
     "kmeans_embeddings_2iter",
     "embedding_quantize_int8",

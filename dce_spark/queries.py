@@ -2157,3 +2157,124 @@ def dedup_simhash_pairs_documents(spark, sf_dir):
 
 
 QUERIES["dedup_simhash_pairs_documents"].oracle = _simhash_pairs_oracle(bits=32)
+
+
+_IVF_KNN_NPROBE, _IVF_KNN_K = 2, 5
+
+_IVF_KNN_ORACLE = f"""
+WITH cent AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(t.pos AS BIGINT) AS pos,
+         {_qsum_sql('CAST(embedding[t.pos + 1] AS DOUBLE)', 1e9)}
+           / CAST(count(*) AS DOUBLE) AS c
+  FROM embeddings, range(0, 64) t(pos)
+  GROUP BY label, t.pos
+), q AS (
+  SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5
+), qd AS (
+  SELECT q_id, t.pos, CAST(embedding[t.pos + 1] AS DOUBLE) AS v
+  FROM q, range(0, 64) t(pos)
+), cell_scores AS (
+  SELECT qd.q_id, cent.label,
+         round(sum(cent.c * qd.v)
+               / (sqrt(sum(cent.c * cent.c)) * sqrt(sum(qd.v * qd.v))), 6)
+           AS cell_cos
+  FROM cent JOIN qd ON cent.pos = qd.pos
+  GROUP BY qd.q_id, cent.label
+), probe AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cell_cos DESC, label) AS rn
+    FROM cell_scores) WHERE rn <= {_IVF_KNN_NPROBE}
+), scored AS (
+  SELECT p.q_id, e.vec_id,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))),
+               6) AS cos_sim
+  FROM probe p
+  JOIN embeddings e ON CAST(e.label AS BIGINT) = p.label
+  JOIN q ON q.q_id = p.q_id
+  WHERE e.vec_id <> p.q_id
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, cos_sim
+FROM (SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {_IVF_KNN_K}"""
+
+
+@register(
+    "embedding_ivf_knn_join",
+    _IVF_KNN_ORACLE,
+    "ext/similarity: BATCH ANN search — a SET of query vectors routed "
+    "through IVF probe cells via pure equi-joins (the production "
+    "retrieval shape; brute-force knn_join broadcasts the queries into "
+    "an O(Q x N) NLJ, this touches only nprobe/n_cells of the corpus "
+    "per query and scales to millions of queries). Stages, all "
+    "shuffle-on-key: per-cell centroids (one agg), per-(query, cell) "
+    "cosine scores from an equi-join on vector position, top-nprobe "
+    "cells per query (window), probe x corpus equi-join on cell, "
+    "per-query top-k (window). Rounding to 6dp before every ranking "
+    "absorbs float-sum association differences, so ranks are engine- "
+    "portable. Self-matches excluded like knn_join.",
+)
+def embedding_ivf_knn_join(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+
+    # per-label centroid components (same quantized-exact mean as the
+    # oracle's cent CTE / embedding_centroids_by_label)
+    cent = (
+        df.select(F.col("label").cast("long").alias("label"),
+                  F.posexplode(emb_d).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9) / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), emb_d.alias("q_vec")
+    )
+    qd = q.select("q_id", F.posexplode("q_vec").alias("pos", "v"))
+    scores = (
+        qd.join(cent, "pos")
+        .groupBy("q_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("v"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("v") * F.col("v")))
+                ),
+                6,
+            ).alias("cell_cos")
+        )
+    )
+    w_cell = Window.partitionBy("q_id").orderBy(F.desc("cell_cos"), F.col("label"))
+    probe = (
+        scores.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _IVF_KNN_NPROBE)
+        .select("q_id", "label")
+    )
+    corpus = df.select(
+        F.col("vec_id"), F.col("label").cast("long").alias("label"), emb_d.alias("e")
+    )
+    cos = F.round(X_sim.cosine_col(F.col("e"), F.col("q_vec")), 6)
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        F.broadcast(probe.join(q, "q_id"))
+        .join(corpus, "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= _IVF_KNN_K)
+    )
