@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "outlier_counts_events_approx",
     "zorder_key_events",
     "chi_square_drift_events",
+    "ks_test_events",
     "key_skew_profile_events",
     "drift_events_weekly",
     "anomaly_days_events",

@@ -4264,3 +4264,79 @@ def bpe_pair_counts_documents(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.col("pair"))
         .limit(20)
     )
+
+
+@register(
+    "ks_test_events",
+    """WITH v AS (
+         SELECT user_id % 2 AS split, CAST(value AS DOUBLE) AS value
+         FROM events WHERE value IS NOT NULL
+       ), cells AS (
+         SELECT value,
+                sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS c0,
+                sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS c1
+         FROM v GROUP BY value
+       ), tot AS (
+         SELECT sum(c0) AS n0, sum(c1) AS n1 FROM cells
+       ), ecdf AS (
+         SELECT sum(c0) OVER (ORDER BY value) AS cum0,
+                sum(c1) OVER (ORDER BY value) AS cum1
+         FROM cells
+       )
+       SELECT round(max(abs(CAST(cum0 AS DOUBLE) / t.n0
+                          - CAST(cum1 AS DOUBLE) / t.n1)), 9) AS ks_stat,
+              CAST(t.n0 AS BIGINT) AS n0, CAST(t.n1 AS BIGINT) AS n1
+       FROM ecdf, tot t GROUP BY t.n0, t.n1""",
+    "distribution test: two-sample Kolmogorov-Smirnov statistic "
+    "between hash splits of `value` — the numeric drift test that "
+    "needs no binning choice, completing the trio with chi-square "
+    "(categorical) and PSI (binned, reference-anchored). ECDFs "
+    "evaluated at DISTINCT values (group-by first), so ties "
+    "contribute once and both engines walk the identical step "
+    "function; cumulative counts are exact ints, the final division "
+    "is one double op per step, 9dp rounding seals portability. The "
+    "ordered cumulative window over distinct values is a documented "
+    "single-task parity probe at this exactness — at 100 TB run PSI "
+    "or a quantile-bucketed KS (same formula over "
+    "percentile_approx-bucketed values).",
+)
+def ks_test_events(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("split"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    cells = df.groupBy("value").agg(
+        F.sum((F.col("split") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("split") == 1).cast("long")).alias("c1"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cells.select(
+        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
+    )
+    totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    # 1-row broadcast totals against the ECDF steps, then one max-agg —
+    # nothing is ever collected into a single array/row
+    return (
+        ecdf.crossJoin(F.broadcast(totals))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum0").cast("double") / F.col("n0")
+                        - F.col("cum1").cast("double") / F.col("n1")
+                    )
+                ),
+                9,
+            ).alias("ks_stat")
+        )
+        .select(
+            "ks_stat",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+        )
+    )
