@@ -98,3 +98,26 @@ class ValidationReport:
 
     def to_json(self, indent: int | None = 2) -> str:
         return json.dumps(self.to_dict(), indent=indent, default=str)
+
+    def to_df(self, spark):
+        """One row per check as a typed DataFrame — the report SINK for
+        pipelines that persist validation history as a table (write it
+        with sinks.write_partitioned on run date and the audit trail is
+        itself partition-pruned)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("category", T.StringType(), False),
+                T.StructField("passed", T.BooleanType(), False),
+                T.StructField("severity", T.StringType(), True),
+                T.StructField("field", T.StringType(), True),
+                T.StructField("message", T.StringType(), True),
+            ]
+        )
+        rows = [
+            (c.name, c.category, c.passed, c.severity, c.field, c.message)
+            for c in self.checks
+        ]
+        return spark.createDataFrame(rows, schema=schema)

@@ -210,3 +210,34 @@ schema:
         .toString()
     )
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_report_to_df_sink(spark, tmp_path):
+    """ValidationReport.to_df: the report sink as a typed DataFrame,
+    persistable as a partitioned audit table."""
+    from dce_spark import validate_df
+    from dce_spark.sinks import write_partitioned
+
+    contract = """
+version: "1.0.0"
+name: t
+owner: o
+schema:
+  fields:
+    - name: id
+      type: int64
+      nullable: false
+"""
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    rep = validate_df(spark, df, contract)
+    out = rep.to_df(spark)
+    from pyspark.sql import functions as F
+    assert out.count() == len(rep.checks) > 0
+    assert set(out.columns) == {"name", "category", "passed", "severity", "field", "message"}
+    assert all(r["passed"] for r in out.collect())
+
+    # report history as a partitioned table
+    dated = out.withColumn("run_date", F.lit("2024-01-01"))
+    write_partitioned(dated, str(tmp_path / "audit"), ["run_date"])
+    back = spark.read.parquet(str(tmp_path / "audit"))
+    assert back.count() == out.count()
