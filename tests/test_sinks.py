@@ -182,3 +182,44 @@ def test_zorder_key_validates_inputs(spark):
         zorder_key([F.col("x"), F.col("y")], bits=32)
     with pytest.raises(ValueError):
         minmax_bucket(F.col("x"), 5.0, 5.0, 8)
+
+
+def test_zorder_minmax_properties(spark):
+    """Property: minmax_bucket always lands in [0, 2^bits) including
+    out-of-range inputs; zorder_key is monotone along each axis when
+    the other is held fixed (the locality property row-group pruning
+    relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dce_spark.sinks import minmax_bucket, zorder_key
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=1, max_size=20,
+        ),
+        bits=st.integers(min_value=1, max_value=10),
+    )
+    def run_bucket(vals, bits):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [
+            r["b"]
+            for r in df.select(
+                minmax_bucket(F.col("x"), -100.0, 100.0, bits).alias("b")
+            ).collect()
+        ]
+        assert all(0 <= b < (1 << bits) for b in got)
+
+    run_bucket()
+
+    pts = sorted({(x, 3) for x in range(16)} | {(7, y) for y in range(16)})
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()
+    xs = sorted((r["x"], r["z"]) for r in rows if r["y"] == 3)
+    assert all(a[1] < b[1] for a, b in zip(xs, xs[1:]))
+    ys = sorted((r["y"], r["z"]) for r in rows if r["x"] == 7)
+    assert all(a[1] < b[1] for a, b in zip(ys, ys[1:]))
