@@ -44,6 +44,7 @@ __all__ = [
     "decode_image_batch",
     "extract_image_features",
     "sample_frames",
+    "resize_images",
 ]
 
 #: metadata struct carried alongside every binary payload
@@ -393,3 +394,80 @@ def sample_frames(
             )
 
     return pruned.mapInPandas(run, schema=schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized_bytes", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_side: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """Thumbnail/resize stage: (id, src dims, target dims, resized
+    bytes, digest) via Arrow-batched mapInPandas.
+
+    Target dims are REAL math (aspect-preserving fit into
+    ``max_side``, computed from the REAL parsed header dimensions —
+    parse_header — when the payload is a recognized container). The
+    pixel resample itself is the documented stub: ``fake=True``
+    substitutes a deterministic digest-derived byte count so the
+    batch shape, pruning, and schema are exercised end-to-end;
+    without it the stage raises (PIL/cv2 absent from this env).
+    """
+    pruned = _spread(
+        df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("p"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "src_width", "src_height", "width",
+                                   "height", "resized_bytes", "digest")}
+            for i, b in zip(pdf["id"], pdf["p"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "pixel resampling requires PIL/opencv (not available); "
+                        "pass fake=True for the deterministic stub"
+                    )
+                raw = bytes(b)
+                hdr = parse_header(raw)
+                sw, sh = hdr["width"], hdr["height"]
+                if sw and sh:
+                    scale = min(1.0, max_side / max(sw, sh))
+                    w, h = max(1, int(sw * scale)), max(1, int(sh * scale))
+                else:
+                    w = h = max_side  # unknown container: letterbox target
+                d = hashlib.sha256(raw).hexdigest()
+                out["id"].append(int(i))
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["width"].append(w)
+                out["height"].append(h)
+                # stub: deterministic fake output size ~ 3 bytes/pixel
+                out["resized_bytes"].append(w * h * 3)
+                out["digest"].append(d)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "src_width": pd.array(out["src_width"], dtype="Int32"),
+                    "src_height": pd.array(out["src_height"], dtype="Int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "resized_bytes": pd.Series(out["resized_bytes"], dtype="int64"),
+                    "digest": out["digest"],
+                }
+            )
+
+    return pruned.mapInPandas(run, schema=RESIZED_SCHEMA)

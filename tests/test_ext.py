@@ -836,3 +836,26 @@ def test_chunk_documents_properties(spark):
             assert r["n_tokens"] == chunk or r["start_token"] + chunk > n
 
     run()
+
+
+def test_resize_images_real_dims_stub_pixels(spark):
+    """Resize stage: target dims are REAL aspect-preserving math from
+    the REAL parsed header; only the pixel resample is stubbed."""
+    rows = [
+        Row(doc_id=1, payload=X_mm.synthesize_payload("png", width=640, height=480)),
+        Row(doc_id=2, payload=X_mm.synthesize_payload("jpeg", width=100, height=50)),
+        Row(doc_id=3, payload=b"unrecognized bytes here"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["id"]: r for r in X_mm.resize_images(df, "doc_id", fake=True).collect()}
+    # 640x480 fit into 224 -> 224x168
+    assert (got[1]["width"], got[1]["height"]) == (224, 168)
+    assert (got[1]["src_width"], got[1]["src_height"]) == (640, 480)
+    # already smaller than max_side: untouched
+    assert (got[2]["width"], got[2]["height"]) == (100, 50)
+    # unknown container: letterbox target, null source dims
+    assert got[3]["src_width"] is None and got[3]["width"] == 224
+    assert all(r["resized_bytes"] == r["width"] * r["height"] * 3 for r in got.values())
+
+    with pytest.raises(Exception):
+        X_mm.resize_images(df, "doc_id", fake=False).collect()
