@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "multimodal_payload_stats",
     "multimodal_frame_sample",
     "multimodal_header_meta",
+    "multimodal_resize_dims",
     # round-3 additions
     "passage_dedup_documents",
     "lsh_verified_pairs_documents",

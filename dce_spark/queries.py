@@ -2278,3 +2278,63 @@ def embedding_ivf_knn_join(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= _IVF_KNN_K)
     )
+
+
+@register(
+    "multimodal_resize_dims",
+    """SELECT CAST(doc_id AS BIGINT) AS id,
+              CAST(16 + doc_id % 512 AS INTEGER) AS src_width,
+              CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS src_height,
+              CAST(greatest(1, CAST(floor((16 + doc_id % 512)
+                   * least(1.0, 224.0 / greatest(16 + doc_id % 512,
+                                                 16 + (doc_id * 7) % 512)))
+                   AS INTEGER)) AS INTEGER) AS width,
+              CAST(greatest(1, CAST(floor((16 + (doc_id * 7) % 512)
+                   * least(1.0, 224.0 / greatest(16 + doc_id % 512,
+                                                 16 + (doc_id * 7) % 512)))
+                   AS INTEGER)) AS INTEGER) AS height,
+              CAST(greatest(1, CAST(floor((16 + doc_id % 512)
+                   * least(1.0, 224.0 / greatest(16 + doc_id % 512,
+                                                 16 + (doc_id * 7) % 512)))
+                   AS INTEGER))
+                 * greatest(1, CAST(floor((16 + (doc_id * 7) % 512)
+                   * least(1.0, 224.0 / greatest(16 + doc_id % 512,
+                                                 16 + (doc_id * 7) % 512)))
+                   AS INTEGER)) * 3 AS BIGINT) AS resized_bytes
+       FROM documents""",
+    "ext/multimodal: the RESIZE stage driver-checkable — payloads "
+    "synthesized as byte-valid PNG/JPEG containers (dims from doc_id, "
+    "same generator as multimodal_header_meta), then resize_images "
+    "computes aspect-preserving fit-into-224 targets from the REAL "
+    "parsed headers (never upscales); the oracle replays the "
+    "fit arithmetic (scale = min(1, 224/max side), floor, >=1). Any "
+    "header-parse or scaling divergence breaks the match. The pixel "
+    "resample itself stays the documented stub.",
+)
+def multimodal_resize_dims(spark, sf_dir):
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: "_It[_pd.DataFrame]"):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                kind = ("png", "jpeg")[i % 2]
+                payloads.append(
+                    X_mm.synthesize_payload(
+                        kind, width=16 + i % 512, height=16 + (i * 7) % 512
+                    )
+                )
+                ids.append(i)
+            yield _pd.DataFrame(
+                {"doc_id": _pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    payloads = df.mapInPandas(synth, "doc_id long, payload binary")
+    return X_mm.resize_images(payloads, "doc_id", max_side=224, fake=True).drop(
+        "digest"
+    )
