@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "script_detect_documents",
     "chunk_documents",
     "bpe_pair_counts_documents",
+    "ngram_diversity_documents",
     "session_window_native_events",
 ]
 

@@ -4340,3 +4340,64 @@ def ks_test_events(spark, sf_dir):
             F.col("n1").cast("long").alias("n1"),
         )
     )
+
+
+@register(
+    "ngram_diversity_documents",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ), grams AS (
+         SELECT 1 AS n, unnest(t) AS g FROM toks
+         UNION ALL
+         SELECT 2 AS n, unnest(list_transform(range(1, greatest(len(t) - 0, 1)),
+                  i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+         FROM toks WHERE len(t) >= 2
+         UNION ALL
+         SELECT 3 AS n, unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+         FROM toks WHERE len(t) >= 3
+       )
+       SELECT CAST(n AS INTEGER) AS n,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT g) AS BIGINT) AS n_types,
+              round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 9) AS diversity
+       FROM grams GROUP BY n""",
+    "curation metric: corpus n-gram DIVERSITY (distinct/total ratio "
+    "for n=1..3) — the standard repetitiveness signal at corpus "
+    "granularity (low trigram diversity = template/boilerplate-heavy "
+    "corpus; per-doc repetition_signals is the document-level face). "
+    "Occurrence-weighted sliding n-grams (not the dedup shinglers' "
+    "distinct sets). One explode per n unioned, one groupBy with an "
+    "exact distinct; at 100 TB swap count_distinct for "
+    "approx_count_distinct (same HLL option the profiler exposes).",
+)
+def ngram_diversity_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    df = load_table(spark, sf_dir, "documents")
+    toks = df.select(tokens_col(F.lower(F.col("text"))).alias("t"))
+
+    def grams(n):
+        if n == 1:
+            g = F.explode(F.col("t"))
+        else:
+            g = F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+                )
+            )
+        base = toks if n == 1 else toks.filter(F.size("t") >= n)
+        return base.select(F.lit(n).alias("n"), g.alias("g"))
+
+    allgrams = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    return allgrams.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("g").alias("n_types"),
+        F.round(
+            F.count_distinct("g").cast("double") / F.count(F.lit(1)), 9
+        ).alias("diversity"),
+    ).select(F.col("n").cast("int").alias("n"), "n_tokens", "n_types", "diversity")
