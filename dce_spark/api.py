@@ -77,9 +77,14 @@ def validate_df(
     schema_only: bool = False,
     sample_size: Optional[int] = None,
     now: Optional[datetime] = None,
+    approx_distinct: bool = False,
 ) -> ValidationReport:
     ctx = compiler.ValidationContext(
-        strict=strict, schema_only=schema_only, sample_size=sample_size, now=now
+        strict=strict,
+        schema_only=schema_only,
+        sample_size=sample_size,
+        now=now,
+        approx_distinct=approx_distinct,
     )
     return compiler.validate_df(spark, df, _as_contract(contract), ctx)
 
@@ -230,9 +235,16 @@ def validate_partitions(
     from pyspark.sql import functions as F
 
     if values is None:
-        rows = df.select(partition_col).distinct().collect()
+        # frontier filter runs IN SPARK (col > lit(since)) so Spark's
+        # analyzer coerces types — the CLI passes --since as a string,
+        # which Python would refuse to compare with an int/date
+        # partition value (TypeError), but Catalyst casts fine
+        part_vals = df.select(partition_col).distinct()
+        if since is not None:
+            part_vals = part_vals.filter(F.col(partition_col) > F.lit(since))
+        rows = part_vals.collect()
         values = sorted(r[0] for r in rows if r[0] is not None)
-    if since is not None:
+    elif since is not None:
         values = [v for v in values if v > since]
     out: dict[Any, ValidationReport] = {}
     for v in values:

@@ -84,6 +84,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
                 strict=args.strict,
                 schema_only=args.schema_only,
                 sample_size=args.sample_size,
+                approx_distinct=args.approx_distinct,
             )
             all_ok = all(r.passed for r in reports.values())
             if args.format == "json":

@@ -305,9 +305,14 @@ def chunk_documents(
     piece = F.slice(F.col("__toks"), F.col("start_token"), chunk_tokens)
     return (
         chunked.filter(
-            # drop a trailing window that would duplicate pure overlap
-            # (start beyond the tokens) — only possible on empty docs
-            (F.col("start_token") <= F.col("__n")) | (F.col("chunk_idx") == 0)
+            # a window starting at s only contributes NEW tokens if a
+            # token exists at position s + overlap, i.e. s <= n -
+            # overlap; otherwise the whole chunk is contained in the
+            # previous window's span (happens for ~overlap/step of all
+            # doc lengths — a real duplicate source in a dedup
+            # pipeline, not just empty docs). chunk 0 always kept.
+            (F.col("start_token") <= F.col("__n") - F.lit(overlap))
+            | (F.col("chunk_idx") == 0)
         )
         .select(
             F.col(id_col),

@@ -55,11 +55,19 @@ class PlanReport:
     arrow_python_stages: int = 0
     row_python_stages: int = 0
     codegen_spans: int = 0
+    # BNLJ joins whose BUILD side is a keyless (global) aggregate —
+    # provably <= 1 broadcast row, so the "nested loop" is one O(1)
+    # probe per stream row: scalable at any size. The common shape is
+    # crossJoin(broadcast(df.agg(...))) attaching totals/min-max to
+    # every row.
+    scalar_bnlj: int = 0
 
     @property
     def cartesian_like(self) -> int:
-        return self.joins.get("CartesianProduct", 0) + self.joins.get(
-            "BroadcastNestedLoopJoin", 0
+        return (
+            self.joins.get("CartesianProduct", 0)
+            + self.joins.get("BroadcastNestedLoopJoin", 0)
+            - self.scalar_bnlj
         )
 
 
@@ -87,18 +95,21 @@ def _codegen_spans(df: DataFrame) -> int:
     """Count whole-stage-codegen subtrees. Under AQE the staged plan
     defers codegen until execution, so the count reads as 0 — re-plan
     the same logical plan with AQE off (plan-only; nothing executes)
-    and ask the codegen explain, restoring the conf afterwards.
-    Returns 0 if the internal re-plan API is unavailable — the other
-    report fields never depend on it."""
+    and ask the codegen explain. The AQE toggle is applied on a CLONED
+    session (``spark.newSession()``: shared SparkContext, isolated
+    SQLConf), so concurrent planning on the caller's session — other
+    threads, streaming micro-batches — never loses AQE. Relies on the
+    Spark-4 ``classic.Dataset.ofRows`` internal; returns 0 if the
+    re-plan API is unavailable (e.g. Spark 3.5) — the other report
+    fields never depend on it."""
     spark = df.sparkSession
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
     try:
-        spark.conf.set(key, "false")
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
         jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            spark._jsparkSession, df._jdf.queryExecution().logical()
+            iso._jsparkSession, df._jdf.queryExecution().logical()
         )
-        plain = DataFrame(jdf, spark)
+        plain = DataFrame(jdf, iso)
         buf = io.StringIO()
         with redirect_stdout(buf):
             plain.explain("codegen")
@@ -106,8 +117,90 @@ def _codegen_spans(df: DataFrame) -> int:
         return int(m.group(1)) if m else 0
     except Exception:
         return 0
-    finally:
-        spark.conf.set(key, prev)
+
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+# unary plumbing that cannot multiply rows — safe to walk through when
+# descending a build-side chain looking for the keyless aggregate
+_PASSTHROUGH_NODES = (
+    "BroadcastExchange",
+    "Exchange",
+    "Project",
+    "Filter",
+    "Sort",
+    "AQEShuffleRead",
+    "ColumnarToRow",
+    "InputAdapter",
+    "Subquery",
+    "TakeOrderedAndProject",
+    "LocalLimit",
+    "GlobalLimit",
+)
+
+
+def _parse_tree(text: str) -> list[tuple[int, str, str, int]]:
+    """Tree section of a formatted explain -> [(depth, name, line, id)].
+    Markers are 3-char units (':- ', '+- ', ':  ', '   '), so depth is
+    prefix length // 3."""
+    out: list[tuple[int, str, str, int]] = []
+    started = False
+    for ln in text.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if not started:
+            continue
+        if not ln.strip():
+            break
+        m = re.match(r"^((?:[:+]- |[: ] {2})*)(.*?)\((\d+)\)\s*$", ln)
+        if not m:
+            continue
+        rest = m.group(2).strip()
+        if rest.startswith("* "):
+            rest = rest[2:]
+        if not rest:
+            continue
+        out.append((len(m.group(1)) // 3, rest.split()[0], rest, int(m.group(3))))
+    return out
+
+
+def _count_scalar_bnlj(text: str) -> int:
+    """How many BroadcastNestedLoopJoins have a provably-1-row build
+    side: descend the build child through unary plumbing until the
+    first aggregate node; scalar iff its details say ``Keys: []``
+    (a global aggregate returns exactly one row)."""
+    tree = _parse_tree(text)
+    # details blocks: "(7) HashAggregate\nInput...\nKeys: []..."
+    parts = re.split(r"^\((\d+)\)\s", text, flags=re.MULTILINE)
+    details = {
+        int(parts[i]): parts[i + 1] for i in range(1, len(parts) - 1, 2)
+    }
+    scalar = 0
+    for i, (d, name, rest, _nid) in enumerate(tree):
+        if name != "BroadcastNestedLoopJoin":
+            continue
+        kids = []
+        for j in range(i + 1, len(tree)):
+            if tree[j][0] <= d:
+                break
+            if tree[j][0] == d + 1:
+                kids.append(j)
+        if len(kids) != 2:
+            continue
+        build = kids[0] if "BuildLeft" in rest else kids[1]
+        sub_end = next(
+            (j for j in range(build + 1, len(tree)) if tree[j][0] <= tree[build][0]),
+            len(tree),
+        )
+        for j in range(build, sub_end):
+            nm = tree[j][1]
+            if nm in _AGG_NODES:
+                if re.search(r"Keys: \[\s*\]", details.get(tree[j][3], "")):
+                    scalar += 1
+                break
+            if nm not in _PASSTHROUGH_NODES:
+                break  # scan/join/generate below: row count unbounded
+    return scalar
 
 
 def audit(df: DataFrame) -> PlanReport:
@@ -132,6 +225,10 @@ def audit(df: DataFrame) -> PlanReport:
     )
     rep.row_python_stages = sum(1 for x in nodes if x == "BatchEvalPython")
     rep.codegen_spans = _codegen_spans(df)
+    if rep.joins.get("BroadcastNestedLoopJoin"):
+        rep.scalar_bnlj = min(
+            _count_scalar_bnlj(text), rep.joins["BroadcastNestedLoopJoin"]
+        )
 
     # scan blocks: "(1) Scan parquet ..." followed by indented attributes
     for m in re.finditer(r"\(\d+\)\s+Scan (\w+)", text):
@@ -169,11 +266,13 @@ def assert_scalable(
             f"CartesianProduct x{rep.joins['CartesianProduct']}: unconditional "
             "all-pairs join — refactor to an equi-join (bucket/LSH/inverted index)"
         )
-    if rep.joins.get("BroadcastNestedLoopJoin") and not allow_nlj:
+    real_nlj = rep.joins.get("BroadcastNestedLoopJoin", 0) - rep.scalar_bnlj
+    if real_nlj > 0 and not allow_nlj:
         problems.append(
-            f"BroadcastNestedLoopJoin x{rep.joins['BroadcastNestedLoopJoin']}: "
-            "O(n*m) probe — acceptable only for documented parity probes "
-            "(pass allow_nlj=True) or tiny broadcast sides"
+            f"BroadcastNestedLoopJoin x{real_nlj}: O(n*m) probe — "
+            "acceptable only for documented parity probes (pass "
+            "allow_nlj=True); scalar-build BNLJs (keyless-aggregate "
+            "build, <= 1 row) are exempt automatically"
         )
     if rep.row_python_stages and not allow_row_python:
         problems.append(

@@ -2277,6 +2277,9 @@ def embedding_ivf_knn_join(spark, sf_dir):
         .select("q_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= _IVF_KNN_K)
+        # column order must match the oracle's (q_id, vec_id, rank,
+        # cos_sim) — the driver compare is order-sensitive
+        .select("q_id", "vec_id", "rank", "cos_sim")
     )
 
 

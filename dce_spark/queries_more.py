@@ -70,14 +70,17 @@ def window_topn_customers_per_segment(spark, sf_dir):
     "window_running_total_orders",
     """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
               CAST(o_custkey AS BIGINT) AS o_custkey,
-              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS running_cents
+                AS BIGINT) AS running_cents
        FROM orders""",
     "window family: per-customer running total. Exact under any "
     "partitioning: addends quantized to cents (bigint) so accumulation "
-    "order is irrelevant. One shuffle on o_custkey.",
+    "order is irrelevant. One shuffle on o_custkey. The oracle's window "
+    "sum is wrapped in an outer CAST(... AS BIGINT): DuckDB widens "
+    "sum(BIGINT) to HUGEINT (int128), which hash-diverges from Spark's "
+    "BIGINT on value-identical results (CORRECTNESS_r03 red row).",
 )
 def window_running_total_orders(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders")
@@ -516,8 +519,9 @@ def q19_disjunctive_predicate_revenue(spark, sf_dir):
        GROUP BY c.c_mktsegment""",
     "TPC-H Q22 shape: scalar aggregate subquery (global average as "
     "exact-int division — bit-identical on every engine) + NOT EXISTS "
-    "as LEFT ANTI join. The 1-row average is crossJoin-broadcast; the "
-    "anti join shuffles on the customer key.",
+    "as LEFT ANTI join. The 1-row average is crossJoin-broadcast (plans "
+    "as a scalar-build BroadcastNestedLoopJoin — O(n), linter-verified "
+    "single-row build); the anti join shuffles on the customer key.",
 )
 def q22_idle_rich_customers(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
@@ -1484,6 +1488,9 @@ def q10_returned_items(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+        # match the oracle's column order exactly (driver compare is
+        # order-sensitive)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
 
 
@@ -4194,7 +4201,8 @@ _CHUNK_STEP = _CHUNK - _CHUNK_OVERLAP
                  list_slice(t, start_token, start_token + {_CHUNK} - 1), ' ')
                  AS chunk_text
         FROM st
-        WHERE start_token <= n OR (start_token - 1) // {_CHUNK_STEP} = 0""",
+        WHERE start_token <= n - {_CHUNK_OVERLAP}
+           OR (start_token - 1) // {_CHUNK_STEP} = 0""",
     "training-data op: document CHUNKING into overlapping token "
     f"windows ({_CHUNK} tokens, {_CHUNK_OVERLAP} overlap) — the stage "
     "every RAG/embedding/pretraining pipeline runs before encoding. "

@@ -1,0 +1,37 @@
+"""Catalog-wide scale lint: EVERY queries() entry must pass
+planaudit.assert_scalable — no CartesianProduct, no
+BroadcastNestedLoopJoin, no row-at-a-time Python — except the
+explicitly documented O(n^2) parity probes below.
+
+The 22 hand-picked plan locks in test_plans.py pin specific shapes;
+this sweep makes it impossible for a NEW catalog entry to land with a
+cartesian/NLJ/row-Python plan unnoticed (the round-2
+best_order_per_customer hazard class).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dce_spark.planaudit import assert_scalable
+from dce_spark.queries import QUERIES
+
+from conftest import SF_DIR
+
+# documented exact-parity probes whose SCALE TWINS are the production
+# path (SCALING.md "perf-weak register"): each deliberately trades an
+# O(n^2)/NLJ plan for bit-exact oracle parity, and each has a
+# driver-green _approx/LSH twin. Keep this list <= 5 entries — a new
+# NLJ belongs in a refactor, not here.
+NLJ_WHITELIST = {
+    "embedding_near_dup_pairs",  # brute-force all-pairs parity probe
+    "embedding_knn_join",        # brute-force Q x N probe (IVF twin exists)
+    "embedding_cosine_topk",     # single-query brute force (IVF twin exists)
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_query_is_scalable(spark, name):
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert_scalable(df, allow_nlj=name in NLJ_WHITELIST)
+    spark.catalog.clearCache()
