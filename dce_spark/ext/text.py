@@ -322,3 +322,115 @@ def chunk_documents(
             F.concat_ws(" ", piece).alias("chunk_text"),
         )
     )
+
+
+# =====================================================================
+# BPE tokenizer training (iterative merge loop)
+# =====================================================================
+#
+# The reference has no tokenizer surface; this is a training-data-
+# pipeline extension (the op every LLM pretraining stack runs before
+# anything else). The SCALABLE shape is the classic one: train on the
+# DISTINCT-WORD frequency table, not the raw corpus — after one
+# corpus-sized groupBy, every merge iteration touches only the
+# vocabulary (bounded by distinct words, millions at worst), so the
+# loop cost is corpus-size-INDEPENDENT. Per iteration: one map-side
+# pair explode + one groupBy + a 1-row argmax collect (the same
+# k-row-collect contract as kmeans_embeddings_2iter), then a map-side
+# fold re-symbolizes the word table.
+#
+# Merge-apply is the standard greedy left-to-right scan, expressed as
+# an F.aggregate fold: append each incoming symbol, except when the
+# accumulator's LAST symbol == left and the incoming == right, in
+# which case the last symbol is replaced by left||right. A
+# freshly-merged symbol can never re-merge as the RIGHT part within
+# the same pass (its string value is left||right != left), which is
+# exactly the greedy-scan semantics ("aaaa" + (a,a) -> [aa, aa]).
+
+
+def bpe_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Occurrence-weighted word-frequency table: lowercase whitespace
+    tokens restricted to ``^[a-z0-9]+$``. The ASCII restriction keeps
+    char-level symbolization engine-portable (Java splits strings by
+    UTF-16 code unit, DuckDB by code point — they diverge on non-BMP
+    text; on [a-z0-9] they are identical)."""
+    return (
+        df.select(F.explode(tokens_col(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one merge rule to a symbol
+    array (see module comment for the fold-equals-greedy argument)."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_pair_counts(symbolized: DataFrame) -> DataFrame:
+    """(l, r, c): adjacent-pair counts over a (syms array<string>,
+    cnt long) frame, weighted by cnt. Overlapping occurrences all
+    count ("aaa" contributes (a,a) twice), the standard BPE statistic.
+    ``syms`` must be a REAL column (HOF-lambda staging rule)."""
+    st = symbolized.filter(F.size("syms") >= 2)
+    pairs = st.select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i.cast("int")).alias("l"),
+                    F.element_at(F.col("syms"), (i + 1).cast("int")).alias("r"),
+                ),
+            )
+        ).alias("pr"),
+    ).select("cnt", "pr.l", "pr.r")
+    return pairs.groupBy("l", "r").agg(F.sum("cnt").alias("c"))
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges over a (w, cnt) word table.
+
+    Returns (merges, final_symbolized) where merges is
+    [(left, right, pair_count)] in learned order and final_symbolized
+    is the persisted (cnt, syms) frame after all merges (caller
+    unpersists). Ties broken (count desc, left asc, right asc) so the
+    learned sequence is deterministic and engine-portable. Each
+    iteration persists its re-symbolized vocabulary and unpersists the
+    previous one — the lineage never chains more than one fold deep,
+    so iteration N plans O(1) work, not O(N)."""
+    cur = words.select("cnt", F.split("w", "").alias("syms")).persist()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(cur)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((left, right, c))
+        nxt = cur.select(
+            "cnt", bpe_merge_fold(F.col("syms"), left, right).alias("syms")
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        cur.unpersist()
+        cur = nxt
+    return merges, cur

@@ -4274,6 +4274,124 @@ def bpe_pair_counts_documents(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Iterative BPE trainer (full merge loop; see ext/text.py bpe_train)
+# ---------------------------------------------------------------------
+
+_BPE_N_MERGES = 3
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """Oracle CTE chain replaying ``n_merges`` BPE iterations in pure
+    SQL: per iteration a zip-unnest pair count, a LIMIT-1 argmax with
+    the (count desc, l, r) tie-break, and a list_reduce fold applying
+    the learned rule with the exact greedy-scan semantics of
+    ext/text.bpe_merge_fold (append each symbol; when the
+    accumulator's last symbol == l and the incoming == r, extend the
+    last symbol instead — encoded as a chr(30)-joined string because
+    DuckDB's reduce accumulator must share the element type; chr(30)
+    cannot collide since the word table is ^[a-z0-9]+$ only). Sums
+    over BIGINT are cast back to BIGINT (DuckDB widens to HUGEINT)."""
+    parts = [
+        """WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+          '[[:space:]]+'), x -> x <> '')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w
+), s0 AS (
+  SELECT cnt, list_transform(range(1, length(w) + 1),
+           i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+  FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", p{k} AS (
+  SELECT unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+         unnest(list_slice(syms, 2, len(syms))) AS r, cnt
+  FROM s{k - 1} WHERE len(syms) >= 2
+), m{k} AS (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM p{k} GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+), s{k} AS (
+  SELECT cnt, string_split(list_reduce(syms,
+    (acc, x) -> CASE WHEN list_extract(string_split(acc, chr(30)), -1) = m{k}.l
+                      AND x = m{k}.r
+                THEN acc || m{k}.r ELSE acc || chr(30) || x END), chr(30)) AS syms
+  FROM s{k - 1}, m{k}
+)""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_idx, l AS lhs, r AS rhs, "
+        f"c AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_cte(n_merges)
+        + f"""
+SELECT merge_idx, lhs, rhs, pair_count FROM (
+  {rows})
+ORDER BY merge_idx"""
+    )
+
+
+@register(
+    "bpe_merges_documents",
+    _bpe_merges_oracle(_BPE_N_MERGES),
+    "tokenizer training: the FULL iterative BPE merge loop (not just "
+    "the first-merge statistic) — 3 merges learned over the corpus, "
+    "each iteration = pair-count groupBy + 1-row argmax collect + "
+    "map-side greedy merge fold. Trains on the DISTINCT-WORD frequency "
+    "table, so after one corpus-sized groupBy every iteration is "
+    "corpus-size-independent (vocabulary-bounded) — the shape that "
+    "makes tokenizer training feasible at 100 TB. Deterministic "
+    "(count desc, l, r) tie-break; oracle replays the identical loop "
+    "as a CTE chain with list_reduce folds.",
+)
+def bpe_merges_documents(spark, sf_dir):
+    from .ext.text import bpe_train, bpe_words
+
+    words = bpe_words(load_table(spark, sf_dir, "documents"))
+    merges, final = bpe_train(words, _BPE_N_MERGES)
+    final.unpersist()
+    rows = [(k + 1, l, r, c) for k, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_idx int, lhs string, rhs string, pair_count long"
+    )
+
+
+@register(
+    "bpe_apply_documents",
+    _bpe_cte(_BPE_N_MERGES)
+    + f"""
+SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM (SELECT cnt, unnest(syms) AS sym FROM s{_BPE_N_MERGES})
+GROUP BY sym ORDER BY cnt DESC, token LIMIT 20""",
+    "tokenizer training: ENCODE with the learned merges — apply the "
+    "3-merge BPE vocabulary back to the word-frequency table and "
+    "report the top-20 tokens by occurrence-weighted frequency (the "
+    "vocabulary-coverage statistic that decides whether a tokenizer "
+    "is trained enough). Same distributed shape as training: the "
+    "merge fold is map-side over the vocabulary; the corpus is never "
+    "re-read.",
+)
+def bpe_apply_documents(spark, sf_dir):
+    from .ext.text import bpe_train, bpe_words
+
+    words = bpe_words(load_table(spark, sf_dir, "documents"))
+    _, final = bpe_train(words, _BPE_N_MERGES)
+    return (
+        final.select(F.explode("syms").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
 @register(
     "ks_test_events",
     """WITH v AS (

@@ -867,3 +867,33 @@ def test_resize_images_real_dims_stub_pixels(spark):
 
     with pytest.raises(Exception):
         X_mm.resize_images(df, "doc_id", fake=False).collect()
+
+
+def test_bpe_train_greedy_merges(spark):
+    """Hand-checkable corpus: merge order, occurrence weighting,
+    (count, l, r) tie-break, and greedy left-to-right fold semantics
+    (a fresh merge never re-merges as the RIGHT part in its own pass)."""
+    from dce_spark.ext.text import bpe_merge_fold, bpe_train, bpe_words
+
+    df = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aaaa Aa x.y")], "doc_id long, text string"
+    )
+    words = bpe_words(df)
+    # x.y filtered (non-alnum); Aa lowercased -> counts: aa:3, ab:1, aaaa:1
+    assert {(r["w"], r["cnt"]) for r in words.collect()} == {
+        ("aa", 3), ("ab", 1), ("aaaa", 1)
+    }
+    merges, final = bpe_train(words, 3)
+    # iter1: (a,a) = 3(aa) + 3(aaaa) = 6 beats (a,b) = 1
+    # iter2: (a,b) = 1 ties (aa,aa) = 1 -> lexicographic l wins
+    assert merges == [("a", "a", 6), ("a", "b", 1), ("aa", "aa", 1)]
+    syms = {tuple(r["syms"]) for r in final.collect()}
+    final.unpersist()
+    assert syms == {("aa",), ("ab",), ("aaaa",)}
+
+    # fold on a run of six: greedy pairs, not all-to-one
+    probe = spark.createDataFrame([(["a"] * 6,)], "syms array<string>")
+    out = probe.select(
+        bpe_merge_fold(F.col("syms"), "a", "a").alias("m")
+    ).head()["m"]
+    assert out == ["aa", "aa", "aa"]
