@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "bpe_pair_counts_documents",
     "ngram_diversity_documents",
     "session_window_native_events",
+    # round-4 additions
+    "bpe_merges_documents",
+    "bpe_apply_documents",
 ]
 
 
@@ -158,16 +161,24 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed_runs(spark, thunk) -> list[float]:
-    """RUNS back-to-back timed executions; cache cleared between runs
-    so operator-internal persists stay scoped to their own run."""
-    runs = []
-    for _ in range(RUNS):
+# full-pass repetition stops early if another pass would push total
+# measured time past this budget — the driver's bench capture must
+# never time out; medians then cover however many passes completed
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+
+
+def run_pass(spark, items) -> dict[str, float]:
+    """One timed execution of every (name, thunk); cache cleared
+    between queries so operator-internal persists stay scoped."""
+    out: dict[str, float] = {}
+    for name, thunk in items:
         t0 = time.monotonic()
-        force(thunk())
-        runs.append(round(time.monotonic() - t0, 3))
+        df = thunk()
+        if df is not None:
+            force(df)
+        out[name] = round(time.monotonic() - t0, 3)
         spark.catalog.clearCache()
-    return runs
+    return out
 
 
 def main() -> None:
@@ -187,8 +198,6 @@ def main() -> None:
 
     from dce_spark.queries import QUERIES
 
-    timings: dict[str, float] = {}
-
     # warm the JVM/readers, OS page cache, and the Python worker pool
     # (not timed): the first query over each table otherwise pays the
     # cold file read, and the first mapInPandas pays ~1s x n_workers of
@@ -206,15 +215,6 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
         "overwrite"
     ).save()
-
-    all_runs: dict[str, list[float]] = {}
-
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name].fn
-        runs = timed_runs(spark, lambda: fn(spark, SF_DIR))
-        all_runs[name] = runs
-        timings[name] = round(statistics.median(runs), 3)
-        print(f"  {name}: {timings[name]}s {runs}", file=sys.stderr, flush=True)
 
     # production fast-hash dedup variants (xxhash64 instead of the
     # oracle-portable md5): measures the hashing-CPU / shuffle-width
@@ -238,11 +238,6 @@ def main() -> None:
         "dedup_containment_fast": lambda: _cont(_docs(), threshold=0.7, fast=True),
         "corpus_survivors_fast": lambda: _surv(spark, SF_DIR, fast=True),
     }
-    for name, thunk in fast_variants.items():
-        runs = timed_runs(spark, thunk)
-        all_runs[name] = runs
-        timings[name] = round(statistics.median(runs), 3)
-        print(f"  {name}: {timings[name]}s {runs}", file=sys.stderr, flush=True)
 
     # flagship contract validation (fused pass + grouped + custom SQL)
     from datetime import datetime, timezone
@@ -251,21 +246,46 @@ def main() -> None:
     from dce_spark import validate_df
     from dce_spark.data import load_table
 
-    runs = []
-    for _ in range(RUNS):
-        t0 = time.monotonic()
+    def _contract_thunk():
         report = validate_df(
             spark,
             load_table(spark, SF_DIR, "events"),
             E._FLAGSHIP_CONTRACT,
             now=datetime(2024, 2, 1, tzinfo=timezone.utc),
         )
-        runs.append(round(time.monotonic() - t0, 3))
-        spark.catalog.clearCache()
         assert report.stats.records_validated > 0
-    all_runs["contract_validate_events"] = runs
-    timings["contract_validate_events"] = round(statistics.median(runs), 3)
+        return None  # validate_df executes internally; nothing to force
 
+    def _mk(fn):
+        return lambda: fn(spark, SF_DIR)
+
+    items = (
+        [(n, _mk(QUERIES[n].fn)) for n in BENCH_QUERIES]
+        + list(fast_variants.items())
+        + [("contract_validate_events", _contract_thunk)]
+    )
+
+    bench_t0 = time.monotonic()
+    passes: list[dict[str, float]] = []
+    for k in range(RUNS):
+        if k > 0:
+            projected = time.monotonic() - bench_t0 + sum(passes[-1].values())
+            if projected > BUDGET:
+                print(
+                    f"  budget {BUDGET:.0f}s: stopping after {k} pass(es)",
+                    file=sys.stderr, flush=True,
+                )
+                break
+        passes.append(run_pass(spark, items))
+        print(
+            f"  pass {k + 1}/{RUNS}: {sum(passes[-1].values()):.1f}s",
+            file=sys.stderr, flush=True,
+        )
+
+    all_runs = {name: [p[name] for p in passes] for name, _ in items}
+    timings = {
+        name: round(statistics.median(rs), 3) for name, rs in all_runs.items()
+    }
     total = round(sum(timings.values()), 3)
     sf_name = SF_DIR.rstrip("/").split("/")[-1]
 
@@ -279,7 +299,7 @@ def main() -> None:
                            f"bench_detail_{sf_name}.json"), "w") as fh:
         json.dump(
             {"metric": "total_runtime", "value": total, "unit": "sec",
-             "queries": timings, "runs": all_runs, "runs_per_query": RUNS,
+             "queries": timings, "runs": all_runs, "runs_per_query": len(passes),
              "sf": sf_name, "n_queries": len(timings)},
             fh, indent=1,
         )
@@ -317,7 +337,7 @@ def main() -> None:
 
     summary = json.dumps(
         {"metric": "total_runtime", "value": total, "unit": "sec",
-         "queries": fams, "spread": spread, "runs_per_query": RUNS,
+         "queries": fams, "spread": spread, "runs_per_query": len(passes),
          "sf": sf_name, "n_queries": len(timings),
          "detail": f"bench_detail_{sf_name}.json"}
     )

@@ -5,7 +5,8 @@ is declared but never evaluated. This package enforces contracts on
 *streams*: per-microbatch validation via foreachBatch running the same
 fused check compiler, watermarked windowed quality aggregations for
 continuous monitoring, and a custom stateful operator template
-(applyInPandasWithState sessionization).
+(applyInPandasWithState: sessionization, lossy-counting heavy
+hitters).
 """
 
 from .drift import psi_term_of, streaming_binned_drift
@@ -20,6 +21,7 @@ from .enrich import (
     streaming_anomaly_flags,
     windowed_anomaly_counts,
 )
+from .heavyhitters import lossy_count_fold, streaming_heavy_hitters
 from .sessionize import fold_sessions, stateful_sessionize
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "enrich_stream",
     "streaming_anomaly_flags",
     "windowed_anomaly_counts",
+    "lossy_count_fold",
+    "streaming_heavy_hitters",
 ]

@@ -522,3 +522,88 @@ def test_streaming_near_dup_filter_against_index(spark, tmp_path):
     survivors = sorted(x for ids in seen.values() for x in ids)
     assert survivors == [101]
     spark.catalog.clearCache()
+
+
+def test_lossy_count_fold_guarantees():
+    """Manku-Motwani invariants on a skewed synthetic stream, fed in
+    uneven micro-batches: (1) no false negatives at any support >=
+    epsilon; (2) sketch count underestimates by at most epsilon * n;
+    (3) tracked-entry count stays far below key cardinality."""
+    from dce_spark.streaming import lossy_count_fold
+
+    eps = 0.02
+    # 100x "hot", 40x "warm", 600 singletons -> n = 740
+    stream = ["hot"] * 100 + ["warm"] * 40 + [f"cold{i}" for i in range(600)]
+    import random
+
+    random.Random(7).shuffle(stream)
+    entries, n = {}, 0
+    for lo in range(0, len(stream), 97):  # uneven batch size on purpose
+        batch = {}
+        for k in stream[lo : lo + 97]:
+            batch[k] = batch.get(k, 0) + 1
+        entries, n = lossy_count_fold(batch, entries, n, eps)
+    assert n == 740
+    true = {"hot": 100, "warm": 40}
+    for key, tc in true.items():
+        assert key in entries  # freq >= eps*n: must survive
+        c, d = entries[key]
+        assert c <= tc <= c + d
+        assert tc - c <= eps * n
+    # every tracked count is a lower bound and delta <= eps * n
+    assert all(d <= eps * n for _, d in entries.values())
+    # state is bounded by the sketch, not by the 602-key cardinality
+    assert len(entries) < 120
+
+    with pytest.raises(ValueError):
+        lossy_count_fold({}, {}, 0, 1.5)
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """End-to-end stateful sketch over two micro-batches: the final
+    per-shard reports contain every key above support with a count
+    bracket [count, count+delta] that covers the exact count."""
+    from dce_spark.streaming import streaming_heavy_hitters
+
+    srcdir = tmp_path / "hh_src"
+    rows1 = [Row(k="hot")] * 60 + [Row(k=f"c{i}") for i in range(150)]
+    rows2 = [Row(k="hot")] * 40 + [Row(k="warm")] * 30 + [
+        Row(k=f"d{i}") for i in range(120)
+    ]
+    spark.createDataFrame(rows1).coalesce(1).write.mode("append").parquet(str(srcdir))
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(str(srcdir))
+
+    src = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir))
+    )
+    q = (
+        streaming_heavy_hitters(src, "k", epsilon=0.05, n_shards=2)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one report per (batch, key); keep the latest
+    # (largest shard_n) per key
+    latest = {}
+    for r in spark.sql("SELECT * FROM hh_stream").collect():
+        if r["k"] not in latest or r["shard_n"] > latest[r["k"]]["shard_n"]:
+            latest[r["k"]] = r
+    exact = {
+        r["k"]: r["cnt"]
+        for r in spark.read.parquet(str(srcdir))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for key, tc in exact.items():
+        if tc >= 30:  # far above epsilon of any shard's n (<= 400)
+            assert key in latest, key
+            c, d = latest[key]["count"], latest[key]["delta"]
+            assert c <= tc <= c + d, (key, tc, c, d)
+    # sketch state stayed bounded: far fewer tracked keys than the 272
+    # distinct keys in the stream
+    assert len(latest) < 150
