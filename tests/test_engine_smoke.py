@@ -241,3 +241,70 @@ schema:
     write_partitioned(dated, str(tmp_path / "audit"), ["run_date"])
     back = spark.read.parquet(str(tmp_path / "audit"))
     assert back.count() == out.count()
+
+
+def test_validate_partitions_since_string_coercion(spark, tmp_path):
+    """ADVICE r3 regression: the CLI passes --since as a STRING; the
+    frontier filter must coerce in Spark (Catalyst cast) instead of
+    raising TypeError on date- or int-typed partition columns."""
+    from dce_spark import validate_partitions
+    from dce_spark.sinks import write_partitioned
+
+    contract = """
+version: "1.0.0"
+name: daily
+owner: o
+schema:
+  fields:
+    - name: id
+      type: int64
+    - name: day
+      type: date
+"""
+    rows = [(i, f"2024-01-0{d}") for d in (1, 2, 3) for i in range(3)]
+    df = spark.createDataFrame(rows, schema="id long, day string")
+    out = str(tmp_path / "daily_s")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    back = spark.read.parquet(out)  # hive layout types `day` as DATE
+
+    import datetime as _dt
+
+    inc = validate_partitions(spark, back, contract, "day", since="2024-01-02")
+    assert sorted(inc) == [_dt.date(2024, 1, 3)]
+
+    # int-typed partition column with a string frontier
+    contract_i = contract.replace("name: day\n      type: date",
+                                  "name: part\n      type: int32")
+    df2 = spark.createDataFrame(
+        [(i, p) for p in (1, 2, 3) for i in range(3)], "id long, part int"
+    )
+    out2 = str(tmp_path / "daily_i")
+    write_partitioned(df2, out2, ["part"], files_per_partition=1)
+    inc2 = validate_partitions(
+        spark, spark.read.parquet(out2), contract_i, "part", since="2"
+    )
+    assert sorted(inc2) == [3]
+
+
+def test_validate_df_approx_distinct_kwarg(spark):
+    """ADVICE r3 regression: approx_distinct threads through the public
+    api.validate_df (and therefore validate_partitions / the CLI's
+    --partition-col mode) into the HLL uniqueness path."""
+    from dce_spark import validate_df
+
+    contract = """
+version: "1.0.0"
+name: u
+owner: o
+schema:
+  fields:
+    - name: id
+      type: int64
+quality_checks:
+  uniqueness:
+    fields: [id]
+"""
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    rep = validate_df(spark, df, contract, approx_distinct=True)
+    assert rep.passed
+    assert any(c.category == "quality" for c in rep.checks)
