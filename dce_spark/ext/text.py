@@ -22,6 +22,10 @@ __all__ = [
     "text_stats",
     "text_quality",
     "chunk_documents",
+    "bpe_words",
+    "bpe_merge_fold",
+    "bpe_pair_counts",
+    "bpe_train",
 ]
 
 # tiny multilingual stopword lists for the language-id heuristic

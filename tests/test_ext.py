@@ -897,3 +897,44 @@ def test_bpe_train_greedy_merges(spark):
         bpe_merge_fold(F.col("syms"), "a", "a").alias("m")
     ).head()["m"]
     assert out == ["aa", "aa", "aa"]
+
+
+def test_bpe_fold_matches_python_greedy(spark):
+    """Property check: the F.aggregate merge fold equals a literal
+    greedy left-to-right scan for random words and merge rules —
+    including degenerate l==r runs and multi-char merged symbols."""
+    import random
+
+    from dce_spark.ext.text import bpe_merge_fold
+
+    def greedy(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = random.Random(42)
+    cases = []
+    for i in range(60):
+        word = "".join(rng.choice("ab") for _ in range(rng.randint(1, 14)))
+        l = rng.choice(["a", "b", "ab", "aa"])
+        r = rng.choice(["a", "b", "ba", "bb"])
+        cases.append((i, list(word), l, r))
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _, _ in cases], "i int, syms array<string>"
+    )
+    for l, r in sorted({(l, r) for _, _, l, r in cases}):
+        got = {
+            row["i"]: row["m"]
+            for row in df.select(
+                "i", bpe_merge_fold(F.col("syms"), l, r).alias("m")
+            ).collect()
+        }
+        for i, syms, cl, cr in cases:
+            if (cl, cr) == (l, r):
+                assert got[i] == greedy(syms, l, r), (syms, l, r, got[i])
