@@ -44,6 +44,9 @@ __all__ = [
     "save_ivf_index",
     "ivf_index_topk",
     "hyperplane_lsh_pairs",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -391,4 +394,177 @@ def hyperplane_lsh_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+# =====================================================================
+# Product quantization (round 4) — the compression half of IVF+PQ
+# =====================================================================
+#
+# PQ splits each d-dim vector into m subvectors and replaces every
+# subvector with the id of its nearest entry in a per-subspace
+# codebook (k-means trained): d float32 -> m small ints, a 16-32x
+# memory cut that is what makes billion-vector ANN fit on a cluster at
+# all. Search uses asymmetric distance computation (ADC): the query
+# stays exact; per subspace a k_sub-entry lookup table of squared
+# distances is computed ONCE on the driver, and every corpus vector's
+# approximate distance is m table lookups — a map-side linear scan
+# over the codes, no shuffle, composable with the IVF cell pruning
+# above (probe cells, then ADC inside them).
+#
+# All stages are expressions: slicing via transform+slice, assignment
+# via per-subspace argmin arrays (each distance appears once in the
+# tree — the same O(2^k)-avoidance as cell_assignment), codebook
+# updates via quantized-exact per-dimension means with a
+# metadata-sized (m * k_sub * sub_dim rows) driver collect per
+# iteration, exactly the kmeans_embeddings_2iter contract.
+
+
+def _sq_dist_col(a: Column, lit_vec: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, lit_vec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvecs(df: DataFrame, vec_col: str, id_col: str, m: int, sub_dim: int):
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(vec, s * sub_dim + 1, sub_dim),
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), F.posexplode(slices).alias("sub", "svec")
+    )
+
+
+def _pq_assign_col(svec: Column, sub: Column, codebooks: list[list[list[float]]]):
+    """Per-subspace argmin code (ties -> lowest code id)."""
+    expr = None
+    for s, cb in enumerate(codebooks):
+        d2s = F.array(*[_sq_dist_col(svec, _as_literal_array(c)) for c in cb])
+        code = (F.array_position(d2s, F.array_min(d2s)) - F.lit(1)).cast("int")
+        expr = F.when(sub == s, code) if expr is None else expr.when(sub == s, code)
+    return expr
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: independent k-means per subspace, seeds =
+    the first ``k_sub`` vectors' subvectors (deterministic). Returns
+    ``codebooks[m][k_sub][sub_dim]`` (driver-side metadata, like IVF
+    centroids). Empty clusters keep their previous centroid."""
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sub_dim = dim // m
+    sv = _pq_subvecs(df, vec_col, id_col, m, sub_dim).persist()
+    try:
+        seed_rows = sv.filter(F.col("__id") < k_sub).orderBy("__id", "sub").collect()
+        codebooks: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in seed_rows:
+            codebooks[r["sub"]].append([float(x) for x in r["svec"]])
+        if any(len(cb) < k_sub for cb in codebooks):
+            raise ValueError(
+                f"need ids 0..{k_sub - 1} present to seed {k_sub} centroids"
+            )
+        for _ in range(iters):
+            code = _pq_assign_col(F.col("svec"), F.col("sub"), codebooks)
+            mean_rows = (
+                sv.withColumn("code", code)
+                .select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+                .groupBy("sub", "code", "pos")
+                .agg(
+                    (
+                        F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long"))
+                        .cast("double")
+                        / F.lit(1e9)
+                        / F.count(F.lit(1))
+                    ).alias("mu")
+                )
+                .collect()
+            )
+            upd: dict = {}
+            for r in mean_rows:
+                upd.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mu"]
+            for (s, c), by_pos in upd.items():
+                codebooks[s][c] = [by_pos[p] for p in range(sub_dim)]
+        return codebooks
+    finally:
+        sv.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m codes.
+    Map-side assignment + one groupBy on the id to re-assemble the
+    code array in subspace order."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    sv = _pq_subvecs(df, vec_col, id_col, m, sub_dim)
+    code = _pq_assign_col(F.col("svec"), F.col("sub"), codebooks)
+    return (
+        sv.select("__id", "sub", code.alias("code"))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: squared-L2 lookup tables from the exact query to every
+    codebook entry (driver-side, m * k_sub floats), then each corpus
+    row's approximate distance is m array lookups — a zero-shuffle
+    linear scan + TakeOrdered. Returns (id, adc_d2) ascending."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    if len(query_vec) != m * sub_dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m * sub_dim ({m * sub_dim})"
+        )
+    luts = []
+    for s, cb in enumerate(codebooks):
+        qs = [float(x) for x in query_vec[s * sub_dim : (s + 1) * sub_dim]]
+        luts.append(
+            [sum((a - b) ** 2 for a, b in zip(qs, c)) for c in cb]
+        )
+    lut_lit = F.array(*[_as_literal_array(row) for row in luts])
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(
+                F.element_at(lut_lit, s.cast("int") + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(F.col(id_col), F.round(adc, 9).alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.col(id_col))
+        .limit(k)
     )

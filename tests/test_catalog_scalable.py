@@ -35,3 +35,16 @@ def test_catalog_query_is_scalable(spark, name):
     df = QUERIES[name].fn(spark, SF_DIR)
     assert_scalable(df, allow_nlj=name in NLJ_WHITELIST)
     spark.catalog.clearCache()
+
+
+def test_driver_window_invariants():
+    """The correctness gate samples the FIRST 50 queries() entries:
+    the window must contain exactly 50 existing, distinct names and
+    be fronted verbatim — a silent drift here would burn a whole
+    round's driver-proof budget."""
+    from dce_spark.queries import _DRIVER_WINDOW, queries
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert set(_DRIVER_WINDOW) <= set(QUERIES)
+    assert list(queries())[:50] == _DRIVER_WINDOW

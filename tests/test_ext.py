@@ -938,3 +938,59 @@ def test_bpe_fold_matches_python_greedy(spark):
         for i, syms, cl, cr in cases:
             if (cl, cr) == (l, r):
                 assert got[i] == greedy(syms, l, r), (syms, l, r, got[i])
+
+
+def test_pq_lossless_roundtrip_and_adc(spark):
+    """On a corpus whose subvectors come from a 4-entry palette that
+    the seed vectors cover exactly, PQ is lossless: training converges
+    to the palette, encoding is exact, and ADC top-k equals exact
+    brute-force L2. Also locks the plan: encode + ADC scan are
+    NLJ-free (one groupBy, no cartesian)."""
+    import random
+
+    from dce_spark.ext.similarity import pq_encode, pq_topk, pq_train
+    from dce_spark.planaudit import audit
+
+    dim, m, k_sub = 16, 4, 4
+    sub = dim // m
+    palette = [
+        [1.0] * sub,
+        [float(-(p + 1)) for p in range(sub)],
+        [0.5 * (p + 1) for p in range(sub)],
+        [10.0, -10.0, 5.0, -5.0],
+    ]
+    rng = random.Random(3)
+    rows = []
+    for i in range(24):
+        choice = [i % k_sub] * m if i < k_sub else [
+            rng.randrange(k_sub) for _ in range(m)
+        ]
+        vec = [x for c in choice for x in palette[c]]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cbs = pq_train(df, dim=dim, m=m, k_sub=k_sub, iters=2)
+    # training recovered the palette in every subspace (as sets)
+    for s in range(m):
+        got = {tuple(round(x, 6) for x in c) for c in cbs[s]}
+        want = {tuple(p) for p in palette}
+        assert got == want, (s, got)
+
+    codes = pq_encode(df, cbs)
+    assert codes.count() == 24
+    assert audit(codes).cartesian_like == 0
+
+    q = rows[7][1]
+    top = pq_topk(codes, cbs, q, k=5)
+    assert audit(top).cartesian_like == 0
+    got_ids = [r["vec_id"] for r in top.collect()]
+    # exact brute-force L2 (ties broken by id, like pq_topk)
+    exact = sorted(
+        rows, key=lambda r: (sum((a - b) ** 2 for a, b in zip(r[1], q)), r[0])
+    )[:5]
+    assert got_ids == [r[0] for r in exact]
+
+    with pytest.raises(ValueError):
+        pq_train(df, dim=15, m=4)
+    with pytest.raises(ValueError):
+        pq_topk(codes, cbs, [0.0] * 8, k=3)
