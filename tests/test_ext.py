@@ -994,3 +994,57 @@ def test_pq_lossless_roundtrip_and_adc(spark):
         pq_train(df, dim=15, m=4)
     with pytest.raises(ValueError):
         pq_topk(codes, cbs, [0.0] * 8, k=3)
+
+
+def test_ivfpq_index_roundtrip_pruned(spark, tmp_path):
+    """Persisted IVF+PQ: results equal in-memory encode+ADC restricted
+    to the probe cells, the stored table holds codes (not vectors),
+    and the probe scan is partition-pruned to its cell directories."""
+    import random
+
+    from dce_spark.ext.similarity import (
+        ivfpq_index_topk,
+        pq_encode,
+        pq_topk,
+        cell_assignment,
+        pq_train,
+        save_ivfpq_index,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [rows[i][1] for i in range(3)]
+    cbs = pq_train(df, dim=16, m=4, k_sub=4, iters=1)
+
+    idx = str(tmp_path / "ivfpq")
+    save_ivfpq_index(df, idx, centroids, cbs)
+
+    stored = spark.read.parquet(idx + "/codes")
+    assert set(stored.columns) == {"vec_id", "cell", "codes"}  # no raw vectors
+
+    q = rows[5][1]
+    disk = ivfpq_index_topk(spark, idx, q, k=6, nprobe=2).collect()
+    # in-memory replay over the same probe cells
+    from dce_spark.ext.similarity import _probe_cells
+
+    probe = _probe_cells(q, centroids, 2)
+    mem_codes = pq_encode(
+        df.withColumn("cell", cell_assignment(F.col("embedding"), centroids))
+        .filter(F.col("cell").isin(probe))
+        .select("vec_id", "embedding"),
+        cbs,
+    )
+    mem = pq_topk(mem_codes, cbs, q, k=6).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in disk] == [
+        (r["vec_id"], r["adc_d2"]) for r in mem
+    ]
+    assert len(disk) == 6
+
+    plan = (
+        ivfpq_index_topk(spark, idx, q, k=6, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:160]
