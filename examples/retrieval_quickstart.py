@@ -24,7 +24,10 @@ from dce_spark.ext.similarity import (  # noqa: E402
     cosine_topk,
     hyperplane_lsh_pairs,
     ivf_index_topk,
+    ivfpq_index_topk,
+    pq_train,
     save_ivf_index,
+    save_ivfpq_index,
 )
 from dce_spark.planaudit import audit  # noqa: E402
 from dce_spark.queries import QUERIES  # noqa: E402
@@ -67,7 +70,16 @@ def main() -> None:
     per_q = batch.groupBy("q_id").agg(F.count(F.lit(1)).alias("k")).collect()
     print("batch ANN:", {r["q_id"]: r["k"] for r in per_q}, "results per query")
 
-    # 4. semantic near-dups: hyperplane LSH, equi-join only
+    # 4. IVF+PQ: codes instead of vectors (16-32x smaller scan), ADC
+    # probes partition-pruned to their cells
+    cbs = pq_train(emb, dim=len(qvec), m=8, k_sub=8, iters=1)
+    pq_idx = os.path.join(tempfile.mkdtemp(prefix="ivfpq_"), "index")
+    save_ivfpq_index(emb, pq_idx, cents, cbs)
+    adc = ivfpq_index_topk(spark, pq_idx, qvec, k=5, nprobe=2).collect()
+    print("IVF+PQ(nprobe=2) ADC top-5:",
+          [(r["vec_id"], round(r["adc_d2"], 4)) for r in adc])
+
+    # 5. semantic near-dups: hyperplane LSH, equi-join only
     pairs = hyperplane_lsh_pairs(emb, threshold=0.95, bits=32, bands=4)
     n_pairs = pairs.count()
     rep = audit(batch)
