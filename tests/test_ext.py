@@ -1048,3 +1048,46 @@ def test_ivfpq_index_roundtrip_pruned(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:160]
+
+
+_HAS_PIL = __import__("importlib").util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(
+    not _HAS_PIL,
+    reason="PIL not installed (pip install pillow): the REAL decode/resize "
+    "path is env-blocked; plumbing is covered by the fake-path tests",
+)
+def test_real_image_decode_with_pil(spark):
+    """When PIL is importable the same Arrow plumbing runs REAL decode:
+    true pixel dims, mean-RGB features, actual resample byte counts."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 27))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([Row(doc_id=1, payload=png)])
+    got = X_mm.extract_image_features(df, "doc_id", fake=False).head()
+    assert (got["width"], got["height"]) == (2, 3)
+    # all-zero pixels -> zero mean channels and luminance
+    assert got["features"] == [0.0, 0.0, 0.0, 0.0]
+    rz = X_mm.resize_images(df, "doc_id", fake=False).head()
+    assert (rz["src_width"], rz["src_height"]) == (2, 3)
+    assert rz["resized_bytes"] == rz["width"] * rz["height"] * 3
+
+
+def test_decode_without_pil_raises_installable_error():
+    """Without PIL the real path fails actionably (names the install),
+    never silently falls back to the fake decoder."""
+    if _HAS_PIL:
+        pytest.skip("PIL present: the real path is tested above")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        X_mm.decode_image_batch(b"\x89PNG\r\n\x1a\n", fake=False)
