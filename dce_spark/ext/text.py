@@ -1,13 +1,19 @@
 """Text analysis operators over a document table.
 
-All pure Column expressions (JVM-side, whole-stage codegen) — no UDFs:
+Pure Column expressions (JVM-side, whole-stage codegen) throughout:
 tokenization, token/char statistics, stopword & punctuation ratios, a
 quality score, a language heuristic, and document fingerprinting
 (normalized-text hash). At 100 TB these are embarrassingly parallel
-map-side operators: no shuffle at all unless aggregated.
+map-side operators: no shuffle at all unless aggregated. The ONE
+exception is ``bpe_encode`` — encoding with a production-sized merge
+vocabulary cannot live in an expression tree, so it is an
+Arrow-batched pandas UDF (never row-at-a-time), equivalence-tested
+against the expression fold.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -26,6 +32,9 @@ __all__ = [
     "bpe_merge_fold",
     "bpe_pair_counts",
     "bpe_train",
+    "save_bpe",
+    "load_bpe",
+    "bpe_encode",
 ]
 
 # tiny multilingual stopword lists for the language-id heuristic
@@ -438,3 +447,81 @@ def bpe_train(
         cur.unpersist()
         cur = nxt
     return merges, cur
+
+
+def save_bpe(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist learned merges (rank order) as a self-describing JSON
+    artifact — the tokenizer the training run hands to every
+    downstream encode job."""
+    spark.createDataFrame(
+        [(i, l, r, int(c)) for i, (l, r, c) in enumerate(merges)],
+        schema="rank int, left string, right string, pair_count long",
+    ).coalesce(1).write.mode("overwrite").json(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str, int]]:
+    rows = sorted(spark.read.json(path).collect(), key=lambda r: r["rank"])
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a trained merge list -> (id, tokens).
+
+    The EXPRESSION fold (bpe_merge_fold) is right for training, where
+    each iteration applies ONE rule to the vocabulary; encoding with a
+    realistic vocabulary (10k-100k merges) would nest 10k folds in one
+    expression tree. The scale path is an Arrow-batched pandas UDF
+    running the classic rank-priority merge loop per word, with a
+    per-batch word cache (Zipf: a batch's distinct words are a small
+    fraction of its tokens). Semantics are IDENTICAL to applying
+    bpe_merge_fold rule-by-rule in rank order — each rule merges
+    greedily left-to-right before the next rank applies — which the
+    tests pin by equivalence on random corpora.
+    """
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        # mirror the JVM tokenizer exactly: Java's \s (no unicode
+        # classes), then the same ascii-alnum word filter as bpe_words
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        word_ok = re.compile(r"^[a-z0-9]+$")
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            # apply rules in RANK order; each rule = one greedy pass
+            # (identical to bpe_merge_fold applied per rank)
+            for l, r, _ in merges:
+                if len(syms) < 2:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        def enc_doc(t: str) -> list[str]:
+            toks: list[str] = []
+            for w in ws.split((t or "").lower()):
+                if w and word_ok.match(w):
+                    toks.extend(enc_word(w))
+            return toks
+
+        return pd.Series([enc_doc(t) for t in texts])
+
+    return df.select(F.col(id_col), encode(F.col(text_col)).alias("tokens"))

@@ -21,7 +21,13 @@ from pyspark.sql import SparkSession, functions as F
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from dce_spark.data import load_table  # noqa: E402
-from dce_spark.ext.text import bpe_train, bpe_words  # noqa: E402
+from dce_spark.ext.text import (  # noqa: E402
+    bpe_encode,
+    bpe_train,
+    bpe_words,
+    load_bpe,
+    save_bpe,
+)
 
 
 def main() -> None:
@@ -62,6 +68,17 @@ def main() -> None:
     for r in top:
         print(f"  {r['token']!r}: {r['occ']}")
     final.unpersist()
+
+    # persist the tokenizer and encode documents with the Arrow-UDF
+    # production path (the shape a 100k-merge vocabulary needs)
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="bpe_"), "tokenizer")
+    save_bpe(spark, merges, path)
+    encoded = bpe_encode(docs, load_bpe(spark, path))
+    sample = encoded.orderBy("doc_id").head()
+    print(f"\nencoded doc {sample['doc_id']}: first 12 tokens "
+          f"{sample['tokens'][:12]}")
     spark.stop()
 
 

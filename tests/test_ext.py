@@ -1091,3 +1091,66 @@ def test_decode_without_pil_raises_installable_error():
         pytest.skip("PIL present: the real path is tested above")
     with pytest.raises(NotImplementedError, match="pillow"):
         X_mm.decode_image_batch(b"\x89PNG\r\n\x1a\n", fake=False)
+
+
+def test_bpe_save_load_encode_equivalence(spark, tmp_path):
+    """The Arrow-UDF encoder (production path for big vocabularies)
+    must agree exactly with the expression fold applied rank-by-rank,
+    and the persisted tokenizer must round-trip."""
+    from dce_spark.ext.text import (
+        bpe_encode,
+        bpe_merge_fold,
+        bpe_train,
+        bpe_words,
+        load_bpe,
+        save_bpe,
+        tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theme there then THE 42 a1b2"),
+            (2, "other text entirely x.y punct-uated"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    merges, final = bpe_train(bpe_words(docs), 4)
+    final.unpersist()
+    assert len(merges) == 4
+
+    path = str(tmp_path / "bpe.json")
+    save_bpe(spark, merges, path)
+    assert load_bpe(spark, path) == merges
+
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+
+    # expression-path reference: same tokenizer, folds in rank order
+    toks = F.filter(
+        tokens_col(F.lower(F.col("text"))), lambda t: t.rlike("^[a-z0-9]+$")
+    )
+    words = docs.select("doc_id", F.posexplode(toks).alias("pos", "w"))
+    words = words.select("doc_id", "pos", F.split("w", "").alias("s"))
+    for l, r, _ in merges:
+        words = words.select(
+            "doc_id", "pos", bpe_merge_fold(F.col("s"), l, r).alias("s")
+        )
+    want = {
+        r["doc_id"]: r["tokens"]
+        for r in words.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                )
+            ).alias("tokens")
+        )
+        .collect()
+    }
+    for d in (1, 2):
+        assert got[d] == want[d], (d, got[d], want[d])
+    assert got[3] == []  # empty doc: present, empty token stream

@@ -197,3 +197,33 @@ def test_compare_rejects_dtype_mismatch(spark, duck):
     rel = duck.sql("SELECT CAST(1 AS BIGINT) AS a")
     with pytest.raises(AssertionError, match="dtype mismatch"):
         compare(sdf, rel)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "window_running_total_orders",
+        "sessionization_events",
+        "bpe_merges_documents",
+        "dedup_exact_documents",
+    ],
+)
+def test_results_invariant_under_partitioning(spark, name):
+    """The determinism conventions (quantized sums, unique tie-breaks,
+    deterministic folds) must make results identical at ANY partition
+    count — re-plan each representative query with shuffle.partitions
+    1 and 7 and require byte-equal sorted rows."""
+    spec = QUERIES[name]
+    results = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            df = spec.fn(spark, SF_DIR)
+            results.append(sorted(tuple(str(v) for v in r) for r in df.collect()))
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
