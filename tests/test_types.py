@@ -156,3 +156,54 @@ def test_not_null_round_trip(s):
 def test_not_alone_is_error():
     with pytest.raises(TypeParseError):
         parse_data_type("list<string not>")
+
+
+def test_generated_nested_types_round_trip():
+    """Hypothesis: format(parse(format(t))) is a fixpoint for randomly
+    composed nested types (list/map/struct over all primitives with
+    random not-null flags, depth <= 3) — the recursive-descent parser
+    and printer must agree on the entire grammar, not just the
+    hand-picked cases above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dce_spark.types import format_data_type, parse_data_type
+
+    prims = st.sampled_from(
+        ["string", "int32", "int64", "float32", "float64", "boolean",
+         "timestamp", "date", "decimal(12,3)", "binary"]
+    )
+
+    def compound(children):
+        field = st.tuples(
+            st.sampled_from(["a", "b2", "x_y", "n0"]), children, st.booleans()
+        )
+        return st.one_of(
+            st.tuples(children, st.booleans()).map(
+                lambda t: f"list<{t[0]}{' not null' if t[1] else ''}>"
+            ),
+            st.tuples(prims, children, st.booleans()).map(
+                lambda t: f"map<{t[0]}, {t[1]}{' not null' if t[2] else ''}>"
+            ),
+            st.lists(field, min_size=1, max_size=3, unique_by=lambda f: f[0]).map(
+                lambda fs: "struct<"
+                + ", ".join(
+                    f"{n}:{t}{' not null' if nn else ''}" for n, t, nn in fs
+                )
+                + ">"
+            ),
+        )
+
+    types = st.recursive(prims, compound, max_leaves=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(s=types)
+    def run(s):
+        dt = parse_data_type(s)
+        printed = format_data_type(dt)
+        # fixpoint: parsing the canonical form reproduces it exactly
+        assert format_data_type(parse_data_type(printed)) == printed
+        # and the canonical form denotes the same Spark type
+        assert parse_data_type(printed) == dt
+
+    run()
