@@ -49,6 +49,7 @@ __all__ = [
     "pq_topk",
     "save_ivfpq_index",
     "ivfpq_index_topk",
+    "semantic_decontamination",
 ]
 
 
@@ -641,3 +642,54 @@ def ivfpq_index_topk(
     probe = _probe_cells(query_vec, ordered, nprobe)
     codes = spark.read.parquet(path + "/codes").filter(F.col("cell").isin(probe))
     return pq_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 32,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors whose cosine to
+    ANY benchmark vector >= threshold -> (corpus_id, bench_id,
+    cos_sim). The semantic complement of the shingle-based
+    decontamination_overlap_documents query — paraphrased eval
+    leakage shares no n-grams but lands next to the benchmark in
+    embedding space.
+
+    Built on the SAME hyperplane-LSH bucketing as
+    hyperplane_lsh_pairs: both sides are tagged and unioned, so
+    candidates only ever meet inside equal (band, key) buckets via an
+    equi-join, then cross-side pairs are kept. The benchmark is
+    typically tiny, but this shape does NOT depend on that — it never
+    broadcasts or cross-joins either side, so it also covers
+    corpus-vs-corpus contamination sweeps at any size ratio.
+    """
+    a = corpus.select(
+        (F.col(id_col).cast("long") * 2).alias(id_col), F.col(vec_col)
+    )
+    b = benchmark.select(
+        (F.col(id_col).cast("long") * 2 + 1).alias(id_col), F.col(vec_col)
+    )
+    pairs = hyperplane_lsh_pairs(
+        a.unionByName(b),
+        threshold=threshold,
+        bits=bits,
+        bands=bands,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    # parity of the tagged id encodes the side; keep cross-side pairs
+    va, vb = F.col("vec_a"), F.col("vec_b")
+    corpus_id = F.when(va % 2 == 0, va).otherwise(vb) / 2
+    bench_id = F.when(va % 2 == 1, va).otherwise(vb) / 2
+    return pairs.filter(va % 2 != vb % 2).select(
+        corpus_id.cast("long").alias("corpus_id"),
+        F.floor(bench_id).cast("long").alias("bench_id"),
+        "cos_sim",
+    )

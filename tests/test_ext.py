@@ -1154,3 +1154,35 @@ def test_bpe_save_load_encode_equivalence(spark, tmp_path):
     for d in (1, 2):
         assert got[d] == want[d], (d, got[d], want[d])
     assert got[3] == []  # empty doc: present, empty token stream
+
+
+def test_semantic_decontamination(spark):
+    """Cross-side near pairs only: a corpus doc paraphrase-close to a
+    benchmark doc is flagged; corpus-internal duplicates are NOT; the
+    plan never cartesian-joins either side."""
+    import random
+
+    from dce_spark.ext.similarity import semantic_decontamination
+    from dce_spark.planaudit import audit
+
+    rng = random.Random(5)
+    bench_vec = [rng.uniform(-1, 1) for _ in range(16)]
+    leak = [v * 1.0001 for v in bench_vec]  # same direction: cosine ~1
+    ortho = [rng.uniform(-1, 1) for _ in range(16)]
+    corpus = spark.createDataFrame(
+        [
+            (1, leak),
+            (2, ortho),
+            (3, list(ortho)),  # corpus-internal dup: must NOT be flagged
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_vec)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_decontamination(corpus, bench, threshold=0.95)
+    assert audit(out).cartesian_like == 0
+    got = {(r["corpus_id"], r["bench_id"]): r["cos_sim"] for r in out.collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 0.99
+    assert all(c == 1 for c, _ in got)  # no corpus-corpus, no ortho
+    spark.catalog.clearCache()
