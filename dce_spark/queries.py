@@ -1850,6 +1850,22 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   rotation (r1-r3 lesson, three occurrences: queries added after the
 #   gate create an unchecked tail — new operators wait for the round-5
 #   window).
+#
+#   ROUND 5 PLAN — cumulative coverage will be 153/153 after r4, so the
+#   r5 window is free for NEW oracle-paired queries over the round-4
+#   library ops (register EARLY, window them, freeze):
+#     - bpe_encode_documents: doc-level token counts under the trained
+#       3-merge tokenizer (oracle = the existing _bpe_cte chain + a
+#       per-doc re-encode via list_reduce).
+#     - semantic_decontamination_embeddings: cross-set near pairs,
+#       oracle = brute-force cross cosine at sf0.01 (bench side tiny).
+#     - pq_adc_topk_embeddings: 1-iteration PQ + ADC top-k, oracle =
+#       per-subspace kmeans replay in SQL (kmeans_embeddings_2iter
+#       pattern per subspace).
+#     - heavy_hitters_batch_events: lossy-counting sketch replayed in
+#       batch vs exact counts (guarantee columns, oracle = exact SQL
+#       counts + sketch bounds check).
+#   Plus refill slots from flagship families for continuity.
 _DRIVER_WINDOW = [
     "multimodal_header_meta",
     "grouped_quantiles_lineitem",
