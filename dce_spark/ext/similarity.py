@@ -445,10 +445,20 @@ def _pq_subvecs(df: DataFrame, vec_col: str, id_col: str, m: int, sub_dim: int):
 
 
 def _pq_assign_col(svec: Column, sub: Column, codebooks: list[list[list[float]]]):
-    """Per-subspace argmin code (ties -> lowest code id)."""
+    """Per-subspace argmin code (ties -> lowest code id). Distances are
+    rounded to 9dp BEFORE the argmin — the same engine-portability
+    convention as cell_assignment's cosine ranking: float-sum
+    association differences across engines cannot flip an assignment
+    unless two centroids are within 1e-9, which the tie-break then
+    resolves identically."""
     expr = None
     for s, cb in enumerate(codebooks):
-        d2s = F.array(*[_sq_dist_col(svec, _as_literal_array(c)) for c in cb])
+        d2s = F.array(
+            *[
+                F.round(_sq_dist_col(svec, _as_literal_array(c)), 9)
+                for c in cb
+            ]
+        )
         code = (F.array_position(d2s, F.array_min(d2s)) - F.lit(1)).cast("int")
         expr = F.when(sub == s, code) if expr is None else expr.when(sub == s, code)
     return expr

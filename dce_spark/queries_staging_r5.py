@@ -1,0 +1,287 @@
+"""ROUND-5 STAGED catalog queries — built and oracle-verified in round
+4, NOT yet registered (the round-4 catalog froze at 153 when the
+driver window rotated; registering these would create an unchecked
+tail, the r1-r3 lesson). Round 5 promotes them by moving the
+``@stage`` registrations into queries_more.py (or importing this
+module from queries.py) and fronting them in ``_DRIVER_WINDOW``.
+
+Each entry exercises a round-4 library operator end-to-end against a
+DuckDB oracle:
+
+- ``bpe_encode_documents`` — the trained 3-merge tokenizer applied to
+  every document (Arrow-UDF encoder), per-doc token totals.
+- ``semantic_decontamination_embeddings`` — cross-set hyperplane-LSH
+  near pairs over a dirtied view with injected paraphrase leaks
+  (recall 1.0 by construction for same-direction vectors: every sign
+  bit agrees, so every band collides).
+- ``pq_adc_topk_embeddings`` — 1-iteration PQ training + ADC top-10,
+  oracle replays the per-subspace k-means and the lookup-table scan.
+
+tests/test_staging_r5.py runs these through the SAME compare harness
+as the live catalog (exact column order, canonical dtypes, sorted
+values) at the suite's SF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+from .data import load_table
+
+STAGED: dict[str, "StagedSpec"] = {}
+
+
+@dataclass
+class StagedSpec:
+    fn: Callable
+    oracle: str
+    doc: str
+
+
+def stage(name: str, oracle: str, doc: str = ""):
+    def deco(fn):
+        STAGED[name] = StagedSpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------
+# 1. BPE encode over documents
+# ---------------------------------------------------------------------
+
+_BPE_N = 3
+
+
+def _bpe_fold_sql(list_expr: str, m: str) -> str:
+    """One greedy merge pass (rule held in CTE ``m``) applied to a
+    symbol-list SQL expression — identical semantics to
+    ext/text.bpe_merge_fold (see queries_more._bpe_cte)."""
+    return (
+        f"string_split(list_reduce({list_expr}, (acc, x) -> "
+        f"CASE WHEN list_extract(string_split(acc, chr(30)), -1) = {m}.l "
+        f"AND x = {m}.r THEN acc || {m}.r "
+        f"ELSE acc || chr(30) || x END), chr(30))"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    from .queries_more import _bpe_cte
+
+    chars = (
+        "list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, CAST(i AS INTEGER), 1))"
+    )
+    enc = chars
+    for k in range(1, _BPE_N + 1):
+        enc = _bpe_fold_sql(enc, f"m{k}")
+    return (
+        _bpe_cte(_BPE_N)
+        + f""", doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text),
+           '[[:space:]]+'), x -> x <> '')) AS w
+  FROM documents
+), dw AS (
+  SELECT doc_id, w FROM doc_words WHERE regexp_matches(w, '^[a-z0-9]+$')
+), enc AS (
+  SELECT doc_id, {enc} AS syms
+  FROM dw, m1, m2, m3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_unique
+FROM (SELECT doc_id, unnest(syms) AS tok FROM enc)
+GROUP BY doc_id"""
+    )
+
+
+@stage(
+    "bpe_encode_documents",
+    "",  # oracle resolved lazily (needs queries_more import)
+    "tokenizer: ENCODE every document with the corpus-trained 3-merge "
+    "BPE vocabulary (ext/text.bpe_encode, the Arrow-UDF production "
+    "path) and report per-doc token totals. Training is the same "
+    "distributed loop as bpe_merges_documents; encoding is one "
+    "Arrow-batched map pass + one groupBy on doc_id. The oracle "
+    "replays training as the shared _bpe_cte chain, then re-encodes "
+    "each word with three correlated list_reduce folds.",
+)
+def bpe_encode_documents(spark, sf_dir):
+    from .ext.text import bpe_encode, bpe_train, bpe_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, final = bpe_train(bpe_words(docs), _BPE_N)
+    final.unpersist()
+    toks = bpe_encode(docs, merges)
+    return (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_unique"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 2. Semantic decontamination over a dirtied embedding view
+# ---------------------------------------------------------------------
+
+_DECON_COS = (
+    "round(list_sum(list_transform(range(1, 65), i -> c.e[i] * b.be[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> b.be[i] * b.be[i])))), 6)"
+)
+
+_DECON_ORACLE = f"""
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+), corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id >= 5
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.0001)
+  FROM bench
+), b AS (
+  SELECT vec_id AS bench_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS be
+  FROM bench
+)
+SELECT corpus_id, bench_id, cos_sim FROM (
+  SELECT CAST(c.vec_id AS BIGINT) AS corpus_id,
+         CAST(b.bench_id AS BIGINT) AS bench_id,
+         {_DECON_COS} AS cos_sim
+  FROM corpus c, b
+) WHERE cos_sim >= 0.99"""
+
+
+@stage(
+    "semantic_decontamination_embeddings",
+    _DECON_ORACLE,
+    "decontamination at the EMBEDDING level: corpus vectors within "
+    "cosine 0.99 of any benchmark vector (vec_id < 5 stands in as the "
+    "benchmark), over a dirtied view with 5 injected paraphrase leaks "
+    "(benchmark vectors scaled by 1.0001 — same direction, cosine "
+    "1.0). Catches the leakage n-gram decontamination cannot: "
+    "paraphrases share no shingles but land next to the benchmark in "
+    "embedding space. The Spark side runs the hyperplane-LSH cross-set "
+    "operator (never broadcasts or cross-joins either side; recall "
+    "1.0 here because identical-direction vectors agree on every sign "
+    "bit); the oracle brute-forces the tiny bench x corpus cosine "
+    "matrix. The de-vacuization convention of the dedup probes: both "
+    "engines construct the identical injected view.",
+)
+def semantic_decontamination_embeddings(spark, sf_dir):
+    from .ext.similarity import semantic_decontamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    bench = emb.filter(F.col("vec_id") < 5).select("vec_id", emb_d.alias("embedding"))
+    leaks = bench.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") >= 5)
+        .select("vec_id", emb_d.alias("embedding"))
+        .unionByName(leaks)
+    )
+    return semantic_decontamination(corpus, bench, threshold=0.99)
+
+
+# ---------------------------------------------------------------------
+# 3. PQ + ADC top-k
+# ---------------------------------------------------------------------
+
+_PQ_D2 = (
+    "round(list_sum(list_transform(range(1, 9), "
+    "j -> (sv.v[j] - {cb}.c[j]) * (sv.v[j] - {cb}.c[j]))), 9)"
+)
+
+_PQ_ORACLE = f"""
+WITH sv AS (
+  SELECT vec_id, s.sub,
+         list_transform(range(1, 9),
+           j -> CAST(embedding[s.sub * 8 + j] AS DOUBLE)) AS v
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+), seeds AS (
+  SELECT sub, vec_id AS code, v AS c FROM sv WHERE vec_id < 4
+), a0 AS (
+  SELECT vec_id, sub, v, code FROM (
+    SELECT sv.vec_id, sv.sub, sv.v, seeds.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_PQ_D2.format(cb="seeds")}, seeds.code) AS rn
+    FROM sv JOIN seeds ON seeds.sub = sv.sub)
+  WHERE rn = 1
+), mu AS (
+  SELECT sub, code, jj.j,
+         CAST(sum(CAST(round(v[jj.j] * 1e9) AS BIGINT)) AS DOUBLE)
+           / 1e9 / count(*) AS mu
+  FROM a0, (SELECT unnest(range(1, 9)) AS j) jj
+  GROUP BY sub, code, jj.j
+), cb1 AS (
+  SELECT sub, code, list(mu ORDER BY j) AS c FROM mu GROUP BY sub, code
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb1.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_PQ_D2.format(cb="cb1")}, cb1.code) AS rn
+    FROM sv JOIN cb1 ON cb1.sub = sv.sub)
+  WHERE rn = 1
+), q AS (
+  SELECT sub, v FROM sv WHERE vec_id = 0
+), lut AS (
+  SELECT cb1.sub, cb1.code,
+         list_sum(list_transform(range(1, 9),
+           j -> (q.v[j] - cb1.c[j]) * (q.v[j] - cb1.c[j]))) AS d2
+  FROM cb1 JOIN q ON q.sub = cb1.sub
+), adc AS (
+  SELECT codes.vec_id, round(sum(lut.d2), 9) AS adc_d2
+  FROM codes JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code
+  GROUP BY codes.vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (ORDER BY adc_d2, vec_id) AS rn FROM adc)
+WHERE rn <= 10"""
+
+
+@stage(
+    "pq_adc_topk_embeddings",
+    _PQ_ORACLE,
+    "similarity: product-quantization ANN end-to-end — train m=8 / "
+    "k_sub=4 codebooks (ONE deterministic k-means iteration, seeds = "
+    "the first 4 vectors' subvectors), compress every vector to 8 "
+    "codes, ADC top-10 for query vec 0. All assignments rank "
+    "9dp-rounded squared distances with (d2, code) tie-breaks and the "
+    "codebook update uses quantized-exact means, so the oracle's "
+    "per-subspace k-means replay is engine-portable — the same "
+    "determinism contract as kmeans_embeddings_2iter. Scale shape: "
+    "assignment/encode/ADC are map-side expressions; the only "
+    "driver-side data is the m x k_sub codebook.",
+)
+def pq_adc_topk_embeddings(spark, sf_dir):
+    from .ext.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
+    codes = pq_encode(emb, cbs)
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return pq_topk(codes, cbs, q, k=10)
+
+
+def staged_oracle(name: str) -> str:
+    """Oracle SQL for a staged query (lazy for the bpe one: its CTE
+    builder lives in queries_more)."""
+    if name == "bpe_encode_documents":
+        return _bpe_encode_oracle()
+    return STAGED[name].oracle
