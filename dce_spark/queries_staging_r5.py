@@ -16,6 +16,8 @@ DuckDB oracle:
   bit agrees, so every band collides).
 - ``pq_adc_topk_embeddings`` — 1-iteration PQ training + ADC top-10,
   oracle replays the per-subspace k-means and the lookup-table scan.
+- ``bigram_logprob_documents`` — add-1-smoothed bigram LM quality
+  score, the conditional upgrade over unigram_logprob_documents.
 
 tests/test_staging_r5.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -285,3 +287,93 @@ def staged_oracle(name: str) -> str:
     if name == "bpe_encode_documents":
         return _bpe_encode_oracle()
     return STAGED[name].oracle
+
+
+# ---------------------------------------------------------------------
+# 4. Bigram LM log-probability (perplexity-filter upgrade)
+# ---------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+), v AS (
+  SELECT CAST(count(*) AS BIGINT) AS vsize FROM vocab
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         unnest(list_slice(t, 2, len(t))) AS w2
+  FROM toks WHERE len(t) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM bg GROUP BY w1, w2
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((CAST(c2.cnt2 AS DOUBLE) + 1)
+                    / (CAST(u.cnt AS DOUBLE) + v.vsize))) / count(*), 6)
+         AS avg_logprob
+FROM bg
+JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+JOIN vocab u ON u.w = bg.w1
+CROSS JOIN v
+GROUP BY bg.doc_id"""
+
+
+@stage(
+    "bigram_logprob_documents",
+    _BIGRAM_ORACLE,
+    "training-data op: BIGRAM LM log-probability quality score — each "
+    "doc's mean ln P(w2|w1) under the corpus's own add-1-smoothed "
+    "bigram model, the conditional upgrade over "
+    "unigram_logprob_documents (a doc of common words in gibberish "
+    "ORDER scores low here but fine there). Aggregations: bigram and "
+    "unigram count tables (vocabulary-sized), then equi-joins back "
+    "onto the doc bigram stream and one per-doc fold; the vocab-size "
+    "scalar rides a 1-row broadcast. Counts and joins are exact ints; "
+    "ln and the mean are float by nature -> round(6), the "
+    "unigram_logprob convention. At 100 TB the bigram table gets a "
+    "min-count cut exactly like the unigram vocab.",
+)
+def bigram_logprob_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col(F.lower(F.col("text"))).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.lower(F.col("text")))).alias("w"))
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vsize = vocab.agg(F.count(F.lit(1)).alias("vsize"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    logp = F.log(
+        (F.col("cnt2").cast("double") + 1)
+        / (F.col("cnt").cast("double") + F.col("vsize"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(vocab.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
