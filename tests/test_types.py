@@ -207,3 +207,41 @@ def test_generated_nested_types_round_trip():
         assert parse_data_type(printed) == dt
 
     run()
+
+
+def test_schema_struct_type_round_trip_generated():
+    """Schema.from_struct_type(to_struct_type(s)) is a fixpoint for
+    schemas whose field types span the generated nested-type grammar —
+    the contract model and the Spark schema can never drift."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dce_spark.contract import Schema
+    from dce_spark.types import parse_data_type
+
+    prims = st.sampled_from(
+        ["string", "int64", "float64", "boolean", "timestamp",
+         "decimal(10,2)", "list<int32>", "map<string, float32>",
+         "struct<a:string, b:list<int64 not null>>"]
+    )
+    fields = st.lists(
+        st.tuples(st.sampled_from(["f1", "g_2", "h3", "k"]), prims, st.booleans()),
+        min_size=1, max_size=4,
+        unique_by=lambda f: f[0],
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(fs=fields)
+    def run(fs):
+        import pyspark.sql.types as T
+
+        struct = T.StructType(
+            [T.StructField(n, parse_data_type(t), nullable) for n, t, nullable in fs]
+        )
+        schema = Schema.from_struct_type(struct)
+        assert schema.to_struct_type() == struct
+        # and once more through the string grammar
+        schema2 = Schema.from_struct_type(schema.to_struct_type())
+        assert schema2.to_struct_type() == struct
+
+    run()
