@@ -20,6 +20,7 @@ from .enrich import (
     enrich_stream,
     streaming_anomaly_flags,
     windowed_anomaly_counts,
+    windowed_value_quantiles,
 )
 from .heavyhitters import lossy_count_fold, streaming_heavy_hitters
 from .sessionize import fold_sessions, stateful_sessionize
@@ -34,6 +35,7 @@ __all__ = [
     "enrich_stream",
     "streaming_anomaly_flags",
     "windowed_anomaly_counts",
+    "windowed_value_quantiles",
     "lossy_count_fold",
     "streaming_heavy_hitters",
 ]

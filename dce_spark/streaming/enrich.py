@@ -32,6 +32,7 @@ __all__ = [
     "enrich_stream",
     "streaming_anomaly_flags",
     "windowed_anomaly_counts",
+    "windowed_value_quantiles",
 ]
 
 
@@ -108,3 +109,36 @@ def windowed_anomaly_counts(
             "n_anomalies",
         )
     )
+
+
+def windowed_value_quantiles(
+    stream_df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    probs: Sequence[float] = (0.5, 0.95, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Watermarked windowed value quantiles — the latency/size/score
+    monitoring feed (p50/p95/p99 per window): (window, n, q50, q95,
+    q99, ...).
+
+    Uses ``approx_percentile`` (Greenwald-Khanna sketch) because exact
+    percentiles buffer every value per window — unbounded state on a
+    stream; the sketch is mergeable across partitions and bounded by
+    ``accuracy``, the same exact-vs-sketch trade documented for
+    quantiles_lineitem vs its _approx twin. Works identically on a
+    batch frame (no watermark applied), which is how the equivalence
+    test pins batch == stream.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.percentile_approx(
+            F.col(value_col), F.lit(float(p)), F.lit(accuracy)
+        ).alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    src = stream_df
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return src.groupBy(F.window(F.col(ts_col), window).alias("window")).agg(*aggs)

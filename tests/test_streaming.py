@@ -607,3 +607,49 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     # sketch state stayed bounded: far fewer tracked keys than the 272
     # distinct keys in the stream
     assert len(latest) < 150
+
+
+def test_windowed_value_quantiles_stream_matches_batch(spark, tmp_path):
+    """Windowed p50/p95/p99 on a stream equals the identical
+    computation on the same data in batch (the sketch is deterministic
+    for a given dataset + accuracy), and the stream runs in update
+    mode with a watermark."""
+    from datetime import datetime, timedelta
+
+    from dce_spark.streaming import windowed_value_quantiles
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(ts=base + timedelta(minutes=m % 12, seconds=i), value=float((i * 7) % 100))
+        for i, m in ((i, i // 40) for i in range(480))
+    ]
+    srcdir = tmp_path / "q_src"
+    df = spark.createDataFrame(rows)
+    df.coalesce(1).write.parquet(str(srcdir))
+
+    batch = {
+        tuple(r["window"]): (r["n"], r["q50"], r["q95"], r["q99"])
+        for r in windowed_value_quantiles(
+            spark.read.parquet(str(srcdir)), "value"
+        ).collect()
+    }
+    assert len(batch) >= 2 and all(v[0] > 0 for v in batch.values())
+
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(
+        str(srcdir)
+    )
+    q = (
+        windowed_value_quantiles(stream, "value")
+        .writeStream.format("memory")
+        .queryName("wq_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r["window"]): (r["n"], r["q50"], r["q95"], r["q99"])
+        for r in spark.sql("SELECT * FROM wq_stream").collect()
+    }
+    assert streamed == batch
