@@ -18,6 +18,11 @@ DuckDB oracle:
   oracle replays the per-subspace k-means and the lookup-table scan.
 - ``bigram_logprob_documents`` — add-1-smoothed bigram LM quality
   score, the conditional upgrade over unigram_logprob_documents.
+- ``pq_reconstruction_error_embeddings`` — per-(subspace, code)
+  compression-quality report from the same training replay.
+- ``windowed_quantiles_events`` — per-day sketch quantiles with
+  adaptive rank-guarantee verdicts (batch mirror of
+  streaming.windowed_value_quantiles).
 
 tests/test_staging_r5.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -375,5 +380,202 @@ def bigram_logprob_documents(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.sum(logp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 5. PQ reconstruction error (compression QC)
+# ---------------------------------------------------------------------
+
+_PQ_RECON_ORACLE = f"""
+WITH sv AS (
+  SELECT vec_id, s.sub,
+         list_transform(range(1, 9),
+           j -> CAST(embedding[s.sub * 8 + j] AS DOUBLE)) AS v
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS sub) s
+), seeds AS (
+  SELECT sub, vec_id AS code, v AS c FROM sv WHERE vec_id < 4
+), a0 AS (
+  SELECT vec_id, sub, v, code FROM (
+    SELECT sv.vec_id, sv.sub, sv.v, seeds.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_PQ_D2.format(cb="seeds")}, seeds.code) AS rn
+    FROM sv JOIN seeds ON seeds.sub = sv.sub)
+  WHERE rn = 1
+), mu AS (
+  SELECT sub, code, jj.j,
+         CAST(sum(CAST(round(v[jj.j] * 1e9) AS BIGINT)) AS DOUBLE)
+           / 1e9 / count(*) AS mu
+  FROM a0, (SELECT unnest(range(1, 9)) AS j) jj
+  GROUP BY sub, code, jj.j
+), cb1 AS (
+  SELECT sub, code, list(mu ORDER BY j) AS c FROM mu GROUP BY sub, code
+), assigned AS (
+  SELECT sub, code, d2 FROM (
+    SELECT sv.sub, cb1.code, {_PQ_D2.format(cb="cb1")} AS d2,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_PQ_D2.format(cb="cb1")}, cb1.code) AS rn
+    FROM sv JOIN cb1 ON cb1.sub = sv.sub)
+  WHERE rn = 1
+)
+SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(CAST(round(d2 * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*), 6) AS mean_d2
+FROM assigned GROUP BY sub, code"""
+
+
+@stage(
+    "pq_reconstruction_error_embeddings",
+    _PQ_RECON_ORACLE,
+    "similarity QC: PQ RECONSTRUCTION ERROR per (subspace, code) — the "
+    "compression-quality report that decides whether a codebook is "
+    "trained enough before committing a 16-32x-smaller vector store. "
+    "Same 1-iteration training replay as pq_adc_topk_embeddings; the "
+    "assigned distance is the 9dp-rounded argmin the assignment "
+    "already ranks, and per-cell means use the quantized-exact sum so "
+    "accumulation order cannot flip a digit. Map-side assignment + one "
+    "32-cell groupBy.",
+)
+def pq_reconstruction_error_embeddings(spark, sf_dir):
+    from .ext.similarity import (
+        _as_literal_array,
+        _pq_subvecs,
+        _sq_dist_col,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
+    sv = _pq_subvecs(emb, "embedding", "vec_id", m=8, sub_dim=8)
+
+    code_expr, d2_expr = None, None
+    for s, cb in enumerate(cbs):
+        d2s = F.array(
+            *[
+                F.round(_sq_dist_col(F.col("svec"), _as_literal_array(c)), 9)
+                for c in cb
+            ]
+        )
+        best = F.array_min(d2s)
+        code = (F.array_position(d2s, best) - F.lit(1)).cast("int")
+        cond = F.col("sub") == s
+        code_expr = (
+            F.when(cond, code) if code_expr is None else code_expr.when(cond, code)
+        )
+        d2_expr = (
+            F.when(cond, best) if d2_expr is None else d2_expr.when(cond, best)
+        )
+
+    return (
+        sv.select(
+            F.col("sub").cast("int").alias("sub"),
+            code_expr.alias("code"),
+            d2_expr.alias("d2"),
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.round(F.col("d2") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_d2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 6. Per-day quantile verdicts (windowed monitoring, batch mirror)
+# ---------------------------------------------------------------------
+
+# rank tolerance must scale with the window: a fixed 0.01 is tighter
+# than ONE rank step once a window holds < 100 rows (per-day windows at
+# sf0.001 hold ~30), and DuckDB's t-digest interpolates between order
+# statistics. Both engines apply the identical formula to the identical
+# n, so the verdicts stay portable.
+_WQ_TOL = "greatest(0.01, 2.5 / count(*))"
+
+
+def _wq_rank_ok_sql(val: str, q: float) -> str:
+    le = (
+        f"CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) <= {val} "
+        f"THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+    )
+    lt = (
+        f"CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < {val} "
+        f"THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+    )
+    return f"({le} >= {q} - {_WQ_TOL} AND {lt} <= {q} + {_WQ_TOL})"
+
+
+_WQ_ORACLE = f"""
+WITH g AS (
+  SELECT date_trunc('day', ts) AS day,
+         approx_quantile(CAST(value AS DOUBLE), 0.5) AS v50,
+         approx_quantile(CAST(value AS DOUBLE), 0.95) AS v95
+  FROM events WHERE value IS NOT NULL GROUP BY day
+)
+SELECT CAST(floor(epoch(g.day)) AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n,
+       {_wq_rank_ok_sql('g.v50', 0.5)} AS p50_ok,
+       {_wq_rank_ok_sql('g.v95', 0.95)} AS p95_ok
+FROM events e JOIN g ON date_trunc('day', e.ts) = g.day
+WHERE e.value IS NOT NULL
+GROUP BY g.day"""
+
+
+@stage(
+    "windowed_quantiles_events",
+    _WQ_ORACLE,
+    "windowed monitoring, batch mirror of "
+    "streaming.windowed_value_quantiles: per-day p50/p95 of `value` "
+    "via the mergeable percentile_approx sketch, each verdict "
+    "self-verified against the day's true rank interval (the "
+    "quantiles_lineitem_approx convention — engine sketches differ, "
+    "rank guarantees are portable). Two shuffles on the day key, "
+    "sketch state bounded per window; the streaming form adds only a "
+    "watermark.",
+)
+def windowed_quantiles_events(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+    )
+    g = df.groupBy("day").agg(
+        F.percentile_approx(
+            F.col("v"), F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("ap")
+    )
+    j = df.join(F.broadcast(g), "day")
+    n = F.count(F.lit(1))
+    tol = F.greatest(F.lit(0.01), F.lit(2.5) / n.cast("double"))
+    checks = []
+    for i, (q, alias) in enumerate([(0.5, "p50_ok"), (0.95, "p95_ok")]):
+        le = F.sum((F.col("v") <= F.col("ap")[i]).cast("long")).cast(
+            "double"
+        ) / n.cast("double")
+        lt = F.sum((F.col("v") < F.col("ap")[i]).cast("long")).cast(
+            "double"
+        ) / n.cast("double")
+        checks.append(
+            ((le >= F.lit(q) - tol) & (lt <= F.lit(q) + tol)).alias(alias)
+        )
+    return (
+        j.groupBy("day")
+        .agg(n.alias("n"), *checks)
+        .select(
+            F.unix_timestamp("day").alias("day_epoch"),
+            "n",
+            "p50_ok",
+            "p95_ok",
         )
     )
