@@ -1866,57 +1866,77 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #       batch vs exact counts (guarantee columns, oracle = exact SQL
 #       counts + sketch bounds check).
 #   Plus refill slots from flagship families for continuity.
+#   ROUND 5 WINDOW (this list) = the 6 promoted round-4 stagings + the
+#   5 new round-5 queries (registered THIS round, windowed THIS round —
+#   no unchecked tail) + window_running_total_orders (erases the r3
+#   HUGEINT-oracle red with a driver-green row; fixed + judge-replayed
+#   exact in r4) + the 38 stalest r1/r2-only greens. 15 r1/r2 rows
+#   stay deferred to the r6 window — each has a recently-green family
+#   twin (corr_matrix r4, grouped/approx quantiles r3/r4, IVF/LSH ANN
+#   twins r3/r4, minhash-capped + simhash-pairs r4, multimodal
+#   header/resize r4, text-quality/script/token-hist r2/r4,
+#   passage-dedup r4): corr_lineitem_qty_price, ntile_bins_lineitem,
+#   psi_bins_lineitem, quantiles_lineitem, embedding_cosine_topk,
+#   embedding_knn_join, embedding_near_dup_pairs,
+#   dedup_jaccard_documents, dedup_minhash_lsh_documents,
+#   dedup_simhash_documents, multimodal_payload_stats,
+#   text_stats_documents, top_words_documents, lang_stats_documents.
+#   CATALOG FROZEN at 164 for round 5 as of this rotation.
 _DRIVER_WINDOW = [
-    "multimodal_header_meta",
-    "grouped_quantiles_lineitem",
-    "conditional_aggregates_lineitem",
-    "range_bucket_join_events",
-    "array_norms_embeddings",
-    "string_funcs_nation",
-    "salted_group_counts_events",
-    "histogram_lineitem_price",
-    "curation_decisions_documents",
-    "drift_events_weekly",
-    "skew_report_lineitem_suppkey",
-    "per_day_quality_events",
-    "trend_events_value",
-    "approx_distinct_accuracy_events",
-    "anomaly_days_events",
-    "monthly_revenue_yoy_lineitem",
-    "profile_documents",
-    "activity_matrix_events",
-    "affinity_supplier_brand_lineitem",
-    "token_hist_by_lang_documents",
-    "best_order_per_customer",
-    "priority_profile_per_customer",
-    "null_safe_join_probe",
-    "shipping_latency_buckets",
-    "interarrival_gap_stats_events",
-    "passage_dedup_documents",
-    "lsh_verified_pairs_documents",
-    "embedding_dup_clusters",
-    "source_mix_resample_documents",
-    "mode_median_by_segment",
-    "dedup_minhash_lsh_capped",
-    "unigram_logprob_documents",
-    "session_window_native_events",
-    "outlier_counts_events",
-    "zorder_key_events",
-    "chi_square_drift_events",
-    "key_skew_profile_events",
-    "corr_matrix_lineitem",
-    "outlier_counts_events_approx",
-    "script_detect_documents",
-    "chunk_documents",
-    "bpe_pair_counts_documents",
-    "ks_test_events",
-    "ngram_diversity_documents",
-    "minhash_jaccard_estimate_documents",
-    "dedup_simhash_pairs_documents",
-    "embedding_ivf_knn_join",
-    "multimodal_resize_dims",
-    "bpe_merges_documents",
-    "bpe_apply_documents",
+    # promoted round-4 stagings
+    "bpe_encode_documents",
+    "semantic_decontamination_embeddings",
+    "pq_adc_topk_embeddings",
+    "bigram_logprob_documents",
+    "pq_reconstruction_error_embeddings",
+    "windowed_quantiles_events",
+    # new round-5 queries
+    "pq_recall_at_k_embeddings",
+    "skew_salted_join_events",
+    "interp_logprob_documents",
+    "late_data_windows_events",
+    "heavy_hitters_batch_events",
+    # ex-red, oracle fixed in r4
+    "window_running_total_orders",
+    # stalest greens (r1/r2 only)
+    "schema_columns_events",
+    "semi_anti_join_customers",
+    "set_ops_orders_customers",
+    "row_count_lineitem",
+    "inmemory_batch_validation",
+    "inmemory_nested_validation",
+    "null_counts_events",
+    "allowed_values_violations_orders",
+    "range_violations_lineitem",
+    "pattern_violations_events",
+    "completeness_events",
+    "uniqueness_dupes_lineitem",
+    "uniqueness_per_day_orders",
+    "distinct_users_events",
+    "freshness_events",
+    "class_balance_events",
+    "null_rate_by_group_events",
+    "temporal_bounds_events",
+    "overlap_users_events",
+    "psi_total_lineitem",
+    "topk_orders_by_price",
+    "custom_sql_events",
+    "profile_customer",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "sessionization_events",
+    "text_quality_documents",
+    "fingerprint_documents",
+    "winnow_fingerprint_documents",
+    "dedup_exact_documents",
+    "dedup_clusters_documents",
+    "embedding_centroids_by_label",
+    "embedding_near_dup_lsh",
+    "lang_guess_documents",
+    "multimodal_frame_sample",
+    "asof_join_events",
 ]
 
 

@@ -4383,13 +4383,20 @@ def bpe_apply_documents(spark, sf_dir):
 
     words = bpe_words(load_table(spark, sf_dir, "documents"))
     _, final = bpe_train(words, _BPE_N_MERGES)
-    return (
+    out = (
         final.select(F.explode("syms").alias("token"), "cnt")
         .groupBy("token")
         .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
         .limit(20)
     )
+    # materialize the 20-row result so the persisted vocabulary frame
+    # can be released here (bpe_merges_documents pattern) instead of
+    # leaking a cache entry per invocation
+    rows = out.collect()
+    schema = out.schema
+    final.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
@@ -4527,3 +4534,19 @@ def ngram_diversity_documents(spark, sf_dir):
             F.count_distinct("g").cast("double") / F.count(F.lit(1)), 9
         ).alias("diversity"),
     ).select(F.col("n").cast("int").alias("n"), "n_tokens", "n_types", "diversity")
+
+
+# =====================================================================
+# Round-5 promotion: the six queries staged (and oracle-verified) in
+# round 4 enter the live catalog here. Their implementations stay in
+# queries_staging_r5.py; this loop only registers them, so the staging
+# module remains the single source of truth for fn + oracle + doc.
+# =====================================================================
+
+from .queries_staging_r5 import STAGED as _STAGED_R5, staged_oracle as _staged_oracle  # noqa: E402
+
+for _name, _spec in _STAGED_R5.items():
+    register(_name, _staged_oracle(_name), _spec.doc)(_spec.fn)
+del _name, _spec
+
+from . import queries_r5  # noqa: E402,F401  (registers the round-5 additions)

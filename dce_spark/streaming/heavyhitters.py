@@ -30,7 +30,7 @@ from typing import Mapping
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["lossy_count_fold", "streaming_heavy_hitters"]
+__all__ = ["lossy_count_fold", "streaming_heavy_hitters", "lossy_count_batch"]
 
 
 def lossy_count_fold(
@@ -87,6 +87,16 @@ def streaming_heavy_hitters(
     ``shard_n`` the items absorbed by that key's shard. Downstream
     filters ``count + delta >= support * shard_n`` for the
     no-false-negative heavy-hitter set at any support >= epsilon.
+
+    NOTE ``shard_n`` is PER-SHARD, not the global stream count: keys
+    are hash-partitioned, so each key's full history lives in exactly
+    one shard, but a shard absorbs only ~1/n_shards of total traffic.
+    A filter of "keys above 0.1% of TOTAL traffic" therefore needs the
+    global N = sum of each shard's latest ``shard_n`` (e.g. aggregate
+    ``max(shard_n)`` per shard id downstream and sum). Filtering at
+    ``support * shard_n`` per shard is strictly more permissive than
+    ``support * N`` (shard_n <= N), so it keeps the no-false-negative
+    guarantee for any global-support cut applied afterwards.
 
     Each shard's state is the sketch encoded as three parallel arrays
     (state-store friendly; no map-typed state), bounded by the lossy
@@ -146,4 +156,67 @@ def streaming_heavy_hitters(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def lossy_count_batch(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    epsilon: float = 0.01,
+    n_shards: int = 8,
+    batch_rows: int = 1000,
+) -> DataFrame:
+    """Batch REPLAY of the streaming lossy-counting sketch:
+    (key, count, delta, shard_n) exactly as :func:`streaming_heavy_hitters`
+    would emit after absorbing the whole frame, with micro-batches
+    reconstructed as ``floor(order_col / batch_rows)`` and folded in
+    order through the SAME :func:`lossy_count_fold`.
+
+    Two uses: (1) backfill — run the identical sketch over historical
+    data so batch and stream monitoring agree on guarantees, not just
+    intent; (2) verification — the fold is deterministic (batch
+    boundaries from ``order_col``, sorted-key fold within a batch), so
+    an oracle holding exact counts can check both lossy-counting
+    guarantees per key (no false negative at support >= epsilon;
+    undercount <= epsilon * shard_n).
+
+    Scale shape: ONE shuffle on the shard id, then each shard's fold
+    is an Arrow-batched pandas pass whose working set is the sketch
+    (O(1/epsilon * log(epsilon * n)) entries), not the key
+    cardinality. Shards spread across executors; raise ``n_shards``
+    with cluster size. ``key_col`` values are folded as strings, the
+    streaming operator's convention.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} string, count long, delta long, shard_n long"
+
+    def per_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        entries: dict[str, tuple[int, int]] = {}
+        n = 0
+        pdf = pdf.sort_values(order_col)
+        batches = (pdf[order_col] // batch_rows).astype("int64")
+        for _, grp in pdf.groupby(batches, sort=True):
+            counts = {
+                str(k): int(c)
+                for k, c in grp[key_col].astype(str).value_counts().items()
+            }
+            entries, n = lossy_count_fold(counts, entries, n, epsilon)
+        ks = sorted(entries)
+        return pd.DataFrame(
+            {
+                key_col: ks,
+                "count": [entries[k][0] for k in ks],
+                "delta": [entries[k][1] for k in ks],
+                "shard_n": [n] * len(ks),
+            }
+        )
+
+    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))
+    return (
+        df.select(F.col(key_col), F.col(order_col))
+        .withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(per_shard, schema=out_schema)
     )
