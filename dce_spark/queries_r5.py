@@ -445,8 +445,8 @@ def late_data_windows_events(spark, sf_dir):
 # 5. Heavy hitters: lossy-counting batch replay vs exact counts
 # =====================================================================
 
-_HH_SUPPORT = 0.02
-_HH_EPSILON = 0.01
+_HH_SUPPORT = 0.005
+_HH_EPSILON = 0.0025
 
 
 @register(
