@@ -342,7 +342,7 @@ def interp_logprob_documents(spark, sf_dir):
 # 4. Watermark / late-data semantics, batch mirror
 # =====================================================================
 
-_LATE_SHIFT_HOURS = 48
+_LATE_SHIFT_HOURS = 96
 _LATE_DELAY = "1 HOUR"
 _LATE_BATCH_ROWS = 100
 
@@ -362,7 +362,7 @@ _LATE_BATCH_ROWS = 100
 ), wm AS (
   SELECT batch,
          max(mx) OVER (ORDER BY batch
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
            - INTERVAL {_LATE_DELAY} AS wm
   FROM bm
 ), flags AS (
@@ -381,11 +381,13 @@ FROM flags GROUP BY wstart""",
     f"time-shifted {_LATE_SHIFT_HOURS}h back; arrival order = "
     f"event_id, micro-batches of {_LATE_BATCH_ROWS}). Replays "
     "Structured Streaming's exact rule for a 1h-tumbling-window "
-    f"aggregation under withWatermark('{_LATE_DELAY.lower()}'): the "
-    "watermark before batch b is max event-time over batches < b "
-    "minus the delay, and a row is "
-    "ACCEPTED iff its window END is still above that watermark — "
-    "finalized windows drop their stragglers. Output: per window, "
+    f"aggregation under withWatermark('{_LATE_DELAY.lower()}'): since "
+    "Spark 3.4 the LATE-EVENTS watermark lags the EVICTION watermark "
+    "by one batch (eventTimeWatermarkForLateEvents vs ForEviction), "
+    "so batch b's rows are filtered against max event-time over "
+    "batches <= b-2 minus the delay (pinned empirically against a "
+    "real update-mode stream), and a row is ACCEPTED iff its window "
+    "END is still above that lagged watermark. Output: per window, "
     "arrivals vs accepted. tests/test_streaming.py replays the same "
     "batches through a real readStream + withWatermark and asserts "
     "the identical accepted set. Scale shape: per-batch max is one "
@@ -415,7 +417,8 @@ def late_data_windows_events(spark, sf_dir):
     # the batch max, which continuous event times make a measure-zero
     # edge. The paired streaming test tolerates it the same way.)
     bm = arr.groupBy("batch").agg(F.max("ets").alias("mx"))
-    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    # -2: the late-events watermark lags one batch behind eviction
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -2)
     wm = bm.select(
         "batch",
         (F.max("mx").over(w) - F.expr(f"INTERVAL {_LATE_DELAY}")).alias("wm"),

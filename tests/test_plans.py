@@ -282,3 +282,66 @@ def test_funnel_and_incremental_dedup_no_cartesian(spark):
         plan = plan_of(QUERIES[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_salted_join_carries_salt_key_and_matches_unsalted(spark):
+    """ext/skew.salted_equi_join: the physical join must key on
+    (join col, __salt) — i.e. the hot key's rows hash to n_salts
+    reducers, not one — and the result must equal the plain join.
+    Broadcast is disabled so the shuffle keys are visible in the
+    exchange; AQE skew-join (test_aqe_splits_skewed_join) is the
+    zero-code sibling mechanism."""
+    from pyspark.sql import functions as F
+
+    from dce_spark.ext.skew import salted_equi_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(20_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("n")
+        )
+        j = salted_equi_join(
+            fact, dim, on="k", n_salts=8, salt_by=F.xxhash64(F.col("v"))
+        )
+        out = j.groupBy().agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("n").alias("sn")
+        )
+        plan = plan_of(out)
+        # the exchange/join must carry the salt alongside the key
+        assert "__salt" in plan
+        assert "hashpartitioning(k" in plan and "__salt" in plan.split(
+            "hashpartitioning(k", 1
+        )[1][:80]
+        expected = (
+            fact.join(dim, "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("rows"), F.sum("n").alias("sn"))
+            .collect()[0]
+        )
+        got = out.collect()[0]
+        assert (got["rows"], got["sn"]) == (expected["rows"], expected["sn"])
+        # the hot key's fact rows really spread over all 8 salt values
+        from dce_spark.ext.skew import _SALT
+
+        spread = (
+            fact.withColumn(
+                _SALT, F.pmod(F.xxhash64(F.col("v")), F.lit(8)).cast("int")
+            )
+            .filter(F.col("k") == 0)
+            .select(_SALT)
+            .distinct()
+            .count()
+        )
+        assert spread == 8
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

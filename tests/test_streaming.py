@@ -653,3 +653,81 @@ def test_windowed_value_quantiles_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM wq_stream").collect()
     }
     assert streamed == batch
+
+
+def test_watermark_drops_match_batch_mirror(spark, tmp_path, sf_dir):
+    """The late_data_windows_events catalog query claims to replay
+    Structured Streaming's watermark policy exactly. Prove it: feed
+    the SAME dirtied arrival stream (every 7th event shifted 96h back,
+    micro-batches of 100 by event_id) through a real readStream with
+    withWatermark('1 hour') + 1h tumbling count, and assert the final
+    per-window counts equal the mirror's n_accepted — i.e. the rows
+    the mirror says streaming would drop are exactly the rows
+    streaming drops."""
+    import os
+
+    from dce_spark.data import load_table
+    from dce_spark.queries import QUERIES
+
+    arr = (
+        load_table(spark, str(sf_dir), "events")
+        .select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.col("ts") - F.expr("INTERVAL 96 HOURS"),
+            )
+            .otherwise(F.col("ts"))
+            .alias("ets"),
+        )
+        .withColumn("batch", F.floor(F.col("event_id") / 100).cast("long"))
+    )
+    srcdir = tmp_path / "late_src"
+    n_batches = arr.agg(F.max("batch")).collect()[0][0] + 1
+    seen = set()
+    for b in range(n_batches):
+        arr.filter(F.col("batch") == b).select("ets").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(srcdir))
+        # pin ascending mtimes so the file source replays arrival order
+        new = {f for f in os.listdir(srcdir) if f.endswith(".parquet")} - seen
+        for f in new:
+            os.utime(srcdir / f, (1_700_000_000 + 100 * b,) * 2)
+        seen |= new
+
+    stream = (
+        spark.readStream.schema("ets timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir))
+    )
+    q = (
+        stream.withWatermark("ets", "1 hour")
+        .groupBy(F.window("ets", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_epoch"), "n")
+        .writeStream.format("memory")
+        .queryName("late_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode re-emits a window each time its count grows; the
+    # final count per window is the max (counts are monotone)
+    streamed = {
+        r["window_epoch"]: r["mx"]
+        for r in spark.sql(
+            "SELECT window_epoch, max(n) AS mx FROM late_stream GROUP BY 1"
+        ).collect()
+    }
+    mirror = {
+        r["window_epoch"]: r["n_accepted"]
+        for r in QUERIES["late_data_windows_events"].fn(spark, str(sf_dir))
+        .filter(F.col("n_accepted") > 0)
+        .collect()
+    }
+    assert streamed == mirror
+    # non-vacuous: the dirtied stream must actually lose rows
+    total_arrived = spark.read.parquet(str(srcdir)).count()
+    assert sum(streamed.values()) < total_arrived
