@@ -154,7 +154,38 @@ BENCH_QUERIES = [
     # round-4 additions
     "bpe_merges_documents",
     "bpe_apply_documents",
+    # round-5 additions
+    "bpe_encode_documents",
+    "semantic_decontamination_embeddings",
+    "pq_adc_topk_embeddings",
+    "pq_reconstruction_error_embeddings",
+    "pq_recall_at_k_embeddings",
+    "bigram_logprob_documents",
+    "interp_logprob_documents",
+    "windowed_quantiles_events",
+    "late_data_windows_events",
+    "heavy_hitters_batch_events",
+    "skew_salted_join_events",
 ]
+
+# PARITY PROBES: queries that deliberately run an oracle-replayable but
+# non-production form — brute-force NLJ shapes whose IVF/LSH twins are
+# the scale path (tests/test_catalog_scalable.NLJ_WHITELIST), the md5
+# dedup fingerprints whose xxhash64 fast twins are benched alongside,
+# and the exact single-partition quantile whose _approx twin is the
+# production sketch. Their timings are reported under probe-family
+# subtotals so a host-contended probe run (the r4 42.8s md5 outlier)
+# can never masquerade as a production regression.
+# tests/test_catalog_scalable.py locks this list's consistency.
+PARITY_PROBES = {
+    "embedding_cosine_topk",        # brute force; twin embedding_ivf_topk
+    "embedding_knn_join",           # brute force; twin embedding_ivf_knn_join
+    "quantiles_lineitem",           # exact sort; twin quantiles_lineitem_approx
+    "dedup_minhash_lsh_documents",  # md5 minhash; twin dedup_minhash_lsh_fast
+    "dedup_jaccard_documents",      # md5 shingles; twin dedup_jaccard_fast
+    "dedup_containment_documents",  # md5 shingles; twin dedup_containment_fast
+    "corpus_survivors_documents",   # md5 fingerprint; twin corpus_survivors_fast
+}
 
 
 def force(df):
@@ -300,6 +331,7 @@ def main() -> None:
         json.dump(
             {"metric": "total_runtime", "value": total, "unit": "sec",
              "queries": timings, "runs": all_runs, "runs_per_query": len(passes),
+             "parity_probes": sorted(PARITY_PROBES),
              "sf": sf_name, "n_queries": len(timings)},
             fh, indent=1,
         )
@@ -308,6 +340,14 @@ def main() -> None:
         if name[0] == "q" and name[1].isdigit():
             return "tpch"
         for prefix, f in (
+            # round-5 names first (legacy prefixes keep their r1-r4
+            # family assignment so round-over-round family totals stay
+            # comparable)
+            ("pq_", "embedding"), ("semantic_", "embedding"),
+            ("late_data_", "streaming"), ("windowed_", "streaming"),
+            ("heavy_hitters", "streaming"),
+            ("bpe_encode", "text"), ("bigram_", "text"),
+            ("interp_", "text"),
             ("window_", "window"), ("tumbling", "window"),
             ("dedup_", "dedup"), ("corpus_", "dedup"),
             ("embedding_", "embedding"), ("kmeans", "embedding"),
@@ -327,17 +367,25 @@ def main() -> None:
                 return f
         return "analytics"
 
+    # family subtotals split prod/probe: a contended run of an
+    # oracle-parity probe must not read as a production regression
     fams: dict[str, float] = {}
+    probe_fams: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, sec in timings.items():
         f = fam(name)
-        fams[f] = round(fams.get(f, 0.0) + sec, 3)
+        tgt = probe_fams if name in PARITY_PROBES else fams
+        tgt[f] = round(tgt.get(f, 0.0) + sec, 3)
         rs = all_runs.get(name, [sec])
         spread[f] = round(spread.get(f, 0.0) + (max(rs) - min(rs)), 3)
+    prod_total = round(sum(fams.values()), 3)
+    probe_total = round(sum(probe_fams.values()), 3)
 
     summary = json.dumps(
         {"metric": "total_runtime", "value": total, "unit": "sec",
-         "queries": fams, "spread": spread, "runs_per_query": len(passes),
+         "prod_total": prod_total, "probe_total": probe_total,
+         "queries": fams, "probe_queries": probe_fams, "spread": spread,
+         "runs_per_query": len(passes),
          "sf": sf_name, "n_queries": len(timings),
          "detail": f"bench_detail_{sf_name}.json"}
     )

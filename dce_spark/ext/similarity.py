@@ -678,6 +678,20 @@ def semantic_decontamination(
     typically tiny, but this shape does NOT depend on that — it never
     broadcasts or cross-joins either side, so it also covers
     corpus-vs-corpus contamination sweeps at any size ratio.
+
+    RECALL CAVEAT: hyperplane LSH is probabilistic — a pair above
+    ``threshold`` that agrees on no full band is silently missed. The
+    per-pair hit probability is 1 - (1 - p^r)^bands with
+    p = 1 - acos(cos_sim)/pi and r = bits/bands; at the defaults
+    (bits=32, bands=4, r=8) a cos 0.95 pair is caught with ~0.93
+    probability, cos 0.99 with ~0.999. For a LEAK-DETECTION surface
+    where completeness matters more than cost, either raise recall
+    (more bands / fewer bits per band, e.g. bits=32 bands=8 -> ~0.997
+    at cos 0.95) or, when the benchmark side is small enough that
+    n_bench * n_corpus comparisons are affordable, brute-force the
+    cross cosine instead (cosine_topk per bench vector) — recall 1.0
+    by construction. Same-direction duplicates (pure rescales) agree
+    on every sign bit, so THEY are always caught at any setting.
     """
     a = corpus.select(
         (F.col(id_col).cast("long") * 2).alias(id_col), F.col(vec_col)

@@ -135,7 +135,7 @@ def windowed_value_quantiles(
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.percentile_approx(
             F.col(value_col), F.lit(float(p)), F.lit(accuracy)
-        ).alias(f"q{int(p * 100)}")
+        ).alias(f"q{int(round(p * 100))}")
         for p in probs
     ]
     src = stream_df

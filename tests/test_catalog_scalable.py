@@ -48,3 +48,34 @@ def test_driver_window_invariants():
     assert len(set(_DRIVER_WINDOW)) == 50
     assert set(_DRIVER_WINDOW) <= set(QUERIES)
     assert list(queries())[:50] == _DRIVER_WINDOW
+
+
+def test_bench_parity_probe_labels_consistent():
+    """bench.py's PARITY_PROBES must stay in sync with reality: every
+    benched NLJ-whitelisted query is labeled a probe, every labeled
+    probe is actually benched and registered, and each md5/exact probe
+    family ships its production twin in the same bench run (the twin
+    is what the prod subtotal tracks)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    benched = set(bench.BENCH_QUERIES)
+    probes = set(bench.PARITY_PROBES)
+    assert benched <= set(QUERIES)
+    assert (NLJ_WHITELIST & benched) <= probes
+    assert probes <= benched
+    # each probe's production twin is benched too (fast variants are
+    # added inside main(); they are named <family>_fast)
+    twins = {
+        "embedding_cosine_topk": "embedding_ivf_topk",
+        "embedding_knn_join": "embedding_ivf_knn_join",
+        "quantiles_lineitem": "quantiles_lineitem_approx",
+    }
+    for probe, twin in twins.items():
+        assert twin in benched, (probe, twin)

@@ -731,3 +731,80 @@ def test_watermark_drops_match_batch_mirror(spark, tmp_path, sf_dir):
     # non-vacuous: the dirtied stream must actually lose rows
     total_arrived = spark.read.parquet(str(srcdir)).count()
     assert sum(streamed.values()) < total_arrived
+
+
+def test_lossy_count_batch_matches_driver_fold(spark):
+    """lossy_count_batch is the distributed replay of lossy_count_fold:
+    per shard, its (count, delta, shard_n) must equal a driver-side
+    fold over the same micro-batch sequence — and be invariant to the
+    input's physical partitioning."""
+    from dce_spark.streaming.heavyhitters import (
+        lossy_count_batch,
+        lossy_count_fold,
+    )
+
+    rows = [
+        Row(k=str(17 if i % 3 == 0 else i % 40), ordc=i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"]): (r["count"], r["delta"], r["shard_n"])
+        for r in lossy_count_batch(
+            df, "k", "ordc", epsilon=0.02, n_shards=4, batch_rows=500
+        ).collect()
+    }
+
+    # driver-side replay: same sharding, same batch boundaries,
+    # same fold
+    import pandas as pd
+
+    pdf = df.toPandas()
+    shard_of = {
+        r["k"]: r["s"]
+        for r in df.select(
+            "k", F.pmod(F.xxhash64(F.col("k").cast("string")), F.lit(4)).alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    expected = {}
+    for s in range(4):
+        sub = pdf[pdf["k"].map(shard_of) == s].sort_values("ordc")
+        entries, n = {}, 0
+        for _, grp in sub.groupby(sub["ordc"] // 500, sort=True):
+            counts = {
+                str(k): int(c) for k, c in grp["k"].value_counts().items()
+            }
+            entries, n = lossy_count_fold(counts, entries, n, 0.02)
+        for k, (c, d) in entries.items():
+            expected[k] = (c, d, n)
+    assert got == expected
+
+    # partitioning invariance: the shuffle onto shards makes the fold
+    # independent of how the input happened to be split
+    got2 = {
+        (r["k"]): (r["count"], r["delta"], r["shard_n"])
+        for r in lossy_count_batch(
+            df.repartition(13), "k", "ordc", epsilon=0.02, n_shards=4,
+            batch_rows=500,
+        ).collect()
+    }
+    assert got2 == got
+    # the hot key (17: every 3rd row) must be tracked with valid bounds
+    exact_hot = sum(1 for r in rows if r.k == "17")
+    c, d, _ = got["17"]
+    assert c <= exact_hot <= c + d
+
+
+def test_windowed_quantile_column_names_round_not_truncate(spark):
+    """probs=(0.29,) must name the column q29 — int(p*100) truncated
+    to q28 under float representation."""
+    from datetime import datetime
+
+    from dce_spark.streaming import windowed_value_quantiles
+
+    df = spark.createDataFrame(
+        [Row(ts=datetime(2024, 1, 1, 0, 0, i), value=float(i)) for i in range(10)]
+    )
+    out = windowed_value_quantiles(df, "value", probs=(0.29, 0.5))
+    assert "q29" in out.columns and "q50" in out.columns
