@@ -441,34 +441,25 @@ FROM assigned GROUP BY sub, code"""
     "32-cell groupBy.",
 )
 def pq_reconstruction_error_embeddings(spark, sf_dir):
-    from .ext.similarity import (
-        _as_literal_array,
-        _pq_subvecs,
-        _sq_dist_col,
-        pq_train,
-    )
+    from .ext.similarity import _pq_subvecs, _sq_dist_round9_sql, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
     sv = _pq_subvecs(emb, "embedding", "vec_id", m=8, sub_dim=8)
 
-    code_expr, d2_expr = None, None
+    # one parsed SQL expression per output column: nested HOF Column
+    # construction costs ~100ms of py4j round-trips per distance fold
+    # (see ext/similarity._sq_dist_round9_sql)
+    code_parts, d2_parts = [], []
     for s, cb in enumerate(cbs):
-        d2s = F.array(
-            *[
-                F.round(_sq_dist_col(F.col("svec"), _as_literal_array(c)), 9)
-                for c in cb
-            ]
+        arr = "array(" + ", ".join(_sq_dist_round9_sql("svec", c) for c in cb) + ")"
+        code_parts.append(
+            f"WHEN sub = {s} THEN "
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
         )
-        best = F.array_min(d2s)
-        code = (F.array_position(d2s, best) - F.lit(1)).cast("int")
-        cond = F.col("sub") == s
-        code_expr = (
-            F.when(cond, code) if code_expr is None else code_expr.when(cond, code)
-        )
-        d2_expr = (
-            F.when(cond, best) if d2_expr is None else d2_expr.when(cond, best)
-        )
+        d2_parts.append(f"WHEN sub = {s} THEN array_min({arr})")
+    code_expr = F.expr("CASE " + " ".join(code_parts) + " END")
+    d2_expr = F.expr("CASE " + " ".join(d2_parts) + " END")
 
     return (
         sv.select(
