@@ -1,0 +1,558 @@
+"""ROUND-6 STAGED catalog queries — built and oracle-verified in round
+5, NOT registered (the round-5 catalog froze at 164 when the driver
+window rotated; registering now would create an unchecked tail — the
+r1-r3 lesson, same protocol as queries_staging_r5.py last round).
+Round 6 promotes them by registering from queries_more.py and fronting
+them in ``_DRIVER_WINDOW``.
+
+The five entries extend round-5 library surfaces one step further:
+
+- ``ivf_recall_vs_nprobe_embeddings`` — the IVF tuning curve:
+  recall@10 vs nprobe (1..3), the companion to round-5's PQ recall.
+- ``trigram_backoff_logprob_documents`` — stupid-backoff trigram LM
+  scored on a HELD-OUT split (train on even doc_ids, score odd), so
+  the backoff chain actually fires on unseen n-grams.
+- ``vocab_coverage_documents`` — top-p vocabulary coverage (how many
+  types cover 90/95/99% of token mass), the vocabulary-truncation
+  statistic for tokenizer sizing.
+- ``pack_efficiency_documents`` — fill/overflow report per bucket for
+  the sequence-packing layout (pack_assign_documents' QC face).
+- ``dedup_cluster_size_hist_documents`` — cluster-size histogram over
+  the LSH connected components (dedup_clusters_documents' QC face).
+
+tests/test_staging_r6.py runs these through the SAME compare harness
+as the live catalog (exact column order, canonical dtypes, sorted
+values) at the suite's SF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Window, functions as F
+
+from .data import load_table
+
+STAGED_R6: dict[str, "StagedSpec"] = {}
+
+
+@dataclass
+class StagedSpec:
+    fn: Callable
+    oracle: str
+    doc: str
+
+
+def stage(name: str, oracle: str, doc: str = ""):
+    def deco(fn):
+        STAGED_R6[name] = StagedSpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------
+# 1. IVF recall@10 vs nprobe (the tuning curve)
+# ---------------------------------------------------------------------
+
+# list-ordered cosine (the embedding_cosine_topk convention): in-order
+# list_sum mirrors Spark's aggregate fold; round(6) + id tie-breaks
+# make the top-10 sets engine-portable.
+_R6_COS = (
+    "round(list_sum(list_transform(range(1, 65),"
+    " i -> CAST(e.embedding[i] AS DOUBLE) * qv.v[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> qv.v[i] * qv.v[i])))), 6)"
+)
+
+_IVF_RECALL_ORACLE = f"""
+WITH cent AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(t.pos AS BIGINT) AS pos,
+         CAST(sum(CAST(round(CAST(embedding[t.pos + 1] AS DOUBLE) * 1e9)
+                       AS BIGINT)) AS DOUBLE) / 1e9
+           / CAST(count(*) AS DOUBLE) AS c
+  FROM embeddings, range(0, 64) t(pos)
+  GROUP BY label, t.pos
+), qv AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 3
+), cs AS (
+  SELECT qv.qid, cent.label,
+         round(sum(cent.c * qv.v[cent.pos + 1])
+               / (sqrt(sum(cent.c * cent.c))
+                  * sqrt(sum(qv.v[cent.pos + 1] * qv.v[cent.pos + 1]))),
+               6) AS cell_cos
+  FROM cent, qv GROUP BY qv.qid, cent.label
+), ranked AS (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cell_cos DESC, label) AS rk
+  FROM cs
+), np AS (
+  SELECT unnest([1, 2, 3]) AS nprobe
+), cosims AS (
+  SELECT qv.qid, e.vec_id, e.label, {_R6_COS} AS cos_sim
+  FROM embeddings e, qv WHERE e.vec_id <> qv.qid
+), exk AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM cosims)
+  WHERE rn <= 10
+), ivfk AS (
+  SELECT nprobe, qid, vec_id FROM (
+    SELECT np.nprobe, c.qid, c.vec_id,
+           row_number() OVER (PARTITION BY np.nprobe, c.qid
+                              ORDER BY c.cos_sim DESC, c.vec_id) AS rn
+    FROM cosims c
+    JOIN ranked r ON r.qid = c.qid AND r.label = c.label
+    CROSS JOIN np
+    WHERE r.rk <= np.nprobe)
+  WHERE rn <= 10
+), hits AS (
+  SELECT i.nprobe, i.qid, CAST(count(*) AS BIGINT) AS hit
+  FROM ivfk i JOIN exk x ON x.qid = i.qid AND x.vec_id = i.vec_id
+  GROUP BY i.nprobe, i.qid
+)
+SELECT CAST(np.nprobe AS INTEGER) AS nprobe,
+       round(CAST(sum(coalesce(h.hit, 0)) AS DOUBLE) / 30, 6) AS mean_recall
+FROM np CROSS JOIN qv
+LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.qid = qv.qid
+GROUP BY np.nprobe"""
+
+
+@stage(
+    "ivf_recall_vs_nprobe_embeddings",
+    _IVF_RECALL_ORACLE,
+    "similarity QC: the IVF TUNING CURVE — recall@10 against exact "
+    "search for nprobe = 1, 2, 3 (mean over 3 query vectors), the "
+    "companion to pq_recall_at_k_embeddings on the coarse-quantizer "
+    "axis: nprobe is the knob that trades files touched (~nprobe / "
+    "n_cells of a cell-partitioned corpus) for recall, and this is "
+    "the number you read while turning it. Cells = per-label "
+    "quantized-mean centroids (the embedding_centroids_by_label "
+    "machinery); cell ranking, candidate top-10 and exact top-10 all "
+    "use round-6 cosine with id tie-breaks, so both engines derive "
+    "identical sets. Scale shape: centroids are metadata-sized and "
+    "driver-held, each probe is a cell-filtered TakeOrdered scan, and "
+    "the exact pass exists only because a recall harness needs ground "
+    "truth — sampled queries, never the full log.",
+)
+def ivf_recall_vs_nprobe_embeddings(spark, sf_dir):
+    import math
+
+    from .ext.similarity import cosine_topk
+    from .queries import _ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+
+    def cos_py(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ivf_parts, ex_parts = [], []
+    for r in qrows:
+        qid = int(r["vec_id"])
+        q = [float(x) for x in r["embedding"]]
+        ranked = sorted(cents, key=lambda lbl: (-round(cos_py(cents[lbl], q), 6), lbl))
+        rest = emb.filter(F.col("vec_id") != qid)
+        ex_parts.append(
+            cosine_topk(rest, q, k=10).select(
+                F.lit(qid).cast("long").alias("qid"), "vec_id"
+            )
+        )
+        for nprobe in (1, 2, 3):
+            cells = [int(c) for c in ranked[:nprobe]]
+            ivf_parts.append(
+                cosine_topk(rest.filter(F.col("label").isin(cells)), q, k=10).select(
+                    F.lit(nprobe).cast("int").alias("nprobe"),
+                    F.lit(qid).cast("long").alias("qid"),
+                    "vec_id",
+                )
+            )
+    from functools import reduce
+
+    ivf_all = reduce(lambda a, b: a.unionByName(b), ivf_parts)
+    ex_all = reduce(lambda a, b: a.unionByName(b), ex_parts)
+    return (
+        ivf_all.join(ex_all.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.lit(30),
+                6,
+            ).alias("mean_recall")
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 2. Stupid-backoff trigram LM on a held-out split
+# ---------------------------------------------------------------------
+
+_TRI_ORACLE = """WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), train AS (
+  SELECT t FROM toks WHERE doc_id % 2 = 0
+), c1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c1
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+               unnest(list_slice(t, 2, len(t))) AS w2
+        FROM train WHERE len(t) >= 2)
+  GROUP BY w1, w2
+), c3 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_slice(t, 1, len(t) - 2)) AS w1,
+               unnest(list_slice(t, 2, len(t) - 1)) AS w2,
+               unnest(list_slice(t, 3, len(t))) AS w3
+        FROM train WHERE len(t) >= 3)
+  GROUP BY w1, w2, w3
+), tg AS (
+  SELECT doc_id,
+         unnest(list_slice(t, 1, len(t) - 2)) AS w1,
+         unnest(list_slice(t, 2, len(t) - 1)) AS w2,
+         unnest(list_slice(t, 3, len(t))) AS w3
+  FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 3
+), scored AS (
+  SELECT tg.doc_id,
+         CASE
+           WHEN c3.cnt IS NOT NULL
+             THEN CAST(c3.cnt AS DOUBLE) / c12.cnt
+           WHEN c23.cnt IS NOT NULL
+             THEN 0.4 * (CAST(c23.cnt AS DOUBLE) / u2.cnt)
+           WHEN u3.cnt IS NOT NULL
+             THEN 0.16 * (CAST(u3.cnt AS DOUBLE) / tot.t)
+           ELSE 0.16 * (0.5 / tot.t)
+         END AS s
+  FROM tg
+  LEFT JOIN c3 ON c3.w1 = tg.w1 AND c3.w2 = tg.w2 AND c3.w3 = tg.w3
+  LEFT JOIN c2 c12 ON c12.w1 = tg.w1 AND c12.w2 = tg.w2
+  LEFT JOIN c2 c23 ON c23.w1 = tg.w2 AND c23.w2 = tg.w3
+  LEFT JOIN c1 u2 ON u2.w = tg.w2
+  LEFT JOIN c1 u3 ON u3.w = tg.w3
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(sum(ln(s)) / count(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id"""
+
+
+@stage(
+    "trigram_backoff_logprob_documents",
+    _TRI_ORACLE,
+    "training-data op: STUPID-BACKOFF trigram LM score on a HELD-OUT "
+    "split — counts from even doc_ids, scores for odd doc_ids, so the "
+    "backoff chain (trigram MLE -> 0.4 x bigram -> 0.16 x unigram -> "
+    "0.16 x 0.5/T floor) actually fires on unseen n-grams instead of "
+    "degenerating to the trigram branch (scoring the corpus it was "
+    "counted on always hits c3 > 0 — the round-5 interp_logprob "
+    "lesson taken one step further). This split-eval shape is the "
+    "honest perplexity filter for pretraining data. Aggregation "
+    "shapes: three count tables from the train split, five equi-joins "
+    "back onto the scored trigram stream, 1-row token-total "
+    "broadcast; ln/mean float-accumulated -> round(6). At 100 TB the "
+    "count tables get min-count cuts and the surviving vocab "
+    "broadcasts.",
+)
+def trigram_backoff_logprob_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.lower(F.col("text"))).alias("t")
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+
+    def ngrams(df, n, with_doc=False):
+        cols = [
+            F.expr(f"slice(t, {i + 1}, size(t) - {n - 1})").alias(f"w{i + 1}")
+            for i in range(n)
+        ]
+        z = F.explode(F.arrays_zip(*cols)).alias("g")
+        sel = (["doc_id"] if with_doc else []) + [
+            F.col(f"g.w{i + 1}").alias(f"w{i + 1}") for i in range(n)
+        ]
+        return df.filter(F.size("t") >= n).select(*([z] if not with_doc else ["doc_id", z])).select(*sel)
+
+    c1 = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c1.agg(F.sum("cnt").alias("t"))
+    c2 = ngrams(train, 2).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    c3 = (
+        ngrams(train, 3)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tg = ngrams(docs.filter(F.col("doc_id") % 2 == 1), 3, with_doc=True)
+
+    j = (
+        tg.join(
+            c3.select("w1", "w2", "w3", F.col("cnt").alias("c3")),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1"), F.col("w2"), F.col("cnt").alias("c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("cnt").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("cnt").alias("u2")), "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("cnt").alias("u3")), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3").cast("double") / F.col("c12"))
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(0.4) * (F.col("c23").cast("double") / F.col("u2")),
+        )
+        .when(
+            F.col("u3").isNotNull(),
+            F.lit(0.16) * (F.col("u3").cast("double") / F.col("t")),
+        )
+        .otherwise(F.lit(0.16) * (F.lit(0.5) / F.col("t")))
+    )
+    return (
+        j.select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.sum(F.log("s")) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 3. Top-p vocabulary coverage
+# ---------------------------------------------------------------------
+
+_VOCAB_COV_ORACLE = """WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text),
+           '[[:space:]]+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM vocab
+), cum AS (
+  SELECT sum(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS UNBOUNDED PRECEDING) AS cm,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rk
+  FROM vocab
+)
+SELECT CAST(coverage_p AS DOUBLE) AS coverage_p,
+       CAST(min(CASE WHEN CAST(cm AS DOUBLE) >= CAST(coverage_p AS DOUBLE) * tot.t
+                     THEN rk END) AS BIGINT) AS n_types_needed,
+       CAST(min(tot.n_types) AS BIGINT) AS total_types
+FROM cum CROSS JOIN tot
+CROSS JOIN (SELECT unnest([0.90, 0.95, 0.99]) AS coverage_p)
+GROUP BY coverage_p"""
+
+
+@stage(
+    "vocab_coverage_documents",
+    _VOCAB_COV_ORACLE,
+    "tokenizer sizing: TOP-P VOCABULARY COVERAGE — the smallest number "
+    "of word types whose occurrence mass reaches 90/95/99% of all "
+    "tokens. This is the statistic behind vocabulary truncation "
+    "decisions (how big a tokenizer vocab must be before <unk>/byte "
+    "fallback is rare) and the min-count cuts every LM count table in "
+    "this catalog references. Determinism: cumulative mass ranked by "
+    "(cnt DESC, word) — exact BIGINT cumsum, unique tie-break; the "
+    "three thresholds are conditional MINs over one ranked pass. "
+    "Scale shape: one vocab groupBy, then a rank over the VOCABULARY "
+    "(not the corpus) — ~1e7-1e8 rows at 100 TB; Spark executes the "
+    "unpartitioned window single-partition, fine at vocab scale, and "
+    "a range-partitioned two-pass cumsum is the swap-in if a byte-"
+    "level vocab ever explodes it.",
+)
+def vocab_coverage_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.lower(F.col("text")))).alias("w"))
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    w = Window.orderBy(F.desc("cnt"), "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rw = Window.orderBy(F.desc("cnt"), "w")
+    cum = vocab.select(
+        F.sum("cnt").over(w).alias("cm"),
+        F.row_number().over(rw).alias("rk"),
+    )
+    base = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for p in (0.90, 0.95, 0.99):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cm").cast("double") >= F.lit(p) * F.col("t"),
+                    F.col("rk"),
+                )
+            ).alias(f"n_{int(round(p * 100))}")
+        )
+    one = base.groupBy().agg(*aggs, F.min("n_types").alias("total_types"))
+    rows = []
+    for p in (0.90, 0.95, 0.99):
+        rows.append(
+            one.select(
+                F.lit(p).alias("coverage_p"),
+                F.col(f"n_{int(round(p * 100))}").cast("long").alias(
+                    "n_types_needed"
+                ),
+                F.col("total_types").cast("long").alias("total_types"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+# ---------------------------------------------------------------------
+# 4. Sequence-packing efficiency report
+# ---------------------------------------------------------------------
+
+
+def _pack_eff_oracle() -> str:
+    from .queries import QUERIES
+
+    base = QUERIES["pack_assign_documents"].oracle
+    return f"""WITH packs AS ({base}),
+pk AS (
+  SELECT bucket, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+  FROM packs GROUP BY bucket, pack_id
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(pack_tokens) AS BIGINT) AS min_pack_tokens,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+FROM pk GROUP BY bucket"""
+
+
+@stage(
+    "pack_efficiency_documents",
+    "",  # resolved lazily via staged_oracle (needs QUERIES registry)
+    "LLM-pipeline QC: SEQUENCE-PACKING EFFICIENCY — per hash bucket, "
+    "how full the 2048-token training packs from "
+    "pack_assign_documents actually are (pack count, token totals, "
+    "min/max pack fill). min < 2048 happens only for each bucket's "
+    "tail pack; max > 2048 bounds the documented <one-document "
+    "overflow. This is the report that decides whether the pack "
+    "budget or the bucket count needs retuning before a training run "
+    "wastes accelerator hours on padding. Same window-cumsum shape as "
+    "the assignment itself (per-bucket parallelism), then two "
+    "bucket-local groupBys — no new shuffle risk at 100 TB.",
+)
+def pack_efficiency_documents(spark, sf_dir):
+    from .queries import QUERIES
+
+    packs = QUERIES["pack_assign_documents"].fn(spark, sf_dir)
+    pk = packs.groupBy("bucket", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    return pk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.min("pack_tokens").alias("min_pack_tokens"),
+        F.max("pack_tokens").alias("max_pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 5. Dedup cluster-size histogram
+# ---------------------------------------------------------------------
+
+
+def _cluster_hist_oracle() -> str:
+    from .queries import QUERIES
+
+    base = QUERIES["dedup_clusters_documents"].oracle
+    # the base oracle is WITH RECURSIVE ... <final SELECT>; fold its
+    # final SELECT into one more CTE and aggregate on top
+    head, tail = base.rsplit("SELECT CAST(a AS BIGINT)", 1)
+    return (
+        head
+        + ", clusters AS (SELECT CAST(a AS BIGINT)"
+        + tail
+        + """)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+GROUP BY sz"""
+    )
+
+
+@stage(
+    "dedup_cluster_size_hist_documents",
+    "",  # resolved lazily via staged_oracle (needs QUERIES registry)
+    "dedup QC: CLUSTER-SIZE HISTOGRAM over the MinHash-LSH connected "
+    "components — how many duplicate clusters of each size the corpus "
+    "holds. The distribution is the dedup health check a curation run "
+    "reads before choosing keep-one-per-cluster policy: a fat tail of "
+    "large clusters means boilerplate/templates (candidates for "
+    "removal wholesale), many 2-clusters means true near-dups. "
+    "Composition: the exact clustering operator "
+    "(dedup_clusters_documents — pointer-jumping at scale, recursive "
+    "CTE in the oracle) plus two metadata-sized groupBys on its "
+    "(doc_id, cluster_id) output; no new scale surface.",
+)
+def dedup_cluster_size_hist_documents(spark, sf_dir):
+    from .queries import QUERIES
+
+    clusters = QUERIES["dedup_clusters_documents"].fn(spark, sf_dir)
+    sz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sz.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def staged_oracle(name: str) -> str:
+    """Oracle SQL for a staged query (lazy for the two that compose an
+    existing registered oracle)."""
+    if name == "pack_efficiency_documents":
+        return _pack_eff_oracle()
+    if name == "dedup_cluster_size_hist_documents":
+        return _cluster_hist_oracle()
+    return STAGED_R6[name].oracle
