@@ -579,6 +579,25 @@ def pq_topk(
     codebook entry (driver-side, m * k_sub floats), then each corpus
     row's approximate distance is m array lookups — a zero-shuffle
     linear scan + TakeOrdered. Returns (id, adc_d2) ascending."""
+    adc = _adc_col(codebooks, query_vec)
+    return (
+        codes_df.select(F.col(id_col), adc.alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _adc_col(
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    codes_col: str = "codes",
+) -> Column:
+    """round-9 ADC distance of one query against a ``codes`` array
+    column: the per-subspace lookup tables are built driver-side in
+    Python (m * k_sub floats), the row cost is m array lookups summed
+    by the same left fold every distance in this module uses. Shared
+    by :func:`pq_topk` and the recall harness (which evaluates several
+    queries in ONE scan by stacking these columns)."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     if len(query_vec) != m * sub_dim:
@@ -594,7 +613,7 @@ def pq_topk(
     lut_lit = F.array(*[_as_literal_array(row) for row in luts])
     adc = F.aggregate(
         F.zip_with(
-            F.col("codes"),
+            F.col(codes_col),
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda c, s: F.element_at(
                 F.element_at(lut_lit, s.cast("int") + 1), c.cast("int") + 1
@@ -603,11 +622,7 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        codes_df.select(F.col(id_col), F.round(adc, 9).alias("adc_d2"))
-        .orderBy(F.asc("adc_d2"), F.col(id_col))
-        .limit(k)
-    )
+    return F.round(adc, 9)
 
 
 def save_ivfpq_index(

@@ -13,8 +13,6 @@ counts.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Window, functions as F
 
 from .data import load_table
@@ -129,10 +127,10 @@ GROUP BY exk.qid"""
 )
 def pq_recall_at_k_embeddings(spark, sf_dir):
     from .ext.similarity import (
+        _adc_col,
         _as_literal_array,
         _sq_dist_col,
         pq_encode,
-        pq_topk,
         pq_train,
     )
 
@@ -146,25 +144,46 @@ def pq_recall_at_k_embeddings(spark, sf_dir):
     qrows = sorted(
         embd.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
     )
-    adc_parts, ex_parts = [], []
+    # ONE scan per side: each query contributes a (query_id, distance)
+    # struct, exploded and ranked per query — same (d, vec_id) order as
+    # pq_topk's TakeOrdered, so the top-10 sets are identical, but 3
+    # ADC scans + 3 exact scans collapse into 2 jobs. The per-query
+    # window partitions on query_id: fine for a SAMPLED query set (the
+    # only shape a recall harness runs at scale).
+    adc_structs, ex_structs = [], []
     for r in qrows:
         qid = int(r["vec_id"])
         q = [float(x) for x in r["emb"]]
-        adc_parts.append(
-            pq_topk(codes.filter(F.col("vec_id") != qid), cbs, q, k=10).select(
-                F.lit(qid).cast("long").alias("query_id"), "vec_id"
+        adc_structs.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                _adc_col(cbs, q).alias("d"),
             )
         )
-        d2 = F.round(_sq_dist_col(F.col("emb"), _as_literal_array(q)), 9)
-        ex_parts.append(
-            embd.filter(F.col("vec_id") != qid)
-            .select("vec_id", d2.alias("d2"))
-            .orderBy("d2", "vec_id")
-            .limit(10)
-            .select(F.lit(qid).cast("long").alias("query_id"), "vec_id")
+        ex_structs.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.round(
+                    _sq_dist_col(F.col("emb"), _as_literal_array(q)), 9
+                ).alias("d"),
+            )
         )
-    adc_all = reduce(lambda a, b: a.unionByName(b), adc_parts)
-    ex_all = reduce(lambda a, b: a.unionByName(b), ex_parts)
+
+    def topk_per_query(df, structs):
+        e = (
+            df.select("vec_id", F.explode(F.array(*structs)).alias("s"))
+            .select("vec_id", F.col("s.query_id").alias("query_id"), F.col("s.d").alias("d"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "vec_id")
+        )
+
+    adc_all = topk_per_query(codes, adc_structs)
+    ex_all = topk_per_query(embd, ex_structs)
     return (
         ex_all.join(
             adc_all.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
