@@ -345,3 +345,60 @@ def test_salted_join_carries_salt_key_and_matches_unsalted(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_salted_join_equivalence_randomized(spark):
+    """salted_equi_join == plain join on randomized data for inner AND
+    left joins, including null join keys (null fact keys match nothing
+    in both forms; left preserves them) and dim keys absent from the
+    fact and vice versa."""
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from dce_spark.ext.skew import salted_equi_join
+
+    rnd = random.Random(11)
+    fact_rows = [
+        Row(
+            k=(None if rnd.random() < 0.05 else rnd.randrange(30)),
+            v=i,
+        )
+        for i in range(2000)
+    ]
+    dim_rows = [Row(k=k, n=k * 7) for k in range(0, 40, 2)]  # gaps + extras
+    fact = spark.createDataFrame(fact_rows)
+    dim = spark.createDataFrame(dim_rows)
+
+    for how in ("inner", "left"):
+        got = (
+            salted_equi_join(
+                fact, dim, on="k", n_salts=5,
+                salt_by=F.xxhash64(F.col("v")), how=how,
+            )
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n").alias("sn"),
+                F.sum("v").alias("sv"),
+            )
+            .collect()[0]
+        )
+        want = (
+            fact.join(dim, "k", how)
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n").alias("sn"),
+                F.sum("v").alias("sv"),
+            )
+            .collect()[0]
+        )
+        assert tuple(got) == tuple(want), how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_equi_join(fact, dim, on="k", n_salts=0)
+    with _pytest.raises(ValueError):
+        salted_equi_join(fact, dim, on="k", how="full")

@@ -808,3 +808,45 @@ def test_windowed_quantile_column_names_round_not_truncate(spark):
     )
     out = windowed_value_quantiles(df, "value", probs=(0.29, 0.5))
     assert "q29" in out.columns and "q50" in out.columns
+
+
+def test_lossy_count_fold_property():
+    """Hypothesis sweep of the pure fold: for random skewed streams,
+    random batch segmentations and random epsilon, the three
+    Manku-Motwani invariants hold and the fold is segmentation-
+    invariant in its guarantees (n and per-key bounds never depend on
+    how the stream was chopped)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dce_spark.streaming import lossy_count_fold
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=1, max_value=97),
+        st.sampled_from([0.01, 0.05, 0.1, 0.3]),
+    )
+    def run(keys, batch_size, eps):
+        stream = [f"k{v}" for v in keys]
+        entries, n = {}, 0
+        for lo in range(0, len(stream), batch_size):
+            batch = {}
+            for k in stream[lo : lo + batch_size]:
+                batch[k] = batch.get(k, 0) + 1
+            entries, n = lossy_count_fold(batch, entries, n, eps)
+        assert n == len(stream)
+        true = {}
+        for k in stream:
+            true[k] = true.get(k, 0) + 1
+        for k, tc in true.items():
+            if tc > eps * n:  # must survive
+                assert k in entries, (k, tc, eps, n)
+            if k in entries:
+                c, d = entries[k]
+                assert c <= tc <= c + d, (k, tc, c, d)
+                assert tc - c <= eps * n
+        for _, d in entries.values():
+            assert d <= eps * n
+
+    run()
