@@ -5,7 +5,7 @@ r1-r3 lesson, same protocol as queries_staging_r5.py last round).
 Round 6 promotes them by registering from queries_more.py and fronting
 them in ``_DRIVER_WINDOW``.
 
-The five entries extend round-5 library surfaces one step further:
+The entries extend round-5 library surfaces one step further:
 
 - ``ivf_recall_vs_nprobe_embeddings`` — the IVF tuning curve:
   recall@10 vs nprobe (1..3), the companion to round-5's PQ recall.
@@ -19,6 +19,14 @@ The five entries extend round-5 library surfaces one step further:
   the sequence-packing layout (pack_assign_documents' QC face).
 - ``dedup_cluster_size_hist_documents`` — cluster-size histogram over
   the LSH connected components (dedup_clusters_documents' QC face).
+- ``covariance_topvec_embeddings`` — top principal direction by two
+  deterministic power-iteration steps (the kmeans determinism
+  contract applied to PCA; building block for OPQ/whitening).
+- ``source_js_divergence_documents`` — per-source Jensen-Shannon
+  divergence from the corpus unigram distribution (data-mixing
+  outlier signal; closed-form handling of absent words).
+- ``sliding_window_counts_events`` — native F.window(length, slide)
+  sliding windows cross-checked against an arithmetic oracle.
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -545,6 +553,295 @@ def dedup_cluster_size_hist_documents(spark, sf_dir):
     sz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return sz.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+# ---------------------------------------------------------------------
+# 6. Top principal direction via deterministic power iteration
+# ---------------------------------------------------------------------
+
+_POW_MU = """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+), pe AS (
+  SELECT vec_id, t.pos, x[t.pos + 1] AS v FROM e, range(0, 64) t(pos)
+), mu AS (
+  SELECT pos,
+         CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+           / count(*) AS m,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pe GROUP BY pos
+), mul AS (
+  SELECT list(m ORDER BY pos) AS ml, min(n) AS n FROM mu
+)"""
+
+
+def _pow_iter_sql(v_expr: str, s_name: str, w_name: str) -> str:
+    """One power-iteration step: s_i = (x_i - mu) . v, then
+    w_j = quantized-exact mean of (x_ij - mu_j) * s_i."""
+    return f""", {s_name} AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, 65),
+           j -> (e.x[j] - mul.ml[j]) * {v_expr})) AS s
+  FROM e, mul
+), {w_name} AS (
+  SELECT pe.pos,
+         CAST(sum(CAST(round((pe.v - mul.ml[pe.pos + 1]) * {s_name}.s * 1e6)
+                       AS BIGINT)) AS DOUBLE) / 1e6 / mul.n AS w
+  FROM pe JOIN {s_name} USING (vec_id) CROSS JOIN mul
+  GROUP BY pe.pos, mul.n
+)"""
+
+
+_POW_ORACLE = (
+    "WITH "
+    + _POW_MU
+    + _pow_iter_sql("0.125", "s1", "w1")
+    + ", w1l AS (SELECT list(w ORDER BY pos) AS wl FROM w1)"
+    + _pow_iter_sql("w1l.wl[j]", "s2", "w2").replace(
+        "FROM e, mul\n)", "FROM e, mul, w1l\n)", 1
+    )
+    + """, nrm AS (
+  SELECT sqrt(list_sum(list_transform(wl2, y -> y * y))) AS nm
+  FROM (SELECT list(w ORDER BY pos) AS wl2 FROM w2)
+)
+SELECT CAST(pos AS INTEGER) AS pos, round(w / nrm.nm, 6) AS component
+FROM w2, nrm"""
+)
+
+
+@stage(
+    "covariance_topvec_embeddings",
+    _POW_ORACLE,
+    "iterative ML: TOP PRINCIPAL DIRECTION of the 64-dim embedding "
+    "covariance by two deterministic POWER-ITERATION steps (v0 = "
+    "uniform 1/8 vector, no intermediate normalization — 2 steps need "
+    "none; final vector unit-normalized, round-6). C.v is computed "
+    "WITHOUT materializing C: s_i = (x_i - mu).v per row (in-order "
+    "list fold), then w_j = quantized-exact mean of (x_ij - mu_j) * "
+    "s_i — the kmeans_embeddings_2iter determinism contract applied "
+    "to PCA, so the oracle replays both iterations bit-identically "
+    "(quantized sums make the intermediate vector exact; the final "
+    "norm folds the 64 components in pos order on both engines). "
+    "This is the building block for OPQ-style rotations and "
+    "whitening. Scale shape: per iteration one narrow map pass + one "
+    "64-group aggregate; driver state is the 64-float vector.",
+)
+def covariance_topvec_embeddings(spark, sf_dir):
+    import math
+
+    from .ext.similarity import _as_literal_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    pe = emb.select("vec_id", F.posexplode("x").alias("pos", "v"))
+    mu_rows = (
+        pe.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mu = [0.0] * 64
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    n = int(mu_rows[0]["n"])
+    mu_lit = _as_literal_array(mu)
+
+    def step(v: list[float]) -> list[float]:
+        v_lit = _as_literal_array(v)
+        xd = F.zip_with(F.col("x"), mu_lit, lambda a, b: a - b)
+        staged = emb.select("vec_id", xd.alias("xd"))
+        s = F.aggregate(
+            F.zip_with(F.col("xd"), v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        w_rows = (
+            staged.select(s.alias("s"), F.posexplode("xd").alias("pos", "d"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("d") * F.col("s") * F.lit(1e6)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / F.lit(1e6)
+                    / F.lit(n)
+                ).alias("w")
+            )
+            .collect()
+        )
+        w = [0.0] * 64
+        for r in w_rows:
+            w[r["pos"]] = float(r["w"])
+        return w
+
+    w1 = step([0.125] * 64)
+    w2 = step(w1)
+    # in-pos-order left fold == the oracle's ordered list_sum
+    nm = 0.0
+    for y in w2:
+        nm = nm + y * y
+    nm = math.sqrt(nm)
+    return spark.createDataFrame(
+        [(i, round(w2[i] / nm, 6)) for i in range(64)],
+        schema="pos int, component double",
+    )
+
+
+# ---------------------------------------------------------------------
+# 7. Per-source Jensen-Shannon divergence from the corpus distribution
+# ---------------------------------------------------------------------
+
+# JS(p_src, q_corpus) = 0.5 KL(p||m) + 0.5 KL(q||m), m = (p+q)/2.
+# Words ABSENT from a source (p=0) contribute 0.5 * q_w * ln 2 on the
+# q side and 0 on the p side, so the full source x vocab grid is never
+# needed: sum the two KL terms over the source's own words, then add
+# 0.5 * ln 2 * (1 - Q_src) where Q_src is the corpus-probability mass
+# of the source's words.
+_JS_TERM = (
+    "0.5 * p * ln(p / (0.5 * (p + q))) + 0.5 * q * ln(q / (0.5 * (p + q)))"
+)
+
+_JS_ORACLE = f"""WITH words AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text),
+           '[[:space:]]+'), x -> x <> '')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM words
+  GROUP BY source, w
+), stot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS st FROM sw GROUP BY source
+), cw AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS cc FROM sw GROUP BY w
+), ctot AS (
+  SELECT CAST(sum(cc) AS BIGINT) AS ct FROM cw
+), terms AS (
+  SELECT sw.source,
+         CAST(sw.c AS DOUBLE) / stot.st AS p,
+         CAST(cw.cc AS DOUBLE) / ctot.ct AS q
+  FROM sw
+  JOIN stot ON stot.source = sw.source
+  JOIN cw ON cw.w = sw.w
+  CROSS JOIN ctot
+)
+SELECT t.source,
+       stot.st AS n_tokens,
+       round(sum({_JS_TERM}) + 0.5 * ln(2.0) * (1.0 - sum(q)), 6)
+         AS js_divergence
+FROM terms t JOIN stot ON stot.source = t.source
+GROUP BY t.source, stot.st"""
+
+
+@stage(
+    "source_js_divergence_documents",
+    _JS_ORACLE,
+    "curation signal: per-source JENSEN-SHANNON DIVERGENCE between "
+    "each source's unigram distribution and the whole corpus's — the "
+    "'which source is an outlier' number a data-mixing run reads "
+    "before reweighting (symmetric, bounded by ln 2, robust to "
+    "disjoint supports — unlike KL). Words a source never uses are "
+    "handled in closed form (0.5 ln2 x their corpus mass), so the "
+    "computation never builds a source x vocab grid: one (source, "
+    "word) count table, a word-marginal join, and a per-source sum — "
+    "two shuffles on word-sized keys, float-accumulated -> round(6). "
+    "At 100 TB the same min-count vocab cut as every LM table applies "
+    "(tail mass folds into the closed-form remainder).",
+)
+def source_js_divergence_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    words = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    )
+    sw = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("st"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    ctot = cw.agg(F.sum("cc").alias("ct"))
+    terms = (
+        sw.join(stot, "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "st",
+            (F.col("c").cast("double") / F.col("st")).alias("p"),
+            (F.col("cc").cast("double") / F.col("ct")).alias("q"),
+        )
+    )
+    m = F.lit(0.5) * (F.col("p") + F.col("q"))
+    term = F.lit(0.5) * F.col("p") * F.log(F.col("p") / m) + F.lit(0.5) * F.col(
+        "q"
+    ) * F.log(F.col("q") / m)
+    import math
+
+    return (
+        terms.groupBy("source", "st")
+        .agg(
+            F.round(
+                F.sum(term)
+                + F.lit(0.5 * math.log(2.0)) * (F.lit(1.0) - F.sum("q")),
+                6,
+            ).alias("js_divergence")
+        )
+        .select(
+            "source", F.col("st").alias("n_tokens"), "js_divergence"
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 8. Sliding (overlapping) window counts
+# ---------------------------------------------------------------------
+
+_SLIDE_ORACLE = """WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), wins AS (
+  SELECT (es // 900) * 900 - k.k * 900 AS wstart
+  FROM ev, (SELECT unnest(range(0, 4)) AS k) k
+  WHERE (es // 900) * 900 - k.k * 900 > es - 3600
+)
+SELECT CAST(wstart AS BIGINT) AS window_epoch,
+       CAST(count(*) AS BIGINT) AS n
+FROM wins GROUP BY wstart"""
+
+
+@stage(
+    "sliding_window_counts_events",
+    _SLIDE_ORACLE,
+    "time-series op: SLIDING-WINDOW counts — every event lands in the "
+    "four overlapping 1h windows that slide by 15min (Spark's "
+    "F.window(ts, '1 hour', '15 minutes') semantics: epoch-aligned "
+    "starts, start <= t < start + 1h), closing the window-family gap "
+    "next to the tumbling form (tumbling_window_counts_events). The "
+    "oracle derives each event's four member windows arithmetically; "
+    "Spark uses the native window generator — cross-checking the "
+    "ENGINE's sliding-window expansion against first principles, not "
+    "just against itself. Scale shape: the expansion is a map-side "
+    "4x explode fused into the scan, then one groupBy on the window "
+    "start; identical to the streaming windowed aggregation's batch "
+    "face with slide < length.",
+)
+def sliding_window_counts_events(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_epoch"), "n"
+        )
     )
 
 
