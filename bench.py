@@ -185,6 +185,8 @@ PARITY_PROBES = {
     "dedup_jaccard_documents",      # md5 shingles; twin dedup_jaccard_fast
     "dedup_containment_documents",  # md5 shingles; twin dedup_containment_fast
     "corpus_survivors_documents",   # md5 fingerprint; twin corpus_survivors_fast
+    "dedup_simhash_documents",      # md5 bit votes; twin dedup_simhash_fast
+    "dedup_simhash_pairs_documents",  # md5 bit votes; twin dedup_simhash_fast
 }
 
 
@@ -257,6 +259,7 @@ def main() -> None:
         containment_pairs as _cont,
         jaccard_candidate_pairs as _jac,
         lsh_candidate_pairs as _lsh,
+        simhash_near_pairs as _shp,
     )
     from dce_spark.queries_more import corpus_survivors_documents as _surv
 
@@ -268,6 +271,7 @@ def main() -> None:
         "dedup_jaccard_fast": lambda: _jac(_docs(), threshold=0.5, fast=True),
         "dedup_containment_fast": lambda: _cont(_docs(), threshold=0.7, fast=True),
         "corpus_survivors_fast": lambda: _surv(spark, SF_DIR, fast=True),
+        "dedup_simhash_fast": lambda: _shp(_docs(), bits=16, bands=4, fast=True),
     }
 
     # flagship contract validation (fused pass + grouped + custom SQL)

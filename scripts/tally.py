@@ -41,8 +41,8 @@ def counts() -> dict[str, int]:
     return {
         "queries": len(QUERIES),
         "oracle_paired": len(oracle_sql()),
-        # bench entries = catalog list + 4 fast variants + 1 contract
-        "bench_entries": len(bench.BENCH_QUERIES) + 4 + 1,
+        # bench entries = catalog list + 5 fast variants + 1 contract
+        "bench_entries": len(bench.BENCH_QUERIES) + 5 + 1,
         "parity_probes": len(bench.PARITY_PROBES),
         "tests_collected": n_tests,
     }
