@@ -850,3 +850,57 @@ def test_lossy_count_fold_property():
             assert d <= eps * n
 
     run()
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The staged sliding_window_counts_events query is the batch face
+    of a streaming window(1h, 15min) aggregation: replay the same
+    events through a real readStream in update mode and assert the
+    final per-window counts match the batch result exactly (no
+    watermark, so nothing is dropped and every window converges to its
+    batch count)."""
+    from dce_spark.data import load_table
+    from dce_spark.queries_staging_r6 import STAGED_R6
+
+    batch = {
+        r["window_epoch"]: r["n"]
+        for r in STAGED_R6["sliding_window_counts_events"].fn(
+            spark, str(sf_dir)
+        ).collect()
+    }
+    assert len(batch) > 100 and sum(batch.values()) == 4 * load_table(
+        spark, str(sf_dir), "events"
+    ).count()
+
+    srcdir = tmp_path / "slide_src"
+    ev = load_table(spark, str(sf_dir), "events").select("ts")
+    ev.filter(F.col("ts") < "2024-01-15").coalesce(1).write.mode("append").parquet(
+        str(srcdir)
+    )
+    ev.filter(F.col("ts") >= "2024-01-15").coalesce(1).write.mode("append").parquet(
+        str(srcdir)
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir))
+    )
+    q = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_epoch"), "n")
+        .writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["window_epoch"]: r["mx"]
+        for r in spark.sql(
+            "SELECT window_epoch, max(n) AS mx FROM slide_stream GROUP BY 1"
+        ).collect()
+    }
+    assert streamed == batch
