@@ -50,6 +50,7 @@ __all__ = [
     "save_ivfpq_index",
     "ivfpq_index_topk",
     "semantic_decontamination",
+    "pca_top_direction",
 ]
 
 
@@ -759,3 +760,92 @@ def semantic_decontamination(
         F.floor(bench_id).cast("long").alias("bench_id"),
         "cos_sim",
     )
+
+
+def pca_top_direction(
+    df: DataFrame,
+    dim: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Top principal direction of the ``dim``-dim covariance by
+    deterministic POWER ITERATION, returned as a unit vector
+    (driver-side metadata, like IVF centroids / PQ codebooks).
+
+    Never materializes the covariance matrix: each step computes
+    C.v as the per-dimension mean of ``(x - mu) * ((x - mu) . v)`` —
+    one narrow map pass + one ``dim``-group aggregate per iteration.
+    Determinism contract (the kmeans/PQ convention): mu and every
+    C.v component are quantized-exact sums (int64-accumulated), the
+    per-row dot is an in-order fold, v0 is the uniform 1/sqrt(dim)
+    vector, and no intermediate normalization happens (2-3 steps
+    need none; callers normalize the returned vector, which this
+    function does in index order). The whole run is therefore
+    bit-replayable by the DuckDB oracle of the staged
+    ``covariance_topvec_embeddings`` query.
+
+    This is the building block for OPQ-style rotations, whitening,
+    and "is the embedding space collapsing" drift checks (track the
+    top eigendirection across snapshots).
+    """
+    import math
+
+    emb = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x")
+    )
+    pe = emb.select(F.posexplode("x").alias("pos", "v"))
+    mu_rows = (
+        pe.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    if len(mu_rows) != dim:
+        raise ValueError(f"expected {dim} dimensions, saw {len(mu_rows)}")
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    n = int(mu_rows[0]["n"])
+    mu_lit = _as_literal_array(mu)
+
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        v_lit = _as_literal_array(v)
+        xd = F.zip_with(F.col("x"), mu_lit, lambda a, b: a - b)
+        staged = emb.select(xd.alias("xd"))
+        s = F.aggregate(
+            F.zip_with(F.col("xd"), v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        w_rows = (
+            staged.select(s.alias("s"), F.posexplode("xd").alias("pos", "d"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("d") * F.col("s") * F.lit(1e6)).cast("long")
+                    ).cast("double")
+                    / F.lit(1e6)
+                    / F.lit(n)
+                ).alias("w")
+            )
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r["pos"]] = float(r["w"])
+        v = w
+    nm = 0.0
+    for y in v:  # in-index-order fold == the oracle's ordered list_sum
+        nm = nm + y * y
+    nm = math.sqrt(nm)
+    if nm == 0.0:
+        raise ValueError("power iteration collapsed to the zero vector")
+    return [y / nm for y in v]

@@ -628,76 +628,15 @@ FROM w2, nrm"""
     "64-group aggregate; driver state is the 64-float vector.",
 )
 def covariance_topvec_embeddings(spark, sf_dir):
-    import math
+    from .ext.similarity import pca_top_direction
 
-    from .ext.similarity import _as_literal_array
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
-    )
-    pe = emb.select("vec_id", F.posexplode("x").alias("pos", "v"))
-    mu_rows = (
-        pe.groupBy("pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long")).cast(
-                    "double"
-                )
-                / F.lit(1e9)
-                / F.count(F.lit(1))
-            ).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
-    mu = [0.0] * 64
-    for r in mu_rows:
-        mu[r["pos"]] = float(r["m"])
-    n = int(mu_rows[0]["n"])
-    mu_lit = _as_literal_array(mu)
-
-    def step(v: list[float]) -> list[float]:
-        v_lit = _as_literal_array(v)
-        xd = F.zip_with(F.col("x"), mu_lit, lambda a, b: a - b)
-        staged = emb.select("vec_id", xd.alias("xd"))
-        s = F.aggregate(
-            F.zip_with(F.col("xd"), v_lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        w_rows = (
-            staged.select(s.alias("s"), F.posexplode("xd").alias("pos", "d"))
-            .groupBy("pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("d") * F.col("s") * F.lit(1e6)).cast(
-                            "long"
-                        )
-                    ).cast("double")
-                    / F.lit(1e6)
-                    / F.lit(n)
-                ).alias("w")
-            )
-            .collect()
-        )
-        w = [0.0] * 64
-        for r in w_rows:
-            w[r["pos"]] = float(r["w"])
-        return w
-
-    w1 = step([0.125] * 64)
-    w2 = step(w1)
-    # in-pos-order left fold == the oracle's ordered list_sum
-    nm = 0.0
-    for y in w2:
-        nm = nm + y * y
-    nm = math.sqrt(nm)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = pca_top_direction(emb, dim=64, iters=2)
     return spark.createDataFrame(
-        [(i, round(w2[i] / nm, 6)) for i in range(64)],
+        [(i, round(v[i], 6)) for i in range(64)],
         schema="pos int, component double",
     )
+
 
 
 # ---------------------------------------------------------------------

@@ -1186,3 +1186,32 @@ def test_semantic_decontamination(spark):
     assert (1, 100) in got and got[(1, 100)] >= 0.99
     assert all(c == 1 for c, _ in got)  # no corpus-corpus, no ortho
     spark.catalog.clearCache()
+
+
+def test_pca_top_direction_finds_dominant_axis(spark):
+    """Power iteration on a synthetic corpus whose variance is
+    concentrated on a known axis must return (approximately) that
+    axis, with unit norm, deterministically across partitionings."""
+    import math
+
+    from pyspark.sql import Row
+
+    from dce_spark.ext.similarity import pca_top_direction
+
+    # variance 100x larger along dimension 3 than anywhere else
+    rows = []
+    for i in range(400):
+        v = [((i * 31 + j * 7) % 11 - 5) * 0.01 for j in range(8)]
+        v[3] = (i % 21 - 10) * 1.0
+        rows.append(Row(embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+
+    v1 = pca_top_direction(df, dim=8, iters=2)
+    assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-9  # unit
+    assert abs(v1[3]) > 0.99  # dominant axis found
+    # deterministic under repartitioning (quantized sums)
+    v2 = pca_top_direction(df.repartition(13), dim=8, iters=2)
+    assert v1 == v2
+
+    with pytest.raises(ValueError):
+        pca_top_direction(df, dim=16)
