@@ -30,6 +30,7 @@ def asof_join(
     right_value: str,
     tiebreak: str,
     value_alias: str = "asof_value",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For every left row, attach ``right_value`` from the latest right
     row with the same ``on`` key strictly earlier in
@@ -37,19 +38,34 @@ def asof_join(
 
     Both inputs need a shared orderable ``tiebreak`` column (any unique
     id) so results are deterministic under timestamp ties.
+
+    ``tolerance`` (an interval string like ``"2 HOURS"``) bounds how
+    stale the match may be: when the latest prior right row is older
+    than ``left_ts - tolerance`` the value is NULL — the standard
+    market-data/telemetry as-of semantics ("most recent quote, but
+    only if fresh"). Still the same union + one window shuffle; the
+    staleness check is a map-side comparison against the matched
+    row's OWN timestamp, which rides along in the window state as a
+    struct — NOT a range join (nested-loop at scale).
     """
+    rv_type = dict(right.dtypes)[right_value]
+    rts_type = dict(right.dtypes)[right_ts]
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.col(tiebreak).alias("__tb"),
-        F.lit(None).cast(dict(right.dtypes)[right_value]).alias("__rv"),
+        F.lit(None)
+        .cast(f"struct<v:{rv_type},t:{rts_type}>")
+        .alias("__rv"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.col(tiebreak).alias("__tb"),
-        F.col(right_value).alias("__rv"),
+        F.struct(
+            F.col(right_value).alias("v"), F.col(right_ts).alias("t")
+        ).alias("__rv"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("__l"),
@@ -62,7 +78,13 @@ def asof_join(
     merged = l_tagged.unionByName(r_tagged).withColumn(
         "__asof", F.last("__rv", ignorenulls=True).over(w)
     )
+    val = F.col("__asof")["v"]
+    if tolerance is not None:
+        fresh = F.col("__asof")["t"] >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        val = F.when(fresh, val)
     out_cols = [F.col("__l")[c].alias(c) for c in left.columns]
     return merged.filter(F.col("__l").isNotNull()).select(
-        *out_cols, F.col("__asof").alias(value_alias)
+        *out_cols, val.alias(value_alias)
     )

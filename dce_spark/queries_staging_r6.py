@@ -27,6 +27,11 @@ The entries extend round-5 library surfaces one step further:
   outlier signal; closed-form handling of absent words).
 - ``sliding_window_counts_events`` — native F.window(length, slide)
   sliding windows cross-checked against an arithmetic oracle.
+- ``asof_tolerance_join_events`` — as-of join with a freshness
+  tolerance (stale matches NULL out; the market-data semantics).
+- ``dedup_survivor_selection_documents`` — keep-longest survivor
+  policy over the near-dup clusters (the curation decision dedup
+  feeds).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -784,6 +789,137 @@ def sliding_window_counts_events(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# 9. As-of join with freshness tolerance
+# ---------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """WITH u AS (
+  SELECT user_id, ts, event_id, (event_type = 'click') AS is_c
+  FROM events WHERE event_type IN ('click', 'error')
+), m AS (
+  SELECT event_id, user_id, ts, is_c,
+         last_value(CASE WHEN is_c THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_id,
+         last_value(CASE WHEN is_c THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_ts
+  FROM u
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN m_ts >= ts - INTERVAL 2 HOUR THEN m_id END AS BIGINT)
+         AS last_click_id
+FROM m WHERE NOT is_c"""
+
+
+@stage(
+    "asof_tolerance_join_events",
+    _ASOF_TOL_ORACLE,
+    "time-series op: AS-OF JOIN WITH FRESHNESS TOLERANCE - each "
+    "'error' event gets the most recent prior 'click' of the same "
+    "user ONLY if it happened within the last 2 hours, else NULL "
+    "(the market-data/telemetry semantics: most recent quote, but "
+    "only if fresh - a stale match is worse than no match). Same "
+    "union + single window shuffle as asof_join_events; the matched "
+    "row's own timestamp rides the window state as a struct, so the "
+    "staleness check is one map-side comparison, never a range join. "
+    "All three outcomes (no prior click, stale click, fresh click) "
+    "are populated at both verification SFs.",
+)
+def asof_tolerance_join_events(spark, sf_dir):
+    from .ext.timeseries import asof_join
+
+    df = load_table(spark, sf_dir, "events")
+    errors = df.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="event_id",
+        tiebreak="event_id",
+        value_alias="last_click_id",
+        tolerance="2 HOURS",
+    )
+    return out.select("event_id", "user_id", "last_click_id")
+
+
+# ---------------------------------------------------------------------
+# 10. Dedup survivor selection (keep-best policy)
+# ---------------------------------------------------------------------
+
+
+def _survivor_oracle() -> str:
+    from .queries import QUERIES
+
+    base = QUERIES["dedup_clusters_documents"].oracle
+    head, tail = base.rsplit("SELECT CAST(a AS BIGINT)", 1)
+    return (
+        head
+        + ", clusters AS (SELECT CAST(a AS BIGINT)"
+        + tail
+        + """)
+SELECT cluster_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       survivor_doc,
+       CAST(survivor_chars AS BIGINT) AS survivor_chars
+FROM (
+  SELECT c.cluster_id,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         c.doc_id AS survivor_doc,
+         d.n_chars AS survivor_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+) WHERE rn = 1"""
+    )
+
+
+@stage(
+    "dedup_survivor_selection_documents",
+    "",  # resolved lazily via staged_oracle (needs QUERIES registry)
+    "dedup policy: SURVIVOR SELECTION - for every near-dup cluster "
+    "(the MinHash-LSH connected components), keep the LONGEST member "
+    "(n_chars, doc_id tie-break) instead of the arbitrary min-id the "
+    "clustering itself reports. This is the curation decision dedup "
+    "exists to feed: near-dup groups usually contain one full "
+    "document and several truncated/boilerplate variants, and "
+    "keep-longest (or keep-highest-quality - swap the ranking column) "
+    "decides which survives. Composition: the exact clustering "
+    "operator + a broadcast-sized metadata join + one per-cluster "
+    "window rank; no new scale surface beyond the clusters "
+    "themselves.",
+)
+def dedup_survivor_selection_documents(spark, sf_dir):
+    from .queries import QUERIES
+
+    clusters = QUERIES["dedup_clusters_documents"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        j.select(
+            "cluster_id",
+            F.count(F.lit(1)).over(cw).alias("n_members"),
+            F.col("doc_id").alias("survivor_doc"),
+            F.col("n_chars").alias("survivor_chars"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def staged_oracle(name: str) -> str:
     """Oracle SQL for a staged query (lazy for the two that compose an
     existing registered oracle)."""
@@ -791,4 +927,6 @@ def staged_oracle(name: str) -> str:
         return _pack_eff_oracle()
     if name == "dedup_cluster_size_hist_documents":
         return _cluster_hist_oracle()
+    if name == "dedup_survivor_selection_documents":
+        return _survivor_oracle()
     return STAGED_R6[name].oracle
