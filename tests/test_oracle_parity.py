@@ -207,6 +207,12 @@ def test_compare_rejects_dtype_mismatch(spark, duck):
         "sessionization_events",
         "bpe_merges_documents",
         "dedup_exact_documents",
+        # round-5 representatives: sketch-backed, stateful-replay and
+        # ANN paths all carry explicit determinism contracts
+        "pq_recall_at_k_embeddings",
+        "heavy_hitters_batch_events",
+        "late_data_windows_events",
+        "interp_logprob_documents",
     ],
 )
 def test_results_invariant_under_partitioning(spark, name):
