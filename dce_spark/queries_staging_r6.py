@@ -32,6 +32,8 @@ The entries extend round-5 library surfaces one step further:
 - ``dedup_survivor_selection_documents`` — keep-longest survivor
   policy over the near-dup clusters (the curation decision dedup
   feeds).
+- ``pca_variance_share_embeddings`` — top-eigenvalue variance share
+  (the embedding-space collapse/anisotropy metric).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -917,6 +919,142 @@ def dedup_survivor_selection_documents(spark, sf_dir):
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------
+# 11. Top-eigenvalue variance share (embedding-space collapse metric)
+# ---------------------------------------------------------------------
+
+_POW_SHARE_ORACLE = (
+    "WITH "
+    + _POW_MU
+    + _pow_iter_sql("0.125", "s1", "w1")
+    + ", w1l AS (SELECT list(w ORDER BY pos) AS wl FROM w1)"
+    + _pow_iter_sql("w1l.wl[j]", "s2", "w2").replace(
+        "FROM e, mul\n)", "FROM e, mul, w1l\n)", 1
+    )
+    + """, v2n AS (
+  SELECT list_transform(wl2, y -> y / nm) AS v
+  FROM (SELECT wl2, sqrt(list_sum(list_transform(wl2, y -> y * y))) AS nm
+        FROM (SELECT list(w ORDER BY pos) AS wl2 FROM w2))
+), s3 AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, 65),
+           j -> (e.x[j] - mul.ml[j]) * v2n.v[j])) AS s
+  FROM e, mul, v2n
+), lam AS (
+  SELECT CAST(sum(CAST(round(s * s * 1e6) AS BIGINT)) AS DOUBLE)
+           / 1e6 / mul.n AS l1
+  FROM s3 CROSS JOIN mul GROUP BY mul.n
+), pv AS (
+  SELECT pe.pos,
+         CAST(sum(CAST(round((pe.v - mul.ml[pe.pos + 1])
+                             * (pe.v - mul.ml[pe.pos + 1]) * 1e6)
+                       AS BIGINT)) AS DOUBLE) / 1e6 / mul.n AS var
+  FROM pe CROSS JOIN mul GROUP BY pe.pos, mul.n
+), tot AS (
+  SELECT list_sum(vl) AS tv
+  FROM (SELECT list(var ORDER BY pos) AS vl FROM pv)
+)
+SELECT round(lam.l1, 6) AS top_eig,
+       round(tot.tv, 6) AS total_var,
+       round(lam.l1 / tot.tv, 6) AS top_share
+FROM lam, tot"""
+)
+
+
+@stage(
+    "pca_variance_share_embeddings",
+    _POW_SHARE_ORACLE,
+    "embedding QC: TOP-EIGENVALUE VARIANCE SHARE - the Rayleigh "
+    "quotient v'Cv of the power-iteration direction over the total "
+    "variance (trace of C). This is the collapse/anisotropy metric "
+    "for an embedding space: share -> 1/dim means a healthy isotropic "
+    "space, share -> 1 means the embedder is collapsing onto one "
+    "axis and downstream cosine similarity is degenerating - the "
+    "number to watch across model or corpus snapshots. Same "
+    "deterministic power replay as covariance_topvec_embeddings plus "
+    "one more pass: lambda1 = quantized-exact mean of ((x - mu) . "
+    "v)^2, per-dimension variances quantized-exact and summed in pos "
+    "order. Scale shape: three narrow passes + 64-group aggregates; "
+    "driver state is one 64-float vector.",
+)
+def pca_variance_share_embeddings(spark, sf_dir):
+    from .ext.similarity import _as_literal_array, pca_top_direction
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    v = pca_top_direction(
+        load_table(spark, sf_dir, "embeddings"), dim=64, iters=2
+    )
+    pe = emb.select(F.posexplode("x").alias("pos", "vv"))
+    mu_rows = (
+        pe.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("vv") * F.lit(1e9)).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mu = [0.0] * 64
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    n = int(mu_rows[0]["n"])
+    mu_lit = _as_literal_array(mu)
+    v_lit = _as_literal_array(v)
+
+    xd = F.zip_with(F.col("x"), mu_lit, lambda a, b: a - b)
+    staged = emb.select(xd.alias("xd"))
+    s = F.aggregate(
+        F.zip_with(F.col("xd"), v_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    lam = (
+        staged.select(s.alias("s"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("s") * F.col("s") * F.lit(1e6)).cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.lit(n)
+            ).alias("l1")
+        )
+        .collect()[0]["l1"]
+    )
+    var_rows = (
+        staged.select(F.posexplode("xd").alias("pos", "d"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("d") * F.col("d") * F.lit(1e6)).cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.lit(n)
+            ).alias("var")
+        )
+        .collect()
+    )
+    var = [0.0] * 64
+    for r in var_rows:
+        var[r["pos"]] = float(r["var"])
+    tv = 0.0
+    for y in var:  # in-pos-order fold == the oracle's ordered list_sum
+        tv = tv + y
+    return spark.createDataFrame(
+        [(round(float(lam), 6), round(tv, 6), round(float(lam) / tv, 6))],
+        schema="top_eig double, total_var double, top_share double",
     )
 
 
