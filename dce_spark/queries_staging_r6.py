@@ -34,6 +34,9 @@ The entries extend round-5 library surfaces one step further:
   feeds).
 - ``pca_variance_share_embeddings`` — top-eigenvalue variance share
   (the embedding-space collapse/anisotropy metric).
+- ``pagerank_dedup_graph_documents`` — 2-iteration PageRank over the
+  LSH candidate graph (boilerplate-hub detection, a signal connected
+  components cannot give).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1058,6 +1061,115 @@ def pca_variance_share_embeddings(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# 12. PageRank over the near-dup candidate graph (hub detection)
+# ---------------------------------------------------------------------
+
+
+def _pagerank_oracle() -> str:
+    from .queries import QUERIES
+
+    base = QUERIES["dedup_clusters_documents"].oracle
+    i = base.find(", reach AS (")
+    head = base[:i]  # WITH RECURSIVE ... pairs ... edges AS (...)
+    return (
+        head
+        + """, deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS dg FROM edges GROUP BY a
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+), r1 AS (
+  SELECT e.b AS node,
+         0.15 / nn.n + 0.85 *
+           (CAST(sum(CAST(round((1.0 / nn.n) / deg.dg * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9) AS r
+  FROM edges e JOIN deg ON deg.a = e.a CROSS JOIN nn
+  GROUP BY e.b, nn.n
+), r2 AS (
+  SELECT e.b AS node,
+         0.15 / nn.n + 0.85 *
+           (CAST(sum(CAST(round(r1.r / deg.dg * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9) AS r
+  FROM edges e
+  JOIN deg ON deg.a = e.a
+  JOIN r1 ON r1.node = e.a
+  CROSS JOIN nn
+  GROUP BY e.b, nn.n
+)
+SELECT CAST(node AS BIGINT) AS doc_id, round(r, 9) AS pr FROM (
+  SELECT node, r,
+         row_number() OVER (ORDER BY round(r, 9) DESC, node) AS rn
+  FROM r2)
+WHERE rn <= 10"""
+    )
+
+
+@stage(
+    "pagerank_dedup_graph_documents",
+    "",  # resolved lazily via staged_oracle (needs QUERIES registry)
+    "graph analytics: 2-iteration PAGERANK (d = 0.85, uniform start) "
+    "over the undirected MinHash-LSH candidate graph, top-10 by rank. "
+    "High-centrality nodes in a near-dup graph are the HUBS - "
+    "template/boilerplate documents that partially match many others "
+    "without being exact duplicates of any - exactly the documents a "
+    "curation pass removes wholesale, and a signal connected "
+    "components cannot give (CC sees reachability, not degree "
+    "concentration). Deterministic contract: per-target contribution "
+    "sums are quantized-exact (round 1e9, int64-accumulated), damping "
+    "arithmetic uses the literal 0.15/0.85 on both engines, final "
+    "ranking is (round-9 rank, doc_id) - so DuckDB replays both "
+    "iterations bit-for-bit. Scale shape: the graph is the LSH-pruned "
+    "EDGE LIST (orders of magnitude smaller than the corpus); each "
+    "iteration is one equi-join + groupBy on it - the same shape as "
+    "the clustering rounds, composable to any iteration count.",
+)
+def pagerank_dedup_graph_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    pairs = X_dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    n = deg.count()
+
+    def qsum(col):
+        return (
+            F.sum(F.round(col * F.lit(1e9)).cast("long")).cast("double")
+            / F.lit(1e9)
+        )
+
+    base = F.lit(0.15) / F.lit(float(n))
+    r1 = (
+        edges.join(deg, "a")
+        .groupBy(F.col("b").alias("node"))
+        .agg((base + F.lit(0.85) * qsum(F.lit(1.0) / F.lit(float(n)) / F.col("dg"))).alias("r"))
+    )
+    r2 = (
+        edges.join(deg, "a")
+        .join(r1.select(F.col("node").alias("a"), F.col("r").alias("ra")), "a")
+        .groupBy(F.col("b").alias("node"))
+        .agg((base + F.lit(0.85) * qsum(F.col("ra") / F.col("dg"))).alias("r"))
+    )
+    out = (
+        r2.select(
+            F.col("node").alias("doc_id"), F.round(F.col("r"), 9).alias("pr")
+        )
+        .orderBy(F.desc("pr"), "doc_id")
+        .limit(10)
+    )
+    # 10-row result: materialize so the edge cache can be released here
+    rows = out.collect()
+    schema = out.schema
+    edges.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
 def staged_oracle(name: str) -> str:
     """Oracle SQL for a staged query (lazy for the two that compose an
     existing registered oracle)."""
@@ -1067,4 +1179,6 @@ def staged_oracle(name: str) -> str:
         return _cluster_hist_oracle()
     if name == "dedup_survivor_selection_documents":
         return _survivor_oracle()
+    if name == "pagerank_dedup_graph_documents":
+        return _pagerank_oracle()
     return STAGED_R6[name].oracle
