@@ -73,3 +73,43 @@ quality_checks:
     assert report.stats.records_validated == 4
     checks = {c.name: c for c in report.checks}
     assert checks["quality.uniqueness:id"].observed["duplicates"] == 1
+
+
+def test_asof_join_tolerance_boundary(spark):
+    """tolerance semantics: a match EXACTLY tolerance old is still
+    fresh (>=); one microsecond older is NULL; rows with no prior
+    match stay NULL; tolerance=None keeps stale matches (backwards
+    compatible)."""
+    L = [
+        Row(k=1, ts=datetime(2024, 1, 1, 12, 0, 0), lid=10),  # fresh (30m)
+        Row(k=1, ts=datetime(2024, 1, 1, 14, 30, 0), lid=11),  # exactly 2h
+        Row(k=2, ts=datetime(2024, 1, 1, 12, 0, 0), lid=20),  # stale (3h)
+        Row(k=2, ts=datetime(2024, 1, 1, 12, 0, 0, 1), lid=21),  # 3h + 1us
+        Row(k=3, ts=datetime(2024, 1, 1, 12, 0, 0), lid=30),  # no prior
+    ]
+    R = [
+        Row(k=1, ts=datetime(2024, 1, 1, 11, 30, 0), rid=100),
+        Row(k=1, ts=datetime(2024, 1, 1, 12, 30, 0), rid=101),
+        Row(k=2, ts=datetime(2024, 1, 1, 9, 0, 0), rid=200),
+    ]
+    left = spark.createDataFrame(L).withColumnRenamed("lid", "tb")
+    right = spark.createDataFrame(R).withColumnRenamed("rid", "tb")
+
+    def run(tol):
+        out = asof_join(
+            left.selectExpr("k", "ts", "tb", "tb AS lid"),
+            right.selectExpr("k", "ts", "tb", "tb AS rid"),
+            on="k", left_ts="ts", right_ts="ts",
+            right_value="rid", tiebreak="tb", tolerance=tol,
+        )
+        return {r["lid"]: r["asof_value"] for r in out.collect()}
+
+    tol = run("2 HOURS")
+    assert tol[10] == 100        # 30m old: fresh
+    assert tol[11] == 101        # exactly 2h old: still fresh (>=)
+    assert tol[20] is None       # 3h old: stale
+    assert tol[21] is None       # 3h + 1us: stale
+    assert tol[30] is None       # no prior match
+    none = run(None)
+    assert none[20] == 200 and none[21] == 200  # stale kept without tolerance
+    assert none[11] == 101 and none[30] is None
