@@ -37,6 +37,9 @@ The entries extend round-5 library surfaces one step further:
 - ``pagerank_dedup_graph_documents`` — 2-iteration PageRank over the
   LSH candidate graph (boilerplate-hub detection, a signal connected
   components cannot give).
+- ``heavy_hitters_global_support_events`` — the cross-shard
+  global-support threshold derivation as running code (global N from
+  the sketch's own per-shard totals).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1168,6 +1171,81 @@ def pagerank_dedup_graph_documents(spark, sf_dir):
     schema = out.schema
     edges.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------
+# 13. Heavy hitters at GLOBAL support (the cross-shard threshold)
+# ---------------------------------------------------------------------
+
+_HH_G_SUPPORT = 0.01
+_HH_G_EPSILON = 0.0025
+
+
+@stage(
+    "heavy_hitters_global_support_events",
+    f"""WITH f AS (
+  SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id END AS uid
+  FROM events
+), exact AS (
+  SELECT uid, CAST(count(*) AS BIGINT) AS exact_cnt FROM f GROUP BY uid
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM f
+)
+SELECT CAST(uid AS BIGINT) AS user_id, exact_cnt,
+       TRUE AS tracked_at_global_support
+FROM exact CROSS JOIN tot
+WHERE exact_cnt >= ceiling({_HH_G_SUPPORT} * n)""",
+    "streaming sketch, GLOBAL-support face: the cross-shard threshold "
+    "derivation the heavy-hitter docstring describes, as running "
+    "code - global N = sum of distinct (shard, shard_n) from the "
+    "sketch's own output (each key's history lives in exactly one "
+    "shard, so per-shard totals partition the stream), then the "
+    "sketch-side no-false-negative filter count + delta >= "
+    f"support * N at support {_HH_G_SUPPORT} (> epsilon "
+    f"{_HH_G_EPSILON}). The oracle lists the exact-count heavy keys "
+    "with TRUE - a key the global filter wrongly dropped surfaces as "
+    "a missing row. Complements heavy_hitters_batch_events (which "
+    "checks the per-key count brackets); together they prove both "
+    "halves of the Manku-Motwani contract at stream-global scope.",
+)
+def heavy_hitters_global_support_events(spark, sf_dir):
+    from .streaming.heavyhitters import lossy_count_batch
+
+    f = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "event_id",
+    )
+    cand = lossy_count_batch(
+        f, key_col="uid", order_col="event_id", epsilon=_HH_G_EPSILON,
+        n_shards=8, batch_rows=1000,
+    )
+    # global N from the sketch's own per-shard totals
+    glob = (
+        cand.select("shard", "shard_n").distinct()
+        .agg(F.sum("shard_n").alias("n"))
+    )
+    filtered = (
+        cand.crossJoin(F.broadcast(glob))
+        .filter(
+            F.col("count") + F.col("delta")
+            >= F.lit(_HH_G_SUPPORT) * F.col("n")
+        )
+        .select(F.col("uid").cast("long").alias("uid"), F.lit(True).alias("t"))
+    )
+    exact = f.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    tot = f.agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(
+        F.col("exact_cnt") >= F.ceil(F.lit(_HH_G_SUPPORT) * F.col("n"))
+    )
+    return heavy.join(filtered, "uid", "left").select(
+        F.col("uid").alias("user_id"),
+        "exact_cnt",
+        F.coalesce(F.col("t"), F.lit(False)).alias(
+            "tracked_at_global_support"
+        ),
+    )
 
 
 def staged_oracle(name: str) -> str:

@@ -181,6 +181,10 @@ def lossy_count_batch(
     guarantees per key (no false negative at support >= epsilon;
     undercount <= epsilon * shard_n).
 
+    Each row also carries its ``shard`` id so callers can derive the
+    GLOBAL stream count as sum of distinct (shard, shard_n) — the
+    global-support threshold the streaming docstring describes.
+
     Scale shape: ONE shuffle on the shard id, then each shard's fold
     is an Arrow-batched pandas pass whose working set is the sketch
     (O(1/epsilon * log(epsilon * n)) entries), not the key
@@ -190,11 +194,14 @@ def lossy_count_batch(
     """
     import pandas as pd
 
-    out_schema = f"{key_col} string, count long, delta long, shard_n long"
+    out_schema = (
+        f"{key_col} string, count long, delta long, shard_n long, shard int"
+    )
 
     def per_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
         entries: dict[str, tuple[int, int]] = {}
         n = 0
+        shard_id = int(pdf["__shard"].iloc[0])
         pdf = pdf.sort_values(order_col)
         batches = (pdf[order_col] // batch_rows).astype("int64")
         for _, grp in pdf.groupby(batches, sort=True):
@@ -210,6 +217,7 @@ def lossy_count_batch(
                 "count": [entries[k][0] for k in ks],
                 "delta": [entries[k][1] for k in ks],
                 "shard_n": [n] * len(ks),
+                "shard": [shard_id] * len(ks),
             }
         )
 
