@@ -51,3 +51,20 @@ def test_staged_query_is_scalable(spark, name):
 
     assert_scalable(STAGED_R6[name].fn(spark, SF_DIR))
     spark.catalog.clearCache()
+
+
+def test_staged_specs_well_formed():
+    """Every staged entry must carry a scale-reasoned doc and a
+    resolvable non-empty oracle, and no staged name may collide with
+    the live catalog or the current driver window — the invariants the
+    round-6 promotion loop will rely on."""
+    from dce_spark.queries import _DRIVER_WINDOW, QUERIES
+
+    assert len(STAGED_R6) == 13
+    for name, spec in STAGED_R6.items():
+        assert len(spec.doc) > 80, name  # real doc, not a stub
+        assert staged_oracle(name).strip().upper().startswith(
+            ("WITH", "SELECT")
+        ), name
+        assert name not in QUERIES, name
+        assert name not in _DRIVER_WINDOW, name
