@@ -40,6 +40,10 @@ The entries extend round-5 library surfaces one step further:
 - ``heavy_hitters_global_support_events`` — the cross-shard
   global-support threshold derivation as running code (global N from
   the sketch's own per-shard totals).
+- ``multimodal_payload_dedup`` — byte-identical media dedup through
+  the binary-payload plumbing (digest-only shuffle, keep-min-id).
+- ``cross_source_dup_rate_documents`` — near-dup pair matrix by
+  source pair (ingestion-vs-data-mix contamination signal).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1248,6 +1252,120 @@ def heavy_hitters_global_support_events(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# 14. Multimodal payload-level exact dedup
+# ---------------------------------------------------------------------
+
+_MM_DEDUP_ORACLE = """WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT doc_id, md5(text) AS digest FROM base
+)
+SELECT digest,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM d GROUP BY digest HAVING count(*) >= 2"""
+
+
+@stage(
+    "multimodal_payload_dedup",
+    _MM_DEDUP_ORACLE,
+    "multimodal curation: EXACT PAYLOAD DEDUP - byte-identical media "
+    "detected by hashing the opaque binary column (every 10th "
+    "payload re-ingested under a new id stands in for the re-crawled "
+    "image/audio file; both engines construct the identical dirtied "
+    "view - the de-vacuization convention). This is the first dedup "
+    "pass of every image/audio pipeline: no decode needed, the "
+    "16-byte digest is the only thing shuffled (never the payload "
+    "bytes), keep-min-id picks the canonical copy. Runs through the "
+    "ext/multimodal.attach_payload plumbing, i.e. the REAL binary-"
+    "column path the decode operators use.",
+)
+def multimodal_payload_dedup(spark, sf_dir):
+    from .ext import multimodal as X_mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    wrapped = X_mm.attach_payload(dirty, "text", media_type="image")
+    return (
+        wrapped.select("doc_id", F.md5(F.col("payload")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------
+# 15. Cross-source duplicate rate (contamination directionality)
+# ---------------------------------------------------------------------
+
+
+def _cross_source_oracle() -> str:
+    from .queries import QUERIES
+
+    base = QUERIES["dedup_clusters_documents"].oracle
+    i = base.find(", edges AS (")
+    head = base[:i]  # WITH RECURSIVE ... pairs AS (...)
+    return (
+        head
+        + """
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)"""
+    )
+
+
+@stage(
+    "cross_source_dup_rate_documents",
+    "",  # resolved lazily via staged_oracle (needs QUERIES registry)
+    "curation signal: CROSS-SOURCE DUPLICATE MATRIX - the MinHash-LSH "
+    "near-dup pairs bucketed by the (unordered) source pair of their "
+    "endpoints. Within-source pairs mean a crawler re-fetched its own "
+    "content (fix ingestion); cross-source pairs mean two feeds "
+    "overlap (fix the data mix, and decide WHICH source's copy "
+    "survives - pair with dedup_survivor_selection). Composition: "
+    "the LSH candidate pairs + two broadcast-sized metadata joins + "
+    "one tiny groupBy; the corpus is never re-scanned.",
+)
+def cross_source_dup_rate_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = X_dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def staged_oracle(name: str) -> str:
     """Oracle SQL for a staged query (lazy for the two that compose an
     existing registered oracle)."""
@@ -1259,4 +1377,6 @@ def staged_oracle(name: str) -> str:
         return _survivor_oracle()
     if name == "pagerank_dedup_graph_documents":
         return _pagerank_oracle()
+    if name == "cross_source_dup_rate_documents":
+        return _cross_source_oracle()
     return STAGED_R6[name].oracle
