@@ -44,6 +44,10 @@ The entries extend round-5 library surfaces one step further:
   the binary-payload plumbing (digest-only shuffle, keep-min-id).
 - ``cross_source_dup_rate_documents`` — near-dup pair matrix by
   source pair (ingestion-vs-data-mix contamination signal).
+- ``constraint_violation_samples_events`` — first-5 offending rows
+  per failed constraint (the debugging face of checks).
+- ``gap_fill_daily_events`` — calendar-spine resample with explicit
+  zero-filled missing days.
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1363,6 +1367,127 @@ def cross_source_dup_rate_documents(spark, sf_dir):
         )
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 16. Constraint-violation samples (the debugging face of checks)
+# ---------------------------------------------------------------------
+
+_VIOL_SAMPLES_ORACLE = """WITH v AS (
+  SELECT 'value_out_of_range' AS check_name, event_id
+  FROM events WHERE value IS NOT NULL AND (value < -3.0 OR value > 3.0)
+  UNION ALL
+  SELECT 'props_missing_k', event_id
+  FROM events WHERE json_extract(props, '$.k') IS NULL
+  UNION ALL
+  SELECT 'odd_user_purchase', event_id
+  FROM events WHERE event_type = 'purchase' AND user_id % 2 = 1
+)
+SELECT check_name, CAST(rk AS INTEGER) AS rk,
+       CAST(event_id AS BIGINT) AS event_id
+FROM (SELECT check_name, event_id,
+             row_number() OVER (PARTITION BY check_name
+                                ORDER BY event_id) AS rk
+      FROM v)
+WHERE rk <= 5"""
+
+
+@stage(
+    "constraint_violation_samples_events",
+    _VIOL_SAMPLES_ORACLE,
+    "contracts, debugging face: VIOLATION SAMPLES - the first 5 "
+    "offending row ids per failed constraint (a range breach, a "
+    "missing JSON key, a business-rule probe), deterministically "
+    "ordered by id. Counts (the reference's only output and this "
+    "catalog's *_violations_* queries) say THAT a check failed; "
+    "samples are what an on-call engineer actually opens. Scale "
+    "shape: the three predicates evaluate in ONE scan (unioned "
+    "projections of the same cached read), then a per-check window "
+    "top-5 whose partitions are check-count-many - the k rows "
+    "shipped to the report are metadata-sized no matter the table.",
+)
+def constraint_violation_samples_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    checks = [
+        (
+            "value_out_of_range",
+            F.col("value").isNotNull()
+            & ((F.col("value") < -3.0) | (F.col("value") > 3.0)),
+        ),
+        ("props_missing_k", k.isNull()),
+        (
+            "odd_user_purchase",
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 2 == 1),
+        ),
+    ]
+    parts = [
+        ev.filter(cond).select(
+            F.lit(name).alias("check_name"), "event_id"
+        )
+        for name, cond in checks
+    ]
+    from functools import reduce
+
+    v = reduce(lambda a, b: a.unionByName(b), parts)
+    w = Window.partitionBy("check_name").orderBy("event_id")
+    return (
+        v.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("check_name", "rk", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# 17. Calendar gap-fill (resample with zero-filled missing days)
+# ---------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM d
+), spine AS (
+  SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                INTERVAL 1 DAY)) AS day
+  FROM bounds
+)
+SELECT CAST(floor(epoch(spine.day)) AS BIGINT) AS day_epoch,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+       (d.n IS NULL) AS gap_filled
+FROM spine LEFT JOIN d ON d.day = spine.day"""
+
+
+@stage(
+    "gap_fill_daily_events",
+    _GAP_FILL_ORACLE,
+    "time-series op: CALENDAR GAP-FILL - daily event counts joined "
+    "onto a complete day spine between the observed min and max, "
+    "missing days emitted as explicit zeros with a gap flag. Every "
+    "monitoring consumer needs this resample step (a day with no "
+    "data is an INCIDENT, not an absent row; naive groupBy output "
+    "silently hides it). Scale shape: one groupBy to day "
+    "granularity, a 2-value bounds aggregate broadcast into a "
+    "sequence() spine (rows = calendar days, metadata-sized at any "
+    "data scale), one broadcast left join spine-to-counts.",
+)
+def gap_fill_daily_events(spark, sf_dir):
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return spine.join(d, "day", "left").select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("gap_filled"),
     )
 
 
