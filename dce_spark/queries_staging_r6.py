@@ -48,6 +48,8 @@ The entries extend round-5 library surfaces one step further:
   per failed constraint (the debugging face of checks).
 - ``gap_fill_daily_events`` — calendar-spine resample with explicit
   zero-filled missing days.
+- ``lsh_precision_documents`` — candidate precision of the LSH bands
+  (the tuning companion to banding recall).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1491,6 +1493,73 @@ def gap_fill_daily_events(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# 18. LSH candidate precision (the tuning companion to recall)
+# ---------------------------------------------------------------------
+
+
+def _lsh_precision_oracle() -> str:
+    from .queries import _MINHASH_PAIRS_SELECT, _minhash_ctes
+
+    return (
+        f"WITH {_minhash_ctes()}"
+        + f""", pairs AS (
+{_MINHASH_PAIRS_SELECT}
+), verified AS (
+  SELECT p.doc_a FROM pairs p
+  JOIN documents ta ON ta.doc_id = p.doc_a
+  JOIN documents tb ON tb.doc_id = p.doc_b
+  WHERE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+              / greatest(strlen(ta.text), strlen(tb.text)) >= 0.8
+)
+SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_verified,
+       round(CAST((SELECT count(*) FROM verified) AS DOUBLE)
+             / (SELECT count(*) FROM pairs), 6) AS candidate_precision"""
+    )
+
+
+@stage(
+    "lsh_precision_documents",
+    "",  # resolved lazily via staged_oracle (needs QUERIES registry)
+    "dedup tuning: LSH CANDIDATE PRECISION - what fraction of the "
+    "MinHash-LSH candidate pairs survive exact verification (edit "
+    "similarity >= 0.8). The companion number to the banding S-curve's "
+    "recall: precision near 1 means the verify stage is cheap but the "
+    "bands may be too tight (missing true pairs); precision near 0 "
+    "means the expensive verifier is drowning in false candidates - "
+    "widen bands or raise bits. Same candidate/verify machinery as "
+    "lsh_verified_pairs_documents, aggregated to the one-row summary "
+    "a tuning loop reads. Scale shape: counts over the LSH-pruned "
+    "pair list; the corpus is never re-scanned.",
+)
+def lsh_precision_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = X_dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    sim = F.lit(1.0) - F.levenshtein("__ta", "__tb").cast(
+        "double"
+    ) / F.greatest(F.length("__ta"), F.length("__tb")).cast("double")
+    return (
+        pairs.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((sim >= 0.8).cast("long")).alias("n_verified"),
+            F.round(
+                F.sum((sim >= 0.8).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )
+
+
 def staged_oracle(name: str) -> str:
     """Oracle SQL for a staged query (lazy for the two that compose an
     existing registered oracle)."""
@@ -1504,4 +1573,6 @@ def staged_oracle(name: str) -> str:
         return _pagerank_oracle()
     if name == "cross_source_dup_rate_documents":
         return _cross_source_oracle()
+    if name == "lsh_precision_documents":
+        return _lsh_precision_oracle()
     return STAGED_R6[name].oracle
