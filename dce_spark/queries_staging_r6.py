@@ -50,6 +50,9 @@ The entries extend round-5 library surfaces one step further:
   zero-filled missing days.
 - ``lsh_precision_documents`` — candidate precision of the LSH bands
   (the tuning companion to banding recall).
+- ``rare_token_ratio_documents`` — per-doc fraction of corpus-rare
+  tokens (mojibake/OCR-garbage detector; the operational face of
+  min-count vocab cuts).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1556,6 +1559,67 @@ def lsh_precision_documents(spark, sf_dir):
                 / F.count(F.lit(1)),
                 6,
             ).alias("candidate_precision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 19. Rare-token ratio (garbage / misparse detector)
+# ---------------------------------------------------------------------
+
+_RARE_ORACLE = """WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+)
+SELECT words.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       round(CAST(sum(CASE WHEN vocab.cnt <= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS rare_ratio
+FROM words JOIN vocab ON vocab.w = words.w
+GROUP BY words.doc_id"""
+
+
+@stage(
+    "rare_token_ratio_documents",
+    _RARE_ORACLE,
+    "curation filter: RARE-TOKEN RATIO - per document, the fraction "
+    "of token occurrences whose corpus frequency is <= 2. A high "
+    "ratio flags mojibake, OCR garbage, base64 blobs and wrong-"
+    "language fragments: their 'words' appear almost nowhere else. "
+    "The cheap complement to LM perplexity scoring (no model needed, "
+    "one corpus vocabulary), and the operational face of the "
+    "min-count vocab cuts every LM table here applies - this query "
+    "tells you how much of each document those cuts would discard. "
+    "Shapes: one vocabulary groupBy, one equi-join of the token "
+    "stream against it (broadcast once the min-count cut shrinks the "
+    "vocab), one per-doc aggregate; exact-int counts, round(6) on "
+    "the single derived ratio.",
+)
+def rare_token_ratio_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    rare = (F.col("cnt") <= 2).cast("long")
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            F.round(
+                F.sum(rare).cast("double") / F.count(F.lit(1)), 6
+            ).alias("rare_ratio"),
         )
     )
 
