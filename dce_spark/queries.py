@@ -1883,7 +1883,7 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   text_stats_documents, top_words_documents, lang_stats_documents.
 #   CATALOG FROZEN at 164 for round 5 as of this rotation.
 #
-#   ROUND 6 PLAN — promote the NINETEEN staged queries
+#   ROUND 6 PLAN — promote the TWENTY staged queries
 #   (queries_staging_r6.py: ivf_recall_vs_nprobe_embeddings,
 #   trigram_backoff_logprob_documents, vocab_coverage_documents,
 #   pack_efficiency_documents, dedup_cluster_size_hist_documents,
@@ -1894,8 +1894,8 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   heavy_hitters_global_support_events, multimodal_payload_dedup,
 #   cross_source_dup_rate_documents,
 #   constraint_violation_samples_events, gap_fill_daily_events,
-#   lsh_precision_documents, rare_token_ratio_documents — all
-#   oracle-verified at
+#   lsh_precision_documents, rare_token_ratio_documents,
+#   pareto_revenue_share_lineitem — all oracle-verified at
 #   sf0.001+sf0.01 in round 5), register any new round-6 queries
 #   EARLY, then window: 8 promoted + new + the 15 deferred r1/r2 rows
 #   listed above + next-stalest r2 greens to fill 50. Freeze at

@@ -53,6 +53,8 @@ The entries extend round-5 library surfaces one step further:
 - ``rare_token_ratio_documents`` — per-doc fraction of corpus-rare
   tokens (mojibake/OCR-garbage detector; the operational face of
   min-count vocab cuts).
+- ``pareto_revenue_share_lineitem`` — revenue concentration (ABC /
+  Pareto front over parts, exact int basis points).
 
 tests/test_staging_r6.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1622,6 +1624,97 @@ def rare_token_ratio_documents(spark, sf_dir):
             ).alias("rare_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# 20. Revenue concentration (Pareto front over parts)
+# ---------------------------------------------------------------------
+
+_PARETO_ORACLE = """WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(rev) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS np
+  FROM pr
+), cum AS (
+  SELECT sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cm,
+         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rk
+  FROM pr
+)
+SELECT CAST(share_p AS DOUBLE) AS share_p,
+       CAST(min(CASE WHEN CAST(cm AS DOUBLE)
+                          >= CAST(share_p AS DOUBLE) * tot.t
+                     THEN rk END) AS BIGINT) AS n_parts_needed,
+       CAST(min(tot.np) AS BIGINT) AS total_parts
+FROM cum CROSS JOIN tot
+CROSS JOIN (SELECT unnest([0.5, 0.8, 0.95]) AS share_p)
+GROUP BY share_p"""
+
+
+@stage(
+    "pareto_revenue_share_lineitem",
+    _PARETO_ORACLE,
+    "analytics: REVENUE CONCENTRATION - the smallest number of parts "
+    "whose revenue reaches 50/80/95% of the total (the Pareto/ABC "
+    "analysis every inventory and catalog team runs; the same ranked-"
+    "cumulative-mass shape as vocab_coverage_documents applied to "
+    "money). Determinism: revenue stays in exact int basis points "
+    "(the q3 convention) through the groupBy AND the cumulative sum, "
+    "ranked (revenue DESC, partkey); only the final threshold compare "
+    "touches doubles. Scale note: the rank runs over the PART "
+    "dimension (not lineitem) - at 100 TB that is ~1e8 rows, "
+    "single-partition-window-able like the vocabulary rank, with a "
+    "range-partitioned two-pass cumsum as the swap-in.",
+)
+def pareto_revenue_share_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * F.lit(10000.0)
+        ).cast("long")
+    ).alias("rev")
+    pr = li.groupBy("l_partkey").agg(rev)
+    tot = pr.agg(
+        F.sum("rev").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rw = Window.orderBy(F.desc("rev"), "l_partkey")
+    cum = pr.select(
+        F.sum("rev").over(w).alias("cm"),
+        F.row_number().over(rw).cast("long").alias("rk"),
+    )
+    base = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for pct in (0.5, 0.8, 0.95):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cm").cast("double")
+                    >= F.lit(pct) * F.col("t").cast("double"),
+                    F.col("rk"),
+                )
+            ).alias(f"n_{int(round(pct * 100))}")
+        )
+    one = base.groupBy().agg(*aggs, F.min("np").alias("total_parts"))
+    rows = []
+    for pct in (0.5, 0.8, 0.95):
+        rows.append(
+            one.select(
+                F.lit(pct).alias("share_p"),
+                F.col(f"n_{int(round(pct * 100))}").alias("n_parts_needed"),
+                F.col("total_parts"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), rows)
 
 
 def staged_oracle(name: str) -> str:

@@ -60,7 +60,7 @@ def test_staged_specs_well_formed():
     round-6 promotion loop will rely on."""
     from dce_spark.queries import _DRIVER_WINDOW, QUERIES
 
-    assert len(STAGED_R6) == 19
+    assert len(STAGED_R6) == 20
     for name, spec in STAGED_R6.items():
         assert len(spec.doc) > 80, name  # real doc, not a stub
         assert staged_oracle(name).strip().upper().startswith(
