@@ -1896,10 +1896,10 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   constraint_violation_samples_events, gap_fill_daily_events,
 #   lsh_precision_documents, rare_token_ratio_documents,
 #   pareto_revenue_share_lineitem — all oracle-verified at
-#   sf0.001+sf0.01 in round 5), register any new round-6 queries
-#   EARLY, then window: 8 promoted + new + the 15 deferred r1/r2 rows
-#   listed above + next-stalest r2 greens to fill 50. Freeze at
-#   rotation.
+#   sf0.001+sf0.01 (and sf0.1) in round 5), register any new round-6
+#   queries EARLY, then window: 20 promoted + the 15 deferred r1/r2
+#   rows listed above + 15 refresh slots (r6's own new queries first,
+#   then next-stalest r2 greens) = exactly 50. Freeze at rotation.
 _DRIVER_WINDOW = [
     # promoted round-4 stagings
     "bpe_encode_documents",
