@@ -189,6 +189,21 @@ PARITY_PROBES = {
     "dedup_simhash_pairs_documents",  # md5 bit votes; twin dedup_simhash_fast
 }
 
+# Non-catalog bench entries constructed inside main(): the xxhash64
+# fast twins of the md5 parity probes, plus the flagship contract
+# workload. Kept at module level so scripts/tally.py can COUNT them —
+# a count hardcoded in the tally formula silently desyncs the README
+# the moment a fast variant is added or removed (it happened with
+# dedup_simhash_fast); main() asserts its local dict matches this list.
+FAST_VARIANT_NAMES = [
+    "dedup_minhash_lsh_fast",
+    "dedup_jaccard_fast",
+    "dedup_containment_fast",
+    "corpus_survivors_fast",
+    "dedup_simhash_fast",
+]
+EXTRA_BENCH_ENTRIES = FAST_VARIANT_NAMES + ["contract_validate_events"]
+
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -273,6 +288,10 @@ def main() -> None:
         "corpus_survivors_fast": lambda: _surv(spark, SF_DIR, fast=True),
         "dedup_simhash_fast": lambda: _shp(_docs(), bits=16, bands=4, fast=True),
     }
+    assert sorted(fast_variants) == sorted(FAST_VARIANT_NAMES), (
+        "fast_variants drifted from module-level FAST_VARIANT_NAMES — "
+        "update both (scripts/tally.py counts the module-level list)"
+    )
 
     # flagship contract validation (fused pass + grouped + custom SQL)
     from datetime import datetime, timezone

@@ -808,10 +808,21 @@ def pca_top_direction(
     )
     if len(mu_rows) != dim:
         raise ValueError(f"expected {dim} dimensions, saw {len(mu_rows)}")
+    # a ragged input vector (fewer than `dim` elements in some rows)
+    # passes the dim-length check but skews per-pos counts — catch it
+    # here rather than dividing the C.v mean by a nondeterministically
+    # chosen n from an unordered collect()
+    counts = {int(r["n"]) for r in mu_rows}
+    if len(counts) != 1:
+        raise ValueError(
+            f"ragged input: per-position counts differ "
+            f"(min {min(counts)}, max {max(counts)}) — every vector "
+            f"must have exactly {dim} elements"
+        )
     mu = [0.0] * dim
     for r in mu_rows:
         mu[r["pos"]] = float(r["m"])
-    n = int(mu_rows[0]["n"])
+    n = counts.pop()
     mu_lit = _as_literal_array(mu)
 
     v = [1.0 / math.sqrt(dim)] * dim

@@ -45,18 +45,27 @@ def salted_equi_join(
 
     ``salt_by`` must be a DETERMINISTIC expression over fact columns
     (e.g. ``F.xxhash64("event_id")``) so results are reproducible and
-    retries/speculative tasks agree; it defaults to a hash of the join
-    key's row via ``F.xxhash64(on)`` — note that default spreads rows
-    of the SAME key only if the key column itself varies, so callers
-    with a single hot key should pass a row-unique column. Result is
-    identical to ``fact.join(dim, on, how)`` with the hot key's rows
-    spread across ``n_salts`` reducers.
+    retries/speculative tasks agree. It defaults to
+    ``F.xxhash64(<every fact column>)`` — a ROW-spreading hash: a hot
+    key's rows land on different salts whenever any non-key column
+    varies, which is what a skew join is for. (Hashing only the join
+    key would assign every row of the hot key the SAME salt — paying
+    the dim replication for zero mitigation.) Rows that are
+    byte-identical across ALL columns still collapse onto one salt
+    under the default; pass a row-unique ``salt_by`` (an id column)
+    if your fact side contains full-row duplicates of the hot key.
+    Result is identical to ``fact.join(dim, on, how)`` with the hot
+    key's rows spread across ``n_salts`` reducers.
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if how not in ("inner", "left"):
         raise ValueError(f"salted join supports inner/left, got {how!r}")
-    src = salt_by if salt_by is not None else F.xxhash64(F.col(on))
+    src = (
+        salt_by
+        if salt_by is not None
+        else F.xxhash64(*[F.col(c) for c in fact.columns])
+    )
     f = fact.withColumn(_SALT, F.pmod(src, F.lit(n_salts)).cast("int"))
     d = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -115,8 +115,25 @@ def _codegen_spans(df: DataFrame) -> int:
             plain.explain("codegen")
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
         return int(m.group(1)) if m else 0
-    except Exception:
+    except Exception as exc:  # log ONCE, then degrade to 0: a silent 0
+        # would mask a Spark-version API rename forever, but per-call
+        # warnings would spam the catalog-wide sweep (164+ plans).
+        global _CODEGEN_WARNED
+        if not _CODEGEN_WARNED:
+            _CODEGEN_WARNED = True
+            import warnings
+
+            warnings.warn(
+                f"planaudit: codegen re-plan API unavailable "
+                f"({type(exc).__name__}: {exc}); codegen_spans will "
+                f"read 0 for this session",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return 0
+
+
+_CODEGEN_WARNED = False
 
 
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")

@@ -3349,12 +3349,12 @@ def _lsh_verified_oracle() -> str:
 SELECT p.doc_a, p.doc_b,
        CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
        round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-                   / greatest(strlen(ta.text), strlen(tb.text)), 6) AS edit_sim
+                   / greatest(length(ta.text), length(tb.text)), 6) AS edit_sim
 FROM pairs p
 JOIN documents ta ON ta.doc_id = p.doc_a
 JOIN documents tb ON tb.doc_id = p.doc_b
 WHERE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-            / greatest(strlen(ta.text), strlen(tb.text)) >= 0.8"""
+            / greatest(length(ta.text), length(tb.text)) >= 0.8"""
     )
 
 

@@ -1515,7 +1515,7 @@ def _lsh_precision_oracle() -> str:
   JOIN documents ta ON ta.doc_id = p.doc_a
   JOIN documents tb ON tb.doc_id = p.doc_b
   WHERE 1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
-              / greatest(strlen(ta.text), strlen(tb.text)) >= 0.8
+              / greatest(length(ta.text), length(tb.text)) >= 0.8
 )
 SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
        CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_verified,

@@ -41,8 +41,9 @@ def counts() -> dict[str, int]:
     return {
         "queries": len(QUERIES),
         "oracle_paired": len(oracle_sql()),
-        # bench entries = catalog list + 5 fast variants + 1 contract
-        "bench_entries": len(bench.BENCH_QUERIES) + 5 + 1,
+        # bench entries = catalog list + the module-level extras
+        # (fast variants + flagship contract) — counted, not hardcoded
+        "bench_entries": len(bench.BENCH_QUERIES) + len(bench.EXTRA_BENCH_ENTRIES),
         "parity_probes": len(bench.PARITY_PROBES),
         "tests_collected": n_tests,
     }

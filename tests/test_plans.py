@@ -402,3 +402,45 @@ def test_salted_join_equivalence_randomized(spark):
         salted_equi_join(fact, dim, on="k", n_salts=0)
     with _pytest.raises(ValueError):
         salted_equi_join(fact, dim, on="k", how="full")
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    """The DEFAULT salt (no salt_by) must spread a hot key's rows
+    across all n_salts values, not collapse them onto one — the old
+    default hashed the join key itself, paying the dim replication for
+    zero mitigation. Default = xxhash64 over every fact column, so any
+    varying non-key column spreads the rows; equivalence with the
+    plain join must also hold under the default."""
+    from pyspark.sql import functions as F
+
+    from dce_spark.ext.skew import _SALT, salted_equi_join
+
+    # hot key 0 on half the rows; v varies per row
+    fact = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 20)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("n")
+    )
+    j = salted_equi_join(fact, dim, on="k", n_salts=8)
+    got = j.groupBy().agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n").alias("sn")
+    ).collect()[0]
+    want = fact.join(dim, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n").alias("sn")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # replay the default salt expression: the hot key occupies all 8
+    spread = (
+        fact.withColumn(
+            _SALT,
+            F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(8)).cast("int"),
+        )
+        .filter(F.col("k") == 0)
+        .select(_SALT)
+        .distinct()
+        .count()
+    )
+    assert spread == 8
