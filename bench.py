@@ -166,6 +166,27 @@ BENCH_QUERIES = [
     "late_data_windows_events",
     "heavy_hitters_batch_events",
     "skew_salted_join_events",
+    # round-6 promotions (staged + oracle-verified in round 5)
+    "ivf_recall_vs_nprobe_embeddings",
+    "trigram_backoff_logprob_documents",
+    "vocab_coverage_documents",
+    "pack_efficiency_documents",
+    "dedup_cluster_size_hist_documents",
+    "covariance_topvec_embeddings",
+    "source_js_divergence_documents",
+    "sliding_window_counts_events",
+    "asof_tolerance_join_events",
+    "dedup_survivor_selection_documents",
+    "pca_variance_share_embeddings",
+    "pagerank_dedup_graph_documents",
+    "heavy_hitters_global_support_events",
+    "multimodal_payload_dedup",
+    "cross_source_dup_rate_documents",
+    "constraint_violation_samples_events",
+    "gap_fill_daily_events",
+    "lsh_precision_documents",
+    "rare_token_ratio_documents",
+    "pareto_revenue_share_lineitem",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but

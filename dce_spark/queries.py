@@ -1900,61 +1900,70 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   queries EARLY, then window: 20 promoted + the 15 deferred r1/r2
 #   rows listed above + 15 refresh slots (r6's own new queries first,
 #   then next-stalest r2 greens) = exactly 50. Freeze at rotation.
+#   ROUND 6 WINDOW (this list) = the 20 promoted round-5 stagings
+#   (registered from queries_more.py, fronted here the same round —
+#   no unchecked tail) + the 15 r1/r2-stale rows deferred from r5
+#   (the 14 named in the r5 plan above PLUS json_extract_events,
+#   which the r5 comment missed but the staleness ledger shows as
+#   r2-only) + 15 refresh slots: round 6's own new queries first,
+#   then the stalest r3-only greens (there are no r2-only rows left
+#   after this rotation — the ledger's next-stalest tier is r3).
+#   CATALOG FROZEN for round 6 at this rotation.
 _DRIVER_WINDOW = [
-    # promoted round-4 stagings
-    "bpe_encode_documents",
-    "semantic_decontamination_embeddings",
-    "pq_adc_topk_embeddings",
-    "bigram_logprob_documents",
-    "pq_reconstruction_error_embeddings",
-    "windowed_quantiles_events",
-    # new round-5 queries
-    "pq_recall_at_k_embeddings",
-    "skew_salted_join_events",
-    "interp_logprob_documents",
-    "late_data_windows_events",
-    "heavy_hitters_batch_events",
-    # ex-red, oracle fixed in r4
-    "window_running_total_orders",
-    # stalest greens (r1/r2 only)
-    "schema_columns_events",
-    "semi_anti_join_customers",
-    "set_ops_orders_customers",
-    "row_count_lineitem",
-    "inmemory_batch_validation",
-    "inmemory_nested_validation",
-    "null_counts_events",
-    "allowed_values_violations_orders",
-    "range_violations_lineitem",
-    "pattern_violations_events",
-    "completeness_events",
-    "uniqueness_dupes_lineitem",
-    "uniqueness_per_day_orders",
-    "distinct_users_events",
-    "freshness_events",
-    "class_balance_events",
-    "null_rate_by_group_events",
-    "temporal_bounds_events",
-    "overlap_users_events",
-    "psi_total_lineitem",
-    "topk_orders_by_price",
-    "custom_sql_events",
-    "profile_customer",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_revenue_delta",
-    "sessionization_events",
-    "text_quality_documents",
-    "fingerprint_documents",
-    "winnow_fingerprint_documents",
-    "dedup_exact_documents",
-    "dedup_clusters_documents",
-    "embedding_centroids_by_label",
-    "embedding_near_dup_lsh",
-    "lang_guess_documents",
-    "multimodal_frame_sample",
-    "asof_join_events",
+    # promoted round-5 stagings (oracle-verified at 3 SFs in r5)
+    "ivf_recall_vs_nprobe_embeddings",
+    "trigram_backoff_logprob_documents",
+    "vocab_coverage_documents",
+    "pack_efficiency_documents",
+    "dedup_cluster_size_hist_documents",
+    "covariance_topvec_embeddings",
+    "source_js_divergence_documents",
+    "sliding_window_counts_events",
+    "asof_tolerance_join_events",
+    "dedup_survivor_selection_documents",
+    "pca_variance_share_embeddings",
+    "pagerank_dedup_graph_documents",
+    "heavy_hitters_global_support_events",
+    "multimodal_payload_dedup",
+    "cross_source_dup_rate_documents",
+    "constraint_violation_samples_events",
+    "gap_fill_daily_events",
+    "lsh_precision_documents",
+    "rare_token_ratio_documents",
+    "pareto_revenue_share_lineitem",
+    # the 15 rows deferred from the r5 rotation (all r2-stale)
+    "corr_lineitem_qty_price",
+    "ntile_bins_lineitem",
+    "psi_bins_lineitem",
+    "quantiles_lineitem",
+    "embedding_cosine_topk",
+    "embedding_knn_join",
+    "embedding_near_dup_pairs",
+    "dedup_jaccard_documents",
+    "dedup_minhash_lsh_documents",
+    "dedup_simhash_documents",
+    "multimodal_payload_stats",
+    "text_stats_documents",
+    "top_words_documents",
+    "lang_stats_documents",
+    "json_extract_events",
+    # refresh slots: stalest r3-only greens (family-diverse picks;
+    # new round-6 queries replace the tail of this block as they land)
+    "embedding_ivf_topk",
+    "kmeans_embeddings_2iter",
+    "dedup_containment_documents",
+    "dedup_incremental_documents",
+    "tfidf_top_terms_documents",
+    "pii_scan_documents",
+    "funnel_events",
+    "tumbling_window_counts_events",
+    "quantiles_lineitem_approx",
+    "q7_volume_shipping",
+    "retention_cohorts_events",
+    "pivot_event_type_by_day",
+    "embedding_quantize_int8",
+    "pack_assign_documents",
+    "char_entropy_documents",
 ]
 
 

@@ -1,9 +1,11 @@
-"""ROUND-6 STAGED catalog queries — built and oracle-verified in round
-5, NOT registered (the round-5 catalog froze at 164 when the driver
-window rotated; registering now would create an unchecked tail — the
-r1-r3 lesson, same protocol as queries_staging_r5.py last round).
-Round 6 promotes them by registering from queries_more.py and fronting
-them in ``_DRIVER_WINDOW``.
+"""ROUND-6 catalog queries — built and oracle-verified in round 5
+while the round-5 catalog was frozen at 164, PROMOTED in round 6: the
+loop at the bottom of queries_more.py registers all twenty and
+``_DRIVER_WINDOW`` fronts them, so every entry gets a driver
+CORRECTNESS row the same round it becomes live (the r1-r3
+unchecked-tail lesson; identical protocol to queries_staging_r5.py's
+round-5 promotion). This module remains the single source of truth
+for fn + oracle + doc.
 
 The entries extend round-5 library surfaces one step further:
 
