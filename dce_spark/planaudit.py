@@ -124,9 +124,12 @@ def _codegen_spans(df: DataFrame) -> int:
             import warnings
 
             warnings.warn(
-                f"planaudit: codegen re-plan API unavailable "
-                f"({type(exc).__name__}: {exc}); codegen_spans will "
-                f"read 0 for this session",
+                f"planaudit: codegen re-plan failed (first occurrence; "
+                f"further ones are silent): {type(exc).__name__}: "
+                f"{str(exc)[:300]} — codegen_spans reads 0 for affected "
+                f"plans. Expected for plans over session temp views "
+                f"(invisible to the cloned session) and on Spark "
+                f"versions without classic.Dataset.ofRows.",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -11,12 +11,23 @@ best_order_per_customer hazard class).
 
 from __future__ import annotations
 
+import json
+import os
+
 import pytest
 
 from dce_spark.planaudit import assert_scalable
 from dce_spark.queries import QUERIES
 
 from conftest import SF_DIR
+
+_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "..", "SHUFFLE_BUDGET.json")
+_BUDGET_DOC = json.load(open(_BUDGET_PATH))
+# broadcast-vs-shuffle decisions depend on input file sizes, so the
+# committed budgets only bind at the scale factor they were generated
+# at (the default tests SF); at any other SPARK_GRAFT_TEST_SF_DIR the
+# sweep still lints shapes but skips the exchange-count cap.
+_BUDGETS = _BUDGET_DOC["budgets"] if _BUDGET_DOC["sf_dir"] == SF_DIR else {}
 
 # documented exact-parity probes whose SCALE TWINS are the production
 # path (SCALING.md "perf-weak register"): each deliberately trades an
@@ -32,9 +43,32 @@ NLJ_WHITELIST = {
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_query_is_scalable(spark, name):
+    """Shape lint + shuffle budget: the exchange-count cap catches the
+    quiet extra-shuffle regression the cartesian/NLJ lint cannot — at
+    100 TB one more Exchange is a full network rewrite of the input.
+    Raising a budget is allowed but must be an explicit edit to
+    SHUFFLE_BUDGET.json (regenerate with scripts/shuffle_budget.py and
+    record the reason in its _bumps map)."""
     df = QUERIES[name].fn(spark, SF_DIR)
-    assert_scalable(df, allow_nlj=name in NLJ_WHITELIST)
+    assert_scalable(
+        df,
+        allow_nlj=name in NLJ_WHITELIST,
+        max_shuffle_exchanges=_BUDGETS.get(name),
+    )
     spark.catalog.clearCache()
+
+
+def test_every_catalog_query_has_a_shuffle_budget():
+    """A new catalog entry must record its exchange count at landing
+    time (python scripts/shuffle_budget.py), or the <= sweep silently
+    never applies to it."""
+    budgets = _BUDGET_DOC["budgets"]
+    missing = sorted(set(QUERIES) - set(budgets))
+    stale = sorted(set(budgets) - set(QUERIES))
+    assert not missing, f"queries without a shuffle budget: {missing}"
+    assert not stale, f"budget entries for unregistered queries: {stale}"
+    for name in _BUDGET_DOC.get("_bumps", {}):
+        assert name in budgets, f"_bumps references unknown query {name}"
 
 
 def test_driver_window_invariants():
