@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "lsh_precision_documents",
     "rare_token_ratio_documents",
     "pareto_revenue_share_lineitem",
+    # round-6 additions
+    "pq_opq_recall_embeddings",
+    "sliding_late_data_windows_events",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but

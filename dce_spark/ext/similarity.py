@@ -26,6 +26,7 @@ row-at-a-time.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -51,6 +52,8 @@ __all__ = [
     "ivfpq_index_topk",
     "semantic_decontamination",
     "pca_top_direction",
+    "opq_rotation_fit",
+    "opq_apply",
 ]
 
 
@@ -860,3 +863,183 @@ def pca_top_direction(
     if nm == 0.0:
         raise ValueError("power iteration collapsed to the zero vector")
     return [y / nm for y in v]
+
+
+# =====================================================================
+# OPQ-lite: a deterministic learned orthogonal transform for PQ
+# =====================================================================
+
+
+def _householder_u(v: list[float], axis: int) -> list[float]:
+    """Householder vector u such that (I - 2uu^T) maps unit vector
+    ``v`` onto coordinate axis ``axis``: u = (v - e_axis) normalized.
+    All folds run in index order (the cross-engine replay contract)."""
+    u = [float(y) for y in v]
+    u[axis] -= 1.0
+    nm = 0.0
+    for y in u:
+        nm = nm + y * y
+    nm = math.sqrt(nm) if nm > 0 else 0.0
+    if nm == 0.0:
+        raise ValueError(f"direction already equals e{axis}; no reflection")
+    return [y / nm for y in u]
+
+
+def _householder_apply(df: DataFrame, u: list[float], vec_col: str, out_col: str):
+    """x -> x - 2 (u.x) u, staged so the dot product is a REAL column
+    (a lambda capturing a computed expression re-evaluates it per
+    element — the round-5 O(n^2) HOF lesson)."""
+    ul = _as_literal_array(u)
+    s = F.aggregate(
+        F.zip_with(F.col(vec_col), ul, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    staged = df.withColumn("__hs", s)
+    out = F.zip_with(
+        F.col(vec_col), ul, lambda a, b: a - F.lit(2.0) * F.col("__hs") * b
+    )
+    return staged.withColumn(out_col, out).drop("__hs", *(
+        [vec_col] if vec_col != out_col else []
+    ))
+
+
+def opq_rotation_fit(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit an OPQ-lite orthogonal transform: two Householder
+    reflections aligning the top-2 principal directions (deterministic
+    power iteration, :func:`pca_top_direction`) onto the first
+    coordinates of PQ subspaces 0 and 1, followed by a
+    variance-balancing snake permutation so high-variance dimensions
+    spread evenly across all ``m`` subspaces — the eigenvalue-
+    allocation idea from the OPQ paper in its cheapest deterministic
+    form. Returns driver-side metadata ``{"u1", "u2", "perm"}``
+    (like IVF centroids / PQ codebooks): u1/u2 are the Householder
+    vectors, ``perm[t]`` is the SOURCE dimension landing at target
+    position ``t``.
+
+    Every arithmetic step is an in-order fold over quantized-exact
+    aggregates, so a SQL oracle replays the whole fit bit-identically
+    (the covariance_topvec_embeddings contract extended to the full
+    transform). Scale shape: 2 power iterations = 2 narrow map passes
+    + dim-group aggregates each; the variance pass is one more; driver
+    state is three dim-length vectors. Rotation helps exactly when
+    the top principal directions CROSS subspace boundaries (energy
+    that independent per-subspace codebooks cannot share); on
+    isotropic corpora it is a provably-orthogonal no-op — measure
+    recall@k before shipping either way (pq_opq_recall_embeddings).
+    """
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sub_dim = dim // m
+    v1 = pca_top_direction(df, dim=dim, iters=iters, vec_col=vec_col)
+    u1 = _householder_u(v1, 0)
+    # persist each reflected stage before the passes that consume it:
+    # Catalyst's projection collapse would otherwise inline the staged
+    # dot product into downstream HOF lambdas, re-evaluating the whole
+    # reflection chain PER ARRAY ELEMENT (the round-5 O(n^2) HOF
+    # lesson, compounded across two reflections). Both caches are
+    # released before returning — the fit leaves no cache debt.
+    x1 = _householder_apply(
+        df.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__x")
+        ),
+        u1,
+        "__x",
+        "__x1",
+    ).persist()
+    try:
+        tail = x1.select(F.slice(F.col("__x1"), 2, dim - 1).alias("__t"))
+        v2t = pca_top_direction(tail, dim=dim - 1, iters=iters, vec_col="__t")
+        u2 = _householder_u([0.0] + v2t, sub_dim)
+        x2 = _householder_apply(x1, u2, "__x1", "__x2").persist()
+        try:
+            # per-dimension variance of the rotated data (quantized-
+            # exact like the power iteration: mean at 1e9, squared-
+            # deviation mean at 1e6)
+            pe = x2.select(F.posexplode("__x2").alias("pos", "v"))
+            mu_rows = (
+                pe.groupBy("pos")
+                .agg(
+                    (
+                        F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long"))
+                        .cast("double")
+                        / F.lit(1e9)
+                        / F.count(F.lit(1))
+                    ).alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            mu = {int(r["pos"]): float(r["m"]) for r in mu_rows}
+            mu_lit = _as_literal_array([mu[p] for p in range(dim)])
+            var_rows = (
+                x2.select(
+                    F.posexplode(
+                        F.zip_with(F.col("__x2"), mu_lit, lambda a, b: a - b)
+                    ).alias("pos", "d")
+                )
+                .groupBy("pos")
+                .agg(
+                    (
+                        F.sum(
+                            F.round(
+                                F.col("d") * F.col("d") * F.lit(1e6)
+                            ).cast("long")
+                        ).cast("double")
+                        / F.lit(1e6)
+                        / F.count(F.lit(1))
+                    ).alias("var")
+                )
+                .collect()
+            )
+        finally:
+            x2.unpersist()
+    finally:
+        x1.unpersist()
+    ranked = sorted(
+        ((float(r["var"]), int(r["pos"])) for r in var_rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # snake assignment: rank r lands in subspace (r%m forward on even
+    # blocks, reversed on odd) at within-subspace slot r//m — each
+    # subspace receives one dimension per variance tier
+    perm = [0] * dim
+    for r, (_, j) in enumerate(ranked):
+        blk, off = divmod(r, m)
+        sub = off if blk % 2 == 0 else m - 1 - off
+        perm[sub * sub_dim + blk] = j
+    return {"u1": u1, "u2": u2, "perm": perm}
+
+
+def opq_apply(
+    df: DataFrame,
+    rot: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "vec",
+) -> DataFrame:
+    """Apply a fitted OPQ-lite transform: two Householder reflections
+    then the permutation, all in one narrow map pass (each reflection
+    stages its dot product as a real column; the permutation is m
+    array lookups). Returns (id_col, out_col)."""
+    dim = len(rot["u1"])
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__x"),
+    )
+    x1 = _householder_apply(base, rot["u1"], "__x", "__x1")
+    x2 = _householder_apply(x1, rot["u2"], "__x1", "__x2")
+    perm_lit = F.array(*[F.lit(int(p)) for p in rot["perm"]])
+    out = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda t: F.element_at(
+            F.col("__x2"), F.element_at(perm_lit, t.cast("int") + 1) + 1
+        ),
+    )
+    return x2.withColumn(out_col, out).select(id_col, out_col)

@@ -1947,8 +1947,12 @@ _DRIVER_WINDOW = [
     "top_words_documents",
     "lang_stats_documents",
     "json_extract_events",
-    # refresh slots: stalest r3-only greens (family-diverse picks;
-    # new round-6 queries replace the tail of this block as they land)
+    # refresh slots: round 6's OWN new queries first (queries_r6.py —
+    # registered and windowed the same round, per the plan), then the
+    # stalest r3-only greens (family-diverse picks; pack_assign /
+    # char_entropy return to the r7 pool)
+    "pq_opq_recall_embeddings",
+    "sliding_late_data_windows_events",
     "embedding_ivf_topk",
     "kmeans_embeddings_2iter",
     "dedup_containment_documents",
@@ -1962,8 +1966,6 @@ _DRIVER_WINDOW = [
     "retention_cohorts_events",
     "pivot_event_type_by_day",
     "embedding_quantize_int8",
-    "pack_assign_documents",
-    "char_entropy_documents",
 ]
 
 

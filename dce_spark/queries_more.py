@@ -4571,3 +4571,5 @@ for _name, _spec in _STAGED_R6.items():
     _spec.oracle = _o  # eager backfill of the lazy-composed oracles
     register(_name, _o, _spec.doc)(_spec.fn)
 del _name, _spec, _o
+
+from . import queries_r6  # noqa: E402,F401  (registers the round-6 additions)

@@ -733,6 +733,119 @@ def test_watermark_drops_match_batch_mirror(spark, tmp_path, sf_dir):
     assert sum(streamed.values()) < total_arrived
 
 
+def test_sliding_watermark_drops_match_batch_mirror(spark, tmp_path, sf_dir):
+    """sliding_late_data_windows_events extends the watermark mirror
+    to SLIDING windows (2h length, 30min slide), where the drop rule
+    is per (row, window) PAIR: a late row loses its oldest windows but
+    still lands in the later ones — the multi-window membership case
+    a tumbling mirror cannot exercise. Feed the same dirtied arrival
+    stream through a real readStream + withWatermark('1 hour') +
+    sliding-window count and assert the final per-window counts equal
+    the mirror's n_accepted exactly."""
+    import os
+
+    from dce_spark.data import load_table
+    from dce_spark.queries import QUERIES
+
+    arr = (
+        load_table(spark, str(sf_dir), "events")
+        .select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.col("ts") - F.expr("INTERVAL 96 HOURS"),
+            )
+            .otherwise(F.col("ts"))
+            .alias("ets"),
+        )
+        .withColumn("batch", F.floor(F.col("event_id") / 100).cast("long"))
+    )
+    srcdir = tmp_path / "slide_src"
+    n_batches = arr.agg(F.max("batch")).collect()[0][0] + 1
+    seen = set()
+    for b in range(n_batches):
+        arr.filter(F.col("batch") == b).select("ets").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(srcdir))
+        new = {f for f in os.listdir(srcdir) if f.endswith(".parquet")} - seen
+        for f in new:
+            os.utime(srcdir / f, (1_700_000_000 + 100 * b,) * 2)
+        seen |= new
+
+    stream = (
+        spark.readStream.schema("ets timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir))
+    )
+    q = (
+        stream.withWatermark("ets", "1 hour")
+        .groupBy(F.window("ets", "2 hours", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_epoch"), "n")
+        .writeStream.format("memory")
+        .queryName("slide_late_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["window_epoch"]: r["mx"]
+        for r in spark.sql(
+            "SELECT window_epoch, max(n) AS mx FROM slide_late_stream GROUP BY 1"
+        ).collect()
+    }
+    mirror = {
+        r["window_epoch"]: r["n_accepted"]
+        for r in QUERIES["sliding_late_data_windows_events"]
+        .fn(spark, str(sf_dir))
+        .filter(F.col("n_accepted") > 0)
+        .collect()
+    }
+    assert streamed == mirror
+    # non-vacuous: pairs were dropped overall...
+    total_pairs = arr.count() * 4
+    assert sum(streamed.values()) < total_pairs
+    # ...and at least one row was PARTIALLY accepted (kept in some of
+    # its 4 windows, dropped from others) — the case that
+    # distinguishes per-pair from per-row filtering; replicate the
+    # mirror's floor-seconds arithmetic per event to find one
+    from pyspark.sql import Window as W
+
+    es = F.unix_timestamp("ets")
+    bm = arr.select("batch", es.alias("es"))
+    wmw = W.orderBy("batch").rowsBetween(W.unboundedPreceding, -2)
+    wm = (
+        bm.groupBy("batch")
+        .agg(F.max("es").alias("mx"))
+        .select("batch", (F.max("mx").over(wmw) - F.lit(3600)).alias("wm_s"))
+    )
+    per_event = (
+        arr.select("event_id", es.alias("es"), "batch")
+        .join(F.broadcast(wm), "batch")
+        .select(
+            "event_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            ((F.floor(F.col("es") / 1800) - F.col("i")) * 1800).alias("ws"),
+            "wm_s",
+        )
+        .groupBy("event_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("wm_s").isNull()
+                    | (F.col("ws") + F.lit(7200) > F.col("wm_s"))
+                ).cast("int")
+            ).alias("n_ok")
+        )
+    )
+    partial = per_event.filter(
+        (F.col("n_ok") > 0) & (F.col("n_ok") < 4)
+    ).count()
+    assert partial > 0
+
+
 def test_lossy_count_batch_matches_driver_fold(spark):
     """lossy_count_batch is the distributed replay of lossy_count_fold:
     per shard, its (count, delta, shard_n) must equal a driver-side
