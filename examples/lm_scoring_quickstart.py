@@ -73,6 +73,27 @@ def main() -> None:
             f"{r['n_types_needed']} of {r['total_types']} word types"
         )
 
+    # the validator face of the ladder: a held-out score is only
+    # meaningful if the split table is leak-free — guard it with the
+    # no_overlap + temporal_split contract BEFORE training (strict:
+    # ML failures route as warnings by default, a gate must fail)
+    from dce_spark import validate_df
+    from dce_spark.data import load_table
+
+    contract = open(
+        os.path.join(os.path.dirname(__file__), "lm_split_contract.yml")
+    ).read()
+    split_tbl = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") < 400, F.lit("train"))
+        .otherwise(F.lit("score"))
+        .alias("split"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 60)
+        .alias("ingest_ts"),
+    )
+    report = validate_df(spark, split_tbl, contract, strict=True)
+    print(f"[guard] lm split contract passed={report.passed}")
+
     spark.stop()
 
 

@@ -195,3 +195,74 @@ quality_checks:
     assert report.passed, report.errors
     ml_names = [c.name for c in report.checks if c.category == "ml"]
     assert len(ml_names) == 6
+
+
+def test_lm_split_leakage_guard_contract(spark):
+    """examples/lm_split_contract.yml — the train/test leakage guard
+    for the LM scoring ladder (round-6 verdict ask): build the split
+    assignment table an LM pipeline would materialize from the REAL
+    documents fixture (temporal split: train = ingested before the
+    cutoff, score = after), validate it green, then prove both failure
+    modes fire — a doc_id leaked into both splits trips no_overlap,
+    and a score row ingested before the train boundary trips
+    temporal_split. Runs strict: the reference routes quality/ML
+    failures as warnings by default, but a leakage GATE must fail the
+    pipeline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dce_spark.data import load_table
+
+    from conftest import SF_DIR
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "lm_split_contract.yml"
+    )
+    contract = open(path).read()
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    cutoff = 400  # deterministic 80/20 by pseudo-ingestion order
+    split_tbl = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < cutoff, F.lit("train"))
+        .otherwise(F.lit("score"))
+        .alias("split"),
+        # stand-in ingestion clock: one minute per doc_id, so the
+        # temporal boundary coincides with the id cutoff
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") * 60)
+        .alias("ingest_ts"),
+    )
+    # strict: ML-check failures are warnings by default (the
+    # reference's severity routing) — a leakage GATE must hard-fail
+    report = validate_df(spark, split_tbl, contract, strict=True)
+    assert report.passed, [e for e in report.errors]
+    ml_names = [c.name for c in report.checks if c.category == "ml"]
+    assert any("no_overlap" in n for n in ml_names), ml_names
+    assert any("temporal_split" in n for n in ml_names), ml_names
+
+    # failure mode 1: the same doc_id lands in BOTH splits
+    leaked = split_tbl.unionByName(
+        split_tbl.filter(F.col("doc_id") == 7).withColumn(
+            "split", F.lit("score")
+        )
+    )
+    rep_leak = validate_df(spark, leaked, contract, strict=True)
+    assert not rep_leak.passed
+    assert any(
+        "no_overlap" in c.name and not c.passed for c in rep_leak.checks
+    )
+
+    # failure mode 2: a score row ingested BEFORE the train boundary
+    backdated = split_tbl.withColumn(
+        "ingest_ts",
+        F.when(
+            F.col("doc_id") == cutoff + 1,
+            F.timestamp_seconds(F.lit(1_700_000_000)),
+        ).otherwise(F.col("ingest_ts")),
+    )
+    rep_time = validate_df(spark, backdated, contract, strict=True)
+    assert not rep_time.passed
+    assert any(
+        "temporal_split" in c.name and not c.passed for c in rep_time.checks
+    )
