@@ -310,14 +310,20 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
     fast: bool = False,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """Per-document MinHash signature: one min-aggregate per hash seed,
     single shuffle on doc id. Returns (id, h0..h{k-1}).
     ``fast=True`` swaps md5 for xxhash64 (see _hash_expr) — the 100 TB
-    path; keep the default for oracle-checked parity runs."""
+    path; keep the default for oracle-checked parity runs.
+    ``seed_offset`` shifts the seed range to [offset, offset+k): two
+    calls with disjoint offsets give INDEPENDENT MinHash families —
+    what a banding-stability check compares. Output column names stay
+    h0..h{k-1} regardless of offset, so downstream banding is
+    offset-agnostic."""
     sh = _shingle_table(df, text_col, id_col, n)
     aggs = [
-        F.min(_hash_expr(i, F.col("sh"), fast)).alias(f"h{i}")
+        F.min(_hash_expr(seed_offset + i, F.col("sh"), fast)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
@@ -331,13 +337,16 @@ def _band_buckets(
     num_hashes: int,
     bands: int,
     fast: bool,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """(__id, band, bkey) LSH bucket rows — the shared layout for the
     self-join (lsh_candidate_pairs) and the batch-vs-corpus join
     (incremental_lsh_matches)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, fast)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, fast, seed_offset=seed_offset
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -419,6 +428,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     fast: bool = False,
     max_bucket_size: int | None = None,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signatures -> band buckets ->
     pairs sharing any bucket. Returns distinct (doc_a, doc_b), a < b.
@@ -429,9 +439,13 @@ def lsh_candidate_pairs(
     recall contract), mirroring jaccard's ``max_shingle_freq``.
     ``fast=True`` uses xxhash64 end-to-end (signatures + band keys):
     same candidate semantics, ~10x less hashing CPU — the production
-    path; default md5 stays oracle-portable.
+    path; default md5 stays oracle-portable. ``seed_offset`` selects
+    an independent hash family (see minhash_signatures).
     """
-    buckets = _band_buckets(df, text_col, id_col, n, num_hashes, bands, fast)
+    buckets = _band_buckets(
+        df, text_col, id_col, n, num_hashes, bands, fast,
+        seed_offset=seed_offset,
+    )
     if max_bucket_size is not None:
         buckets = _cap_buckets(buckets, max_bucket_size)
     buckets = buckets.persist()  # both sides of the self-join reuse this

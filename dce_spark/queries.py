@@ -1107,24 +1107,32 @@ _MINHASH_PAIRS_SELECT = """SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CA
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
 
 
-def _minhash_hash_aggs(num_hashes: int = 8) -> str:
+def _minhash_hash_aggs(num_hashes: int = 8, seed_offset: int = 0) -> str:
     """SQL mirror of ext/dedup._hash_expr + minhash_signatures: one
     min(md5('seed:'||shingle)) per seed. The ONE definition — reused by
-    the self-join oracle and the incremental batch-vs-corpus oracle so
-    the hashing convention cannot drift between them."""
+    the self-join oracle, the incremental batch-vs-corpus oracle, and
+    the staged banding-stability oracle so the hashing convention
+    cannot drift between them. ``seed_offset`` mirrors the library's
+    independent-family parameter (seeds shift, column names do not)."""
     return ",\n         ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+        f"min(md5('{seed_offset + i}:' || sh)) AS h{i}"
+        for i in range(num_hashes)
     )
 
 
-def _minhash_band_selects(bands: int = 4, extra_cols: str = "") -> str:
+def _minhash_band_selects(
+    bands: int = 4, extra_cols: str = "", sigs_rel: str = "sigs"
+) -> str:
     """SQL mirror of ext/dedup._band_buckets' band-key derivation
     (md5 of the concatenated per-band signature slice). ``extra_cols``
     lets callers thread marker columns (e.g. a batch/corpus side tag)
-    through the UNION."""
+    through the UNION; ``sigs_rel`` names the signature CTE so a
+    second independent family (the staged banding-stability oracle)
+    can reuse the ONE band-key definition."""
     ec = f"{extra_cols}, " if extra_cols else ""
     return "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {ec}{b} AS band, md5(h{2*b} || h{2*b+1}) AS bkey FROM sigs"
+        f"  SELECT doc_id, {ec}{b} AS band, "
+        f"md5(h{2*b} || h{2*b+1}) AS bkey FROM {sigs_rel}"
         for b in range(bands)
     )
 
@@ -1900,6 +1908,22 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   queries EARLY, then window: 20 promoted + the 15 deferred r1/r2
 #   rows listed above + 15 refresh slots (r6's own new queries first,
 #   then next-stalest r2 greens) = exactly 50. Freeze at rotation.
+#   ROUND 7 PLAN — promote the TWELVE staged queries
+#   (queries_staging_r7.py: duplicate_ngram_rate_documents,
+#   zipf_slope_documents, oov_rate_by_source_documents,
+#   embedding_norm_outliers, session_gap_sensitivity_events,
+#   cusum_drift_events, drop_rate_by_delay_events,
+#   minhash_band_stability_documents, multimodal_aspect_hist,
+#   funnel_time_to_convert_events,
+#   opq_reconstruction_error_embeddings, ivf_pq_recall_embeddings —
+#   all oracle-verified at sf0.001 + sf0.01 + sf0.1 in round 6),
+#   register any new round-7 queries EARLY, then window: 12 promoted
+#   + round 7's own new queries + the stalest r3-only greens (36 r3
+#   rows remain after this rotation: the 49 r3 greens minus the 13
+#   windowed below; pack_assign_documents and char_entropy_documents
+#   — displaced from this window by the two new r6 queries — go
+#   first) = exactly 50. Freeze at rotation.
+#
 #   ROUND 6 WINDOW (this list) = the 20 promoted round-5 stagings
 #   (registered from queries_more.py, fronted here the same round —
 #   no unchecked tail) + the 15 r1/r2-stale rows deferred from r5

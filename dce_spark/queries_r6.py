@@ -150,12 +150,10 @@ def _adc_topk_ctes(p: str, qsrc: str) -> str:
 # per-dim variance -> snake permutation -> xr; then PQ train/encode/
 # ADC on BOTH e (raw) and xr (rotated), exact top-10 on e as ground
 # truth (squared L2 is rotation-invariant, so one truth serves both).
-_OPQ_ORACLE = (
-    """WITH e AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-  FROM embeddings
-)"""
-    + _pow_ctes("e", 64, "p1", "0.125")
+# _rotation_replay_ctes (e -> xr) is shared with the staged round-7
+# opq_reconstruction_error oracle so the transform cannot drift.
+_ROTATION_REPLAY_CTES = (
+    _pow_ctes("e", 64, "p1", "0.125")
     + """, u1 AS (
   SELECT list_transform(up, y -> y / sqrt(list_sum(
            list_transform(up, z -> z * z)))) AS ul
@@ -219,6 +217,14 @@ _OPQ_ORACLE = (
          list_transform(range(1, 65), t -> x[pl[t] + 1]) AS x
   FROM x2, perml
 )"""
+)
+
+_OPQ_ORACLE = (
+    """WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+)"""
+    + _ROTATION_REPLAY_CTES
     + _pq_train_ctes6("e", "p")
     + _pq_train_ctes6("xr", "r")
     + """, qv AS (
