@@ -1025,16 +1025,24 @@ def opq_apply(
     out_col: str = "vec",
 ) -> DataFrame:
     """Apply a fitted OPQ-lite transform: two Householder reflections
-    then the permutation, all in one narrow map pass (each reflection
-    stages its dot product as a real column; the permutation is m
-    array lookups). Returns (id_col, out_col)."""
+    then the permutation. Each reflected stage is MATERIALIZED
+    (persist + eager count — the tfidf word-table convention: callers
+    clearCache after consuming) because Catalyst's projection collapse
+    otherwise inlines the staged dot product back into the next
+    stage's HOF lambda and the whole chain re-evaluates PER ARRAY
+    ELEMENT — measured 47 s for 2000 x 64 vectors, ~2 s materialized.
+    At 100 TB the rotated table is WRITTEN between stages (the
+    save_ivfpq_index layout), so the local caches stand in for that
+    write, not for extra compute. Returns (id_col, out_col)."""
     dim = len(rot["u1"])
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__x"),
     )
-    x1 = _householder_apply(base, rot["u1"], "__x", "__x1")
-    x2 = _householder_apply(x1, rot["u2"], "__x1", "__x2")
+    x1 = _householder_apply(base, rot["u1"], "__x", "__x1").persist()
+    x1.count()
+    x2 = _householder_apply(x1, rot["u2"], "__x1", "__x2").persist()
+    x2.count()
     perm_lit = F.array(*[F.lit(int(p)) for p in rot["perm"]])
     out = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
