@@ -86,6 +86,27 @@ def main() -> None:
     print(f"near-dup pairs >=0.95: {n_pairs}; batch-ANN plan joins: "
           f"{rep.joins} (cartesian: {rep.cartesian_like})")
 
+    # 6. OPQ-lite: learn an orthogonal transform (two Householder
+    # reflections onto subspace starts + variance-balancing snake
+    # permutation), then read recall@10 with/without it at equal code
+    # size — ALWAYS measure before shipping a rotation: it pays only
+    # when top covariance directions cross subspace boundaries
+    from dce_spark.ext.similarity import opq_apply, opq_rotation_fit
+
+    rot = opq_rotation_fit(emb, dim=len(qvec), m=8)
+    xr = opq_apply(emb, rot)
+    # the snake puts variance-rank r at position (r%8)*8 + r//8, so the
+    # top-8 dims land at subspace STARTS: perm[0], perm[8], perm[16], ...
+    print("OPQ-lite: top-4 variance dims land at subspace starts:",
+          [int(rot["perm"][s * 8]) for s in range(4)])
+    print("rotated table columns:", xr.columns)
+    both = {
+        r["query_id"]: (r["recall_pq_at_10"], r["recall_opq_at_10"])
+        for r in QUERIES["pq_opq_recall_embeddings"].fn(spark, sf_dir).collect()
+    }
+    print("recall@10 (pq, opq) per query:", both)
+    spark.catalog.clearCache()  # opq_apply materializes its stages
+
     spark.stop()
 
 
