@@ -43,6 +43,12 @@ The entries extend round-6 library surfaces one step further:
   pipeline (coarse cell probe, then ADC within probed cells) vs exact
   search: the full billion-vector serving path, quality-checked
   end-to-end.
+- ``kn_discount_logprob_documents`` — interpolated Kneser-Ney bigram
+  LM (absolute discounting + continuation probability), completing
+  the smoothing ladder add-1 -> Jelinek-Mercer -> KN.
+- ``burstiness_events`` — per-user inter-arrival burstiness
+  (sigma-mu)/(sigma+mu): the bot/cron-traffic signal volume checks
+  cannot see.
 
 tests/test_staging_r7.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1279,4 +1285,203 @@ def ivf_pq_recall_embeddings(spark, sf_dir):
         )
         .join(F.broadcast(ncand), "query_id")
         .select("query_id", "n_candidates", "recall_at_10")
+    )
+
+
+# ---------------------------------------------------------------------
+# 13. Interpolated Kneser-Ney bigram LM (absolute discounting +
+#     continuation probability — the smoothing family step past JM)
+# ---------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@stage(
+    "kn_discount_logprob_documents",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         unnest(list_slice(t, 2, len(t))) AS w2
+  FROM toks WHERE len(t) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(sum(cnt2) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY w1
+), bwd AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS bt FROM c2
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(ln((CAST(c2.cnt2 AS DOUBLE) - {_KN_D}) / ctx.c1
+                    + {_KN_D} * ctx.n1f / ctx.c1
+                      * (CAST(bwd.n1b AS DOUBLE) / tt.bt)))
+             / count(*), 6) AS avg_logprob
+FROM bg
+JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+JOIN ctx ON ctx.w1 = bg.w1
+JOIN bwd ON bwd.w2 = bg.w2
+CROSS JOIN tt
+GROUP BY bg.doc_id""",
+    "training-data op: interpolated KNESER-NEY bigram LM score "
+    f"(absolute discount D={_KN_D}) — each doc's mean "
+    "ln(max(c(w1,w2)-D,0)/c(w1.) + D*N1+(w1,.)/c(w1.) * "
+    "P_cont(w2)), where the CONTINUATION probability P_cont(w2) = "
+    "N1+(.,w2)/|bigram types| counts how many distinct contexts a "
+    "word follows rather than how often it occurs — the insight that "
+    "makes KN the default n-gram smoother ('Francisco' is frequent "
+    "but only ever follows 'San', so its continuation mass is tiny). "
+    "Completes the smoothing ladder add-1 -> Jelinek-Mercer -> KN "
+    "(bigram_logprob / interp_logprob / this). Self-trained, so every "
+    "scored bigram has c2 >= 1 > D and the max() never binds — the "
+    "discounted term stays strictly positive. Scale shape: identical "
+    "to interp_logprob — count tables equi-joined back onto the "
+    "bigram stream on token keys, a 1-row type-count broadcast, one "
+    "groupBy per doc; all counts exact BIGINT (context totals from "
+    "the bigram table itself, so c1 = sum of its group's cnt2 by "
+    "construction), one 6dp-rounded mean of ln terms per doc.",
+)
+def kn_discount_logprob_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.lower(F.col("text"))).alias("t")
+    )
+    bg = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("cnt2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    bwd = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).alias("bt"))
+    p = (
+        (F.col("cnt2").cast("double") - F.lit(_KN_D)) / F.col("c1")
+        + F.lit(_KN_D)
+        * F.col("n1f")
+        / F.col("c1")
+        * (F.col("n1b").cast("double") / F.col("bt"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 14. Per-user burstiness (temporal-pattern QC over inter-arrivals)
+# ---------------------------------------------------------------------
+
+_BURSTY_MIN_EVENTS = 5
+
+
+@stage(
+    "burstiness_events",
+    f"""WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), per AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(gap * gap) AS BIGINT) AS sg2
+  FROM g GROUP BY user_id
+  HAVING count(gap) >= {_BURSTY_MIN_EVENTS}
+), b AS (
+  SELECT (sqrt(greatest(0.0,
+            CAST(sg2 AS DOUBLE) / n
+            - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n)))
+          - CAST(sg AS DOUBLE) / n)
+         / (sqrt(greatest(0.0,
+              CAST(sg2 AS DOUBLE) / n
+              - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n)))
+            + CAST(sg AS DOUBLE) / n) AS bsc
+  FROM per WHERE sg > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(round(bsc * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*), 6) AS mean_burstiness,
+       CAST(count(*) FILTER (WHERE bsc > 0.2) AS BIGINT) AS n_bursty,
+       CAST(count(*) FILTER (WHERE bsc < -0.2) AS BIGINT) AS n_regular
+FROM b""",
+    "temporal-pattern QC: per-user BURSTINESS of inter-arrival gaps — "
+    "B = (sigma - mu)/(sigma + mu) in [-1, 1]: +1 = maximally bursty "
+    "(bot bursts, scraping), 0 = Poisson, negative = pacemaker-"
+    "regular (cron/heartbeat traffic wearing a user id). The "
+    "aggregate counts how much of the user base sits in each regime "
+    f"(|B| > 0.2 cutoffs, >= {_BURSTY_MIN_EVENTS} gaps per user) — "
+    "an abuse/automation signal the per-day volume checks cannot "
+    "see. Determinism: gaps are floor-second INTEGERS (the "
+    "sessionization convention), so each user's moment sums are "
+    "exact BIGINTs and both engines derive bit-identical mu/sigma "
+    "before the clamped sqrt; the corpus mean quantizes per-user "
+    "scores at 1e9 (the established convention for sums of doubles). "
+    "Scale shape: one per-user window pass for gaps, one per-user "
+    "aggregate, one scalar rollup — no joins, no driver state.",
+)
+def burstiness_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts"))
+    g = ev.select("user_id", (ep - F.lag(ep).over(w)).alias("gap"))
+    per = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n"),
+            F.sum("gap").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+        )
+        .filter(
+            (F.col("n") >= _BURSTY_MIN_EVENTS) & (F.col("sg") > 0)
+        )
+    )
+    mu = F.col("sg").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            F.lit(0.0), F.col("sg2").cast("double") / F.col("n") - mu * mu
+        )
+    )
+    b = per.select(((sd - mu) / (sd + mu)).alias("bsc"))
+    return b.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum(F.round(F.col("bsc") * F.lit(1e9)).cast("long"))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_burstiness"),
+        F.sum((F.col("bsc") > 0.2).cast("long")).alias("n_bursty"),
+        F.sum((F.col("bsc") < -0.2).cast("long")).alias("n_regular"),
     )

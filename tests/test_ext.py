@@ -1308,3 +1308,48 @@ def test_opq_rotation_improves_recall_on_anisotropic_fixture(spark):
             rcodes.unpersist()
     finally:
         xr.unpersist()
+
+
+def test_opq_transform_is_orthogonal(spark):
+    """The fitted OPQ-lite transform must be distance-preserving — two
+    Householder reflections and a permutation are each orthogonal, so
+    L2 norms and pairwise distances survive (up to float dust). This
+    is the invariant that makes the rotated ADC distances comparable
+    to raw exact distances in pq_opq_recall; a normalization or
+    indexing bug in fit/apply breaks it immediately. Also pins that
+    perm is a true permutation and u1/u2 are unit vectors."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dce_spark.ext.similarity import opq_apply, opq_rotation_fit
+
+    rnd = random.Random(3)
+    D = 16
+    rows = [
+        Row(vec_id=i, embedding=[rnd.gauss(0, 1.0 + (j % 4)) for j in range(D)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    rot = opq_rotation_fit(df, dim=D, m=4)
+
+    assert sorted(rot["perm"]) == list(range(D))
+    for u in (rot["u1"], rot["u2"]):
+        assert abs(sum(x * x for x in u) - 1.0) < 1e-9
+
+    out = {
+        int(r["vec_id"]): [float(x) for x in r["vec"]]
+        for r in opq_apply(df, rot).collect()
+    }
+    raw = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    # norms preserved per vector
+    for i in raw:
+        nr = sum(x * x for x in raw[i])
+        no = sum(x * x for x in out[i])
+        assert abs(nr - no) < 1e-9 * max(1.0, nr), i
+    # pairwise distances preserved on a sample
+    for a, b in [(0, 1), (5, 50), (7, 119)]:
+        dr = sum((x - y) ** 2 for x, y in zip(raw[a], raw[b]))
+        do = sum((x - y) ** 2 for x, y in zip(out[a], out[b]))
+        assert abs(dr - do) < 1e-9 * max(1.0, dr), (a, b)
+    spark.catalog.clearCache()  # opq fit/apply materialize stages
