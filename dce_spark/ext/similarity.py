@@ -53,6 +53,7 @@ __all__ = [
     "semantic_decontamination",
     "pca_top_direction",
     "opq_rotation_fit",
+    "opq_fit_apply",
     "opq_apply",
 ]
 
@@ -904,6 +905,88 @@ def _householder_apply(df: DataFrame, u: list[float], vec_col: str, out_col: str
     ))
 
 
+def _opq_fit_stages(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    iters: int,
+    vec_col: str,
+    id_col: str | None,
+):
+    """Shared OPQ-lite fit computation. Returns
+    ``(rot, x1_cached, x2_cached)`` with BOTH stage frames persisted —
+    the caller must release them (``opq_rotation_fit`` does so
+    immediately; ``opq_fit_apply`` first derives the rotated table
+    from the cached x2 so the reflection chain is computed once).
+    Each reflected stage is persisted before the passes that consume
+    it: Catalyst's projection collapse would otherwise inline the
+    staged dot product into downstream HOF lambdas, re-evaluating the
+    whole chain PER ARRAY ELEMENT (the round-5 O(n^2) HOF lesson,
+    compounded across two reflections)."""
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sub_dim = dim // m
+    v1 = pca_top_direction(df, dim=dim, iters=iters, vec_col=vec_col)
+    u1 = _householder_u(v1, 0)
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__x")
+    ]
+    x1 = _householder_apply(df.select(*cols), u1, "__x", "__x1").persist()
+    tail = x1.select(F.slice(F.col("__x1"), 2, dim - 1).alias("__t"))
+    v2t = pca_top_direction(tail, dim=dim - 1, iters=iters, vec_col="__t")
+    u2 = _householder_u([0.0] + v2t, sub_dim)
+    x2 = _householder_apply(x1, u2, "__x1", "__x2").persist()
+    # per-dimension variance of the rotated data (quantized-exact like
+    # the power iteration: mean at 1e9, squared-deviation mean at 1e6)
+    pe = x2.select(F.posexplode("__x2").alias("pos", "v"))
+    mu_rows = (
+        pe.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long"))
+                .cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mu = {int(r["pos"]): float(r["m"]) for r in mu_rows}
+    mu_lit = _as_literal_array([mu[p] for p in range(dim)])
+    var_rows = (
+        x2.select(
+            F.posexplode(
+                F.zip_with(F.col("__x2"), mu_lit, lambda a, b: a - b)
+            ).alias("pos", "d")
+        )
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("d") * F.col("d") * F.lit(1e6)).cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("var")
+        )
+        .collect()
+    )
+    ranked = sorted(
+        ((float(r["var"]), int(r["pos"])) for r in var_rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # snake assignment: rank r lands in subspace (r%m forward on even
+    # blocks, reversed on odd) at within-subspace slot r//m — each
+    # subspace receives one dimension per variance tier
+    perm = [0] * dim
+    for r, (_, j) in enumerate(ranked):
+        blk, off = divmod(r, m)
+        sub = off if blk % 2 == 0 else m - 1 - off
+        perm[sub * sub_dim + blk] = j
+    return {"u1": u1, "u2": u2, "perm": perm}, x1, x2
+
+
 def opq_rotation_fit(
     df: DataFrame,
     dim: int,
@@ -921,7 +1004,9 @@ def opq_rotation_fit(
     form. Returns driver-side metadata ``{"u1", "u2", "perm"}``
     (like IVF centroids / PQ codebooks): u1/u2 are the Householder
     vectors, ``perm[t]`` is the SOURCE dimension landing at target
-    position ``t``.
+    position ``t``. Leaves no cache debt; when the rotated table is
+    needed too, :func:`opq_fit_apply` shares the fit's reflected
+    stages instead of recomputing them.
 
     Every arithmetic step is an in-order fold over quantized-exact
     aggregates, so a SQL oracle replays the whole fit bit-identically
@@ -934,87 +1019,42 @@ def opq_rotation_fit(
     isotropic corpora it is a provably-orthogonal no-op — measure
     recall@k before shipping either way (pq_opq_recall_embeddings).
     """
-    if dim % m:
-        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
-    sub_dim = dim // m
-    v1 = pca_top_direction(df, dim=dim, iters=iters, vec_col=vec_col)
-    u1 = _householder_u(v1, 0)
-    # persist each reflected stage before the passes that consume it:
-    # Catalyst's projection collapse would otherwise inline the staged
-    # dot product into downstream HOF lambdas, re-evaluating the whole
-    # reflection chain PER ARRAY ELEMENT (the round-5 O(n^2) HOF
-    # lesson, compounded across two reflections). Both caches are
-    # released before returning — the fit leaves no cache debt.
-    x1 = _householder_apply(
-        df.select(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__x")
+    rot, x1, x2 = _opq_fit_stages(df, dim, m, iters, vec_col, None)
+    x2.unpersist()
+    x1.unpersist()
+    return rot
+
+
+def opq_fit_apply(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "vec",
+):
+    """Fit AND apply in one pass over the reflection stages: the
+    rotated table is derived from the fit's own cached second
+    reflection (plus the permutation) instead of re-running both
+    Householder passes, halving the transform cost of the
+    fit-then-apply sequence. Returns ``(rot, rotated_df)`` with the
+    rotated table persisted eagerly (the tfidf word-table convention:
+    callers clearCache after consuming); the intermediate stage caches
+    are released before returning."""
+    rot, x1, x2 = _opq_fit_stages(df, dim, m, iters, vec_col, id_col)
+    perm_lit = F.array(*[F.lit(int(p)) for p in rot["perm"]])
+    out = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda t: F.element_at(
+            F.col("__x2"), F.element_at(perm_lit, t.cast("int") + 1) + 1
         ),
-        u1,
-        "__x",
-        "__x1",
-    ).persist()
-    try:
-        tail = x1.select(F.slice(F.col("__x1"), 2, dim - 1).alias("__t"))
-        v2t = pca_top_direction(tail, dim=dim - 1, iters=iters, vec_col="__t")
-        u2 = _householder_u([0.0] + v2t, sub_dim)
-        x2 = _householder_apply(x1, u2, "__x1", "__x2").persist()
-        try:
-            # per-dimension variance of the rotated data (quantized-
-            # exact like the power iteration: mean at 1e9, squared-
-            # deviation mean at 1e6)
-            pe = x2.select(F.posexplode("__x2").alias("pos", "v"))
-            mu_rows = (
-                pe.groupBy("pos")
-                .agg(
-                    (
-                        F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long"))
-                        .cast("double")
-                        / F.lit(1e9)
-                        / F.count(F.lit(1))
-                    ).alias("m"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
-            )
-            mu = {int(r["pos"]): float(r["m"]) for r in mu_rows}
-            mu_lit = _as_literal_array([mu[p] for p in range(dim)])
-            var_rows = (
-                x2.select(
-                    F.posexplode(
-                        F.zip_with(F.col("__x2"), mu_lit, lambda a, b: a - b)
-                    ).alias("pos", "d")
-                )
-                .groupBy("pos")
-                .agg(
-                    (
-                        F.sum(
-                            F.round(
-                                F.col("d") * F.col("d") * F.lit(1e6)
-                            ).cast("long")
-                        ).cast("double")
-                        / F.lit(1e6)
-                        / F.count(F.lit(1))
-                    ).alias("var")
-                )
-                .collect()
-            )
-        finally:
-            x2.unpersist()
-    finally:
-        x1.unpersist()
-    ranked = sorted(
-        ((float(r["var"]), int(r["pos"])) for r in var_rows),
-        key=lambda t: (-t[0], t[1]),
     )
-    # snake assignment: rank r lands in subspace (r%m forward on even
-    # blocks, reversed on odd) at within-subspace slot r//m — each
-    # subspace receives one dimension per variance tier
-    perm = [0] * dim
-    for r, (_, j) in enumerate(ranked):
-        blk, off = divmod(r, m)
-        sub = off if blk % 2 == 0 else m - 1 - off
-        perm[sub * sub_dim + blk] = j
-    return {"u1": u1, "u2": u2, "perm": perm}
+    xr = x2.withColumn(out_col, out).select(id_col, out_col).persist()
+    xr.count()  # materialize BEFORE releasing the parent stages
+    x2.unpersist()
+    x1.unpersist()
+    return rot, xr
 
 
 def opq_apply(

@@ -290,8 +290,7 @@ def pq_opq_recall_embeddings(spark, sf_dir):
         _adc_col,
         _as_literal_array,
         _sq_dist_col,
-        opq_apply,
-        opq_rotation_fit,
+        opq_fit_apply,
         pq_encode,
         pq_train,
     )
@@ -304,16 +303,13 @@ def pq_opq_recall_embeddings(spark, sf_dir):
     # plain PQ: m=8 subspaces x k_sub=4 codes = 8 bytes/vector
     cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
     codes = pq_encode(emb, cbs)
-    # OPQ-lite: identical m/k_sub on the rotated vectors. The rotated
-    # table is persisted eagerly (same convention as tfidf's word
-    # table; callers clearCache after consuming): three consumers
-    # (train, encode, query collect) each walk the reflection chain,
-    # and Catalyst's projection collapse would re-evaluate it per
-    # array element inside their HOF lambdas. At 100 TB the rotated +
+    # OPQ-lite: identical m/k_sub on the rotated vectors. The fused
+    # fit+apply derives the rotated table from the fit's own cached
+    # reflection stages (computed once, not twice) and returns it
+    # persisted eagerly — same convention as tfidf's word table;
+    # callers clearCache after consuming. At 100 TB the rotated +
     # encoded table is WRITTEN between stages, not recomputed.
-    rot = opq_rotation_fit(emb, dim=64, m=8)
-    xr = opq_apply(emb, rot).persist()
-    xr.count()
+    rot, xr = opq_fit_apply(emb, dim=64, m=8)
     rcbs = pq_train(xr, dim=64, m=8, k_sub=4, iters=1, vec_col="vec")
     rcodes = pq_encode(xr, rcbs, vec_col="vec")
 

@@ -1027,8 +1027,7 @@ def opq_reconstruction_error_embeddings(spark, sf_dir):
     from .ext.similarity import (
         _pq_subvecs,
         _sq_dist_round9_sql,
-        opq_apply,
-        opq_rotation_fit,
+        opq_fit_apply,
         pq_train,
     )
 
@@ -1056,9 +1055,9 @@ def opq_reconstruction_error_embeddings(spark, sf_dir):
 
     cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
     ptot = recon_total(emb, cbs, "embedding")
-    rot = opq_rotation_fit(emb, dim=64, m=8)
-    xr = opq_apply(emb, rot).persist()
-    xr.count()  # eager (callers clearCache; see pq_opq_recall)
+    # fused fit+apply: rotated table from the fit's own cached stages
+    # (persisted eagerly; callers clearCache — see pq_opq_recall)
+    rot, xr = opq_fit_apply(emb, dim=64, m=8)
     rcbs = pq_train(xr, dim=64, m=8, k_sub=4, iters=1, vec_col="vec")
     rtot = recon_total(xr, rcbs, "vec").select(
         F.col("t").alias("rt"), F.col("n").alias("rn")
