@@ -49,6 +49,11 @@ The entries extend round-6 library surfaces one step further:
 - ``burstiness_events`` — per-user inter-arrival burstiness
   (sigma-mu)/(sigma+mu): the bot/cron-traffic signal volume checks
   cannot see.
+- ``minhash_calibration_documents`` — signature-agreement estimate vs
+  exact Jaccard per agreement level (the table that justifies the
+  verification-free estimate path).
+- ``lsh_degree_hist_documents`` — candidate-graph degree distribution
+  (boilerplate hubs surface here before clustering runs).
 
 tests/test_staging_r7.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1484,3 +1489,186 @@ def burstiness_events(spark, sf_dir):
         F.sum((F.col("bsc") > 0.2).cast("long")).alias("n_bursty"),
         F.sum((F.col("bsc") < -0.2).cast("long")).alias("n_regular"),
     )
+
+
+# ---------------------------------------------------------------------
+# 15. MinHash estimator calibration (estimate vs exact, per bucket)
+# ---------------------------------------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    from .queries import (
+        _MINHASH_PAIRS_SELECT,
+        _minhash_band_selects,
+        _minhash_ctes,
+    )
+
+    assert _minhash_band_selects  # shared-definition imports stay honest
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""WITH {_minhash_ctes()}, pairs AS (
+{_MINHASH_PAIRS_SELECT}
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+  FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_int
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b
+), scored AS (
+  SELECT CAST(({agree}) AS INTEGER) AS agree8,
+         CAST(i.n_int AS DOUBLE)
+           / (za.n_sh + zb.n_sh - i.n_int) AS exact_j
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.doc_a
+  JOIN sigs sb ON sb.doc_id = p.doc_b
+  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sz za ON za.doc_id = p.doc_a
+  JOIN sz zb ON zb.doc_id = p.doc_b
+)
+SELECT agree8,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(round(exact_j * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*), 6) AS mean_exact_jaccard,
+       round(CAST(sum(CAST(round(abs(CAST(agree8 AS DOUBLE) / 8 - exact_j)
+                                 * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*), 6) AS mean_abs_err
+FROM scored GROUP BY agree8"""
+
+
+@stage(
+    "minhash_calibration_documents",
+    _minhash_calibration_oracle(),
+    "dedup estimator QC: MINHASH CALIBRATION — for every LSH candidate "
+    "pair, the 8-hash signature-agreement estimate vs the EXACT "
+    "3-shingle Jaccard, rolled up per agreement level (0..8 matching "
+    "minima): pair count, mean exact Jaccard, mean absolute estimator "
+    "error. This is the table that justifies (or revokes) the "
+    "verification-free scale path minhash_jaccard_estimate relies on: "
+    "E[agree/8] = J only holds if the hash family behaves — a biased "
+    "bucket (mean exact far from agree/8) means the banding or "
+    "hashing drifted and exact verification must stay on. Exact "
+    "intersections come from the inverted-index join (candidates "
+    "only, never all pairs); every count is exact BIGINT, per-pair "
+    "doubles are exact rationals, and the two means quantize at 1e9 "
+    "(the established sum convention). Scale: candidate-pair-sized "
+    "joins on doc-id/shingle keys; the rollup is <= 9 rows.",
+)
+def minhash_calibration_documents(spark, sf_dir):
+    from .ext import dedup as X_dedup
+
+    df = load_table(spark, sf_dir, "documents")
+    sh = X_dedup._shingle_table(df, "text", "doc_id", 3)
+    sigs = X_dedup.minhash_signatures(df, num_hashes=8)
+    pairs = X_dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4)
+    sz = sh.groupBy(F.col("__id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    inter = (
+        pairs.join(
+            sh.select(F.col("__id").alias("doc_a"), F.col("sh").alias("sha")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("__id").alias("doc_b"), F.col("sh").alias("shb")),
+            "doc_b",
+        )
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    agree = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(8)
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(8)],
+    )
+    exact_j = F.col("n_int").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_int")
+    )
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"])
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            agree.alias("agree8"),
+            exact_j.alias("exact_j"),
+        )
+    )
+
+    def qmean(col):
+        return F.round(
+            F.sum(F.round(col * F.lit(1e9)).cast("long")).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return scored.groupBy("agree8").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        qmean(F.col("exact_j")).alias("mean_exact_jaccard"),
+        qmean(
+            F.abs(F.col("agree8").cast("double") / F.lit(8) - F.col("exact_j"))
+        ).alias("mean_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 16. LSH candidate-graph degree distribution (hub detection QC)
+# ---------------------------------------------------------------------
+
+
+def _lsh_degree_oracle() -> str:
+    from .queries import _MINHASH_PAIRS_SELECT, _minhash_ctes
+
+    return f"""WITH {_minhash_ctes()}, pairs AS (
+{_MINHASH_PAIRS_SELECT}
+), deg AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT doc_a AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS d FROM pairs
+  ) GROUP BY d
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree"""
+
+
+@stage(
+    "lsh_degree_hist_documents",
+    _lsh_degree_oracle(),
+    "dedup graph QC: DEGREE DISTRIBUTION of the MinHash-LSH candidate "
+    "graph — how many near-dup candidates each document touches. The "
+    "complement to pagerank_dedup_graph (which scores WHICH docs are "
+    "hubs) and dedup_cluster_size_hist (component sizes): a heavy "
+    "degree tail is the earliest symptom of boilerplate/template text "
+    "flooding the buckets, and it appears BEFORE clustering is run — "
+    "the signal that decides whether _cap_buckets' hot-bucket cap "
+    "must tighten. Composition: the candidate-pair operator, one "
+    "union-all explode of the two pair endpoints, two metadata-sized "
+    "groupBys; exact BIGINT throughout, no new scale surface.",
+)
+def lsh_degree_hist_documents(spark, sf_dir):
+    from .ext.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))

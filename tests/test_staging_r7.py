@@ -61,10 +61,84 @@ def test_staged_specs_well_formed():
     round-7 promotion loop will rely on."""
     from dce_spark.queries import _DRIVER_WINDOW, QUERIES
 
-    assert len(STAGED_R7) == 14
+    assert len(STAGED_R7) == 16
     for name, spec in STAGED_R7.items():
         assert len(spec.doc) > 80, name  # real doc, not a stub
         assert spec.oracle.strip().upper().startswith(("WITH", "SELECT")), name
         assert spec.oracle == staged_oracle(name), name
         assert name not in QUERIES, name
         assert name not in _DRIVER_WINDOW, name
+
+
+def test_cusum_closed_form_matches_recursive_fold(spark):
+    """cusum_drift_events computes Page's CUSUM without recursion as
+    S_t - min(S_0..S_t) / max(S_0..S_t) - S_t. Prove the identity
+    against the textbook recursive fold C_t = max(0, C_{t-1} + d_t)
+    replayed driver-side over the same daily series."""
+    from pyspark.sql import functions as F
+
+    from dce_spark.data import load_table
+    from dce_spark.queries_staging_r7 import STAGED_R7
+
+    daily = sorted(
+        (r["day"], r["cnt"])
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n = len(daily)
+    t = sum(c for _, c in daily)
+    cpos = cneg = 0
+    max_pos = max_neg = 0
+    peak_day = None
+    for day, c in daily:
+        d = c * n - t  # scaled integer deviation (exact)
+        cpos = max(0, cpos + d)
+        cneg = max(0, cneg - d)
+        if cpos > max_pos:
+            max_pos, peak_day = cpos, day
+        elif cpos == max_pos and peak_day is None:
+            peak_day = day
+        max_neg = max(max_neg, cneg)
+    # min day among ALL rows attaining the max (query tie-break)
+    cpos = 0
+    attain = []
+    for day, c in daily:
+        cpos = max(0, cpos + c * n - t)
+        if cpos == max_pos:
+            attain.append(day)
+    row = STAGED_R7["cusum_drift_events"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert row["max_cusum_pos"] == round(max_pos / n, 6)
+    assert row["max_cusum_neg"] == round(max_neg / n, 6)
+    assert row["peak_day"] == min(attain)
+    spark.catalog.clearCache()
+
+
+def test_burstiness_partitioning_invariant(spark):
+    """burstiness_events' per-user moments are exact integers, so the
+    result must not depend on the input's physical partitioning (the
+    kmeans/PQ determinism contract applied to window+aggregate)."""
+    from dce_spark.data import load_table
+    from dce_spark.queries_staging_r7 import STAGED_R7
+
+    base = tuple(
+        STAGED_R7["burstiness_events"].fn(spark, SF_DIR).collect()[0]
+    )
+
+    import dce_spark.queries_staging_r7 as S
+    from dce_spark import data as D
+
+    orig = D.load_table
+    try:
+        D.load_table = lambda sp, sf, name: orig(sp, sf, name).repartition(13)
+        S.load_table = D.load_table
+        got = tuple(
+            STAGED_R7["burstiness_events"].fn(spark, SF_DIR).collect()[0]
+        )
+    finally:
+        D.load_table = orig
+        S.load_table = orig
+    assert got == base
+    spark.catalog.clearCache()
