@@ -84,6 +84,29 @@ def test_driver_window_invariants():
     assert list(queries())[:50] == _DRIVER_WINDOW
 
 
+def test_no_unchecked_catalog_tail():
+    """Every catalog query must be either already driver-green in a
+    committed CORRECTNESS artifact or sitting in the CURRENT driver
+    window — otherwise this round's rotation would leave a registered
+    query no driver row ever checks (the r1-r3 unchecked-tail bug,
+    made structurally impossible)."""
+    import glob
+    import json
+    import os
+
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    prev: set[str] = set()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        prev |= set(json.load(open(path)))
+    uncovered = set(QUERIES) - prev - set(_DRIVER_WINDOW)
+    assert not uncovered, (
+        f"registered queries with no prior driver row and no window "
+        f"slot: {sorted(uncovered)}"
+    )
+
+
 def test_bench_parity_probe_labels_consistent():
     """bench.py's PARITY_PROBES must stay in sync with reality: every
     benched NLJ-whitelisted query is labeled a probe, every labeled
