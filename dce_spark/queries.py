@@ -1908,7 +1908,7 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   queries EARLY, then window: 20 promoted + the 15 deferred r1/r2
 #   rows listed above + 15 refresh slots (r6's own new queries first,
 #   then next-stalest r2 greens) = exactly 50. Freeze at rotation.
-#   ROUND 7 PLAN — promote the SIXTEEN staged queries
+#   ROUND 7 PLAN — promote the TWENTY staged queries
 #   (queries_staging_r7.py: duplicate_ngram_rate_documents,
 #   zipf_slope_documents, oov_rate_by_source_documents,
 #   embedding_norm_outliers, session_gap_sensitivity_events,
@@ -1917,9 +1917,12 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   funnel_time_to_convert_events,
 #   opq_reconstruction_error_embeddings, ivf_pq_recall_embeddings,
 #   kn_discount_logprob_documents, burstiness_events,
-#   minhash_calibration_documents, lsh_degree_hist_documents — all
-#   oracle-verified at sf0.001 + sf0.01 + sf0.1 in round 6),
-#   register any new round-7 queries EARLY, then window: 16 promoted
+#   minhash_calibration_documents, lsh_degree_hist_documents,
+#   rolling_active_users_events, gini_user_activity_events,
+#   label_margin_confusion_embeddings,
+#   source_shingle_containment_documents — all oracle-verified at
+#   sf0.001 + sf0.01 + sf0.1 in round 6),
+#   register any new round-7 queries EARLY, then window: 20 promoted
 #   + round 7's own new queries + the stalest r3-only greens (36 r3
 #   rows remain after this rotation: the 49 r3 greens minus the 13
 #   windowed below; pack_assign_documents and char_entropy_documents

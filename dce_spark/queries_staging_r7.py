@@ -54,6 +54,14 @@ The entries extend round-6 library surfaces one step further:
   verification-free estimate path).
 - ``lsh_degree_hist_documents`` — candidate-graph degree distribution
   (boilerplate hubs surface here before clustering runs).
+- ``rolling_active_users_events`` — exact 7-day sliding-window
+  distinct users (dedup to user-days first, then a bounded explode).
+- ``gini_user_activity_events`` — Gini coefficient of per-user event
+  counts (the engagement-concentration number behind salting calls).
+- ``label_margin_confusion_embeddings`` — silhouette-lite centroid
+  margin rolled into a label confusion matrix.
+- ``source_shingle_containment_documents`` — cross-source shingle-set
+  containment matrix (mirror/syndication detection at source level).
 
 tests/test_staging_r7.py runs these through the SAME compare harness
 as the live catalog (exact column order, canonical dtypes, sorted
@@ -1672,3 +1680,348 @@ def lsh_degree_hist_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------
+# 17. Rolling 7-day active users (sliding-window cardinality)
+# ---------------------------------------------------------------------
+
+
+@stage(
+    "rolling_active_users_events",
+    """WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM d
+), pairs AS (
+  SELECT DISTINCT d.user_id, d.day + CAST(k.i AS INTEGER) AS wend
+  FROM d, range(0, 7) k(i), bounds
+  WHERE d.day + CAST(k.i AS INTEGER) BETWEEN bounds.lo AND bounds.hi
+)
+SELECT strftime(wend, '%Y-%m-%d') AS window_end_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM pairs GROUP BY wend""",
+    "engagement metric: ROLLING 7-DAY ACTIVE USERS — for every day in "
+    "the observed range, the count of distinct users active in the "
+    "7-day window ENDING that day (the WAU-style number product "
+    "dashboards track; tumbling windows systematically undercount it "
+    "because week boundaries split streaks). Sliding-window DISTINCT "
+    "cannot reuse tumbling partials — the standard exact shape is the "
+    "one here: dedup to (user, day) FIRST (the big cardinality drop), "
+    "then a bounded 7-way day explode and one distinct-count per "
+    "window end. The 7x expansion applies to the deduped day-level "
+    "table, never the raw event stream; at 100 TB that table is "
+    "users x days, and the final count shuffles (user, wend) pairs "
+    "once. Exact BIGINTs; day arithmetic in DATE type on both "
+    "engines, output as ISO strings.",
+)
+def rolling_active_users_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    pairs = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("i"),
+            "day",
+            "lo",
+            "hi",
+        )
+        .select(
+            "user_id", F.date_add(F.col("day"), F.col("i")).alias("wend"),
+            "lo", "hi",
+        )
+        .filter((F.col("wend") >= F.col("lo")) & (F.col("wend") <= F.col("hi")))
+    )
+    return (
+        pairs.groupBy("wend")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("wend", "yyyy-MM-dd").alias("window_end_day"),
+            "active_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 18. Gini coefficient of user activity (engagement concentration)
+# ---------------------------------------------------------------------
+
+
+@stage(
+    "gini_user_activity_events",
+    """WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), rk AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS r,
+         count(*) OVER () AS n, sum(cnt) OVER () AS t
+  FROM per
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(t) AS BIGINT) AS total_events,
+       round((2.0 * CAST(sum(r * cnt) AS DOUBLE)
+              - (CAST(max(n) AS DOUBLE) + 1) * CAST(max(t) AS DOUBLE))
+             / (CAST(max(n) AS DOUBLE) * CAST(max(t) AS DOUBLE)), 6)
+         AS gini
+FROM rk""",
+    "engagement concentration: GINI COEFFICIENT over per-user event "
+    "counts — 0 = perfectly even engagement, ->1 = a handful of users "
+    "(bots, scrapers, celebrity accounts) generate everything. The "
+    "single-number companion to key_skew_profile (which profiles the "
+    "join-key histogram) and pareto_revenue_share (the revenue "
+    "analogue over parts): this is the statistic that says whether "
+    "per-user sampling or hot-key salting is even worth configuring. "
+    "Exact rank formula G = (2*sum(r*c) - (n+1)*T) / (n*T) with "
+    "ranks ascending by (count, user_id) — every sum is an exact "
+    "BIGINT before the one 6dp division, so the ranking window (the "
+    "pareto precedent: one shuffle over the per-user COUNT table, "
+    "data-sized but orders smaller than the event stream) is the "
+    "only heavy step.",
+)
+def gini_user_activity_events(spark, sf_dir):
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("cnt", "user_id")
+    rk = per.select(
+        "cnt", F.row_number().over(w).alias("r")
+    )
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").alias("total_events"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("r") * F.col("cnt")).cast("double")
+                - (F.count(F.lit(1)).cast("double") + F.lit(1))
+                * F.sum("cnt").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("cnt").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 19. Label-centroid margin + confusion (cluster-separation QC)
+# ---------------------------------------------------------------------
+
+
+def _label_margin_oracle() -> str:
+    return """WITH cent AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(t.pos AS BIGINT) AS pos,
+         CAST(sum(CAST(round(CAST(embedding[t.pos + 1] AS DOUBLE) * 1e9)
+                       AS BIGINT)) AS DOUBLE) / 1e9
+           / CAST(count(*) AS DOUBLE) AS c
+  FROM embeddings, range(0, 64) t(pos)
+  GROUP BY label, t.pos
+), centl AS (
+  SELECT label, list(c ORDER BY pos) AS cl FROM cent GROUP BY label
+), ev AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+), cos AS (
+  -- in-order list folds mirror Spark's cosine_col exactly (a GROUP BY
+  -- sum aggregates in arbitrary order and flips the 6dp rounding on
+  -- boundary values): dot = x[j]*cl[j] in index order, denominator =
+  -- sqrt(x.x) * sqrt(cl.cl) in that operand order
+  SELECT ev.vec_id, ev.label, centl.label AS clabel,
+         round(list_sum(list_transform(range(1, 65),
+                 j -> ev.x[j] * centl.cl[j]))
+               / (sqrt(list_sum(list_transform(ev.x, v -> v * v)))
+                  * sqrt(list_sum(list_transform(centl.cl, v -> v * v)))),
+               6) AS cs
+  FROM ev, centl
+), own AS (
+  SELECT vec_id, label, cs AS own_cs FROM cos WHERE label = clabel
+), other AS (
+  SELECT vec_id, clabel AS nearest_other, cs AS other_cs FROM (
+    SELECT vec_id, clabel, cs,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, clabel) AS rn
+    FROM cos WHERE label <> clabel)
+  WHERE rn = 1
+)
+SELECT own.label, other.nearest_other,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(round((own.own_cs - other.other_cs) * 1e9)
+                          AS BIGINT)) AS DOUBLE) / 1e9 / count(*), 9)
+         AS mean_margin
+FROM own JOIN other USING (vec_id)
+GROUP BY own.label, other.nearest_other"""
+
+
+@stage(
+    "label_margin_confusion_embeddings",
+    _label_margin_oracle(),
+    "embedding-space QC: LABEL-CENTROID MARGIN + CONFUSION — for each "
+    "vector, round-6 cosine to its OWN label centroid minus cosine to "
+    "the nearest FOREIGN centroid (the silhouette-lite separation "
+    "margin), rolled up per (label, nearest_other) pair: a confusion "
+    "matrix over centroid geometry. Negative mean margin on a cell "
+    "means that label's members sit closer to another label's center "
+    "than their own — the labeling/encoder-drift signal read before "
+    "trusting label-partitioned IVF cells or per-label sampling. "
+    "Centroids are the quantized per-label means "
+    "(embedding_centroids_by_label machinery, metadata-sized and "
+    "broadcast as literals); per-vector work is k cosine folds + a "
+    "masked argmax with label tie-break; margins quantize at 1e9 "
+    "before the per-cell mean (rounded 9dp - a 6dp round would sit "
+    "exactly on half boundaries for even cells over the 1e-6 grid). One scan, one small groupBy — no "
+    "pairwise anything.",
+)
+def label_margin_confusion_embeddings(spark, sf_dir):
+    from .ext.similarity import _as_literal_array, cosine_col
+    from .queries import _ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    labels = sorted(cents)
+    coss = F.array(
+        *[
+            F.round(
+                cosine_col(F.col("embedding"), _as_literal_array(cents[l])), 6
+            )
+            for l in labels
+        ]
+    )
+    lbl_arr = F.array(*[F.lit(int(l)).cast("long") for l in labels])
+    base = emb.select(
+        F.col("label").cast("long").alias("label"), coss.alias("cs")
+    )
+    # mask own label to -2.0, then linear argmax with lowest-label ties
+    masked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(labels) - 1)),
+        lambda i: F.when(
+            F.element_at(lbl_arr, i.cast("int") + 1) == F.col("label"),
+            F.lit(-2.0),
+        ).otherwise(F.element_at(F.col("cs"), i.cast("int") + 1)),
+    )
+    staged = base.withColumn("mk", masked)
+    own_idx = (
+        F.array_position(lbl_arr, F.col("label")).cast("int")
+    )
+    best = F.array_max(F.col("mk"))
+    nearest = F.element_at(
+        lbl_arr, F.array_position(F.col("mk"), best).cast("int")
+    )
+    margin = F.element_at(F.col("cs"), own_idx) - best
+    return (
+        staged.select(
+            "label",
+            nearest.alias("nearest_other"),
+            margin.alias("margin"),
+        )
+        .groupBy("label", "nearest_other")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            # round-9, NOT round-6: margins sit on the 1e-6 grid, so a
+            # 2-member cell's mean lands EXACTLY on a 5e-7 boundary and
+            # the engines' half-rules disagree (bit-level noise decides);
+            # at 9dp the quotient's decimals fit and no boundary exists
+            F.round(
+                F.sum(F.round(F.col("margin") * F.lit(1e9)).cast("long"))
+                .cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 20. Cross-source shingle containment (data-mix contamination matrix)
+# ---------------------------------------------------------------------
+
+
+@stage(
+    "source_shingle_containment_documents",
+    """WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), ssh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 2),
+                                                    ' '))) AS sh
+  FROM toks
+), sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM ssh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE) / least(za.n_sh, zb.n_sh), 6)
+         AS containment
+FROM inter i
+JOIN sz za ON za.source = i.source_a
+JOIN sz zb ON zb.source = i.source_b""",
+    "data-mix QC: CROSS-SOURCE SHINGLE CONTAINMENT matrix — for every "
+    "source pair, the shared distinct word-3gram count and the "
+    "containment ratio (shared / smaller side's shingle set). High "
+    "containment between two ingestion sources means one republishes "
+    "the other (mirror sites, syndication, crawl echoes) — the "
+    "source-level signal that per-document near-dup pair counts "
+    "(cross_source_dup_rate) only show after pair explosion, here "
+    "computed directly on SET overlap. Scale shape: dedup to "
+    "(source, shingle) FIRST — the source-level distinct collapse is "
+    "enormous — then a shingle-key equi-join whose output is bounded "
+    "by sources^2 per shingle, never documents^2; exact BIGINT "
+    "counts, one 6dp ratio.",
+)
+def source_shingle_containment_documents(spark, sf_dir):
+    from .ext.dedup import _shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(
+        docs.select(F.col("source").alias("doc_id"), "text"),
+        "text",
+        "doc_id",
+        3,
+    ).select(F.col("__id").alias("source"), "sh").distinct()
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na")),
+            "source_a",
+        )
+        .join(
+            sz.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("na"), F.col("nb")),
+                6,
+            ).alias("containment"),
+        )
+    )

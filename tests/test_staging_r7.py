@@ -61,7 +61,7 @@ def test_staged_specs_well_formed():
     round-7 promotion loop will rely on."""
     from dce_spark.queries import _DRIVER_WINDOW, QUERIES
 
-    assert len(STAGED_R7) == 16
+    assert len(STAGED_R7) == 20
     for name, spec in STAGED_R7.items():
         assert len(spec.doc) > 80, name  # real doc, not a stub
         assert spec.oracle.strip().upper().startswith(("WITH", "SELECT")), name
