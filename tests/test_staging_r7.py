@@ -142,3 +142,64 @@ def test_burstiness_partitioning_invariant(spark):
         S.load_table = orig
     assert got == base
     spark.catalog.clearCache()
+
+
+def test_rolling_active_users_matches_bruteforce(spark):
+    """rolling_active_users_events' explode-based sliding distinct must
+    equal a driver-side brute force: for each day, the union of user
+    sets over the trailing 7 days."""
+    from datetime import timedelta
+
+    from dce_spark.data import load_table
+    from dce_spark.queries_staging_r7 import STAGED_R7
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr("user_id", "CAST(ts AS DATE) AS day")
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    expected = {}
+    for d in days:
+        users = set()
+        for k in range(7):
+            users |= by_day.get(d - timedelta(days=k), set())
+        expected[d.strftime("%Y-%m-%d")] = len(users)
+    got = {
+        r["window_end_day"]: r["active_users"]
+        for r in STAGED_R7["rolling_active_users_events"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+def test_gini_matches_bruteforce_and_bounds(spark):
+    """gini_user_activity_events' rank formula must equal the
+    textbook mean-absolute-difference definition computed driver-side,
+    and sit in [0, 1)."""
+    from dce_spark.data import load_table
+    from dce_spark.queries_staging_r7 import STAGED_R7
+
+    counts = sorted(
+        r["cnt"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    n, t = len(counts), sum(counts)
+    # G = sum_i sum_j |x_i - x_j| / (2 n^2 mu) == rank form on sorted x
+    mad = sum(abs(a - b) for a in counts for b in counts)
+    expected = round(mad / (2 * n * t), 6)
+    row = STAGED_R7["gini_user_activity_events"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == n and row["total_events"] == t
+    assert row["gini"] == expected, (row["gini"], expected)
+    assert 0.0 <= row["gini"] < 1.0
+    spark.catalog.clearCache()
