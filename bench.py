@@ -190,6 +190,34 @@ BENCH_QUERIES = [
     # round-6 additions
     "pq_opq_recall_embeddings",
     "sliding_late_data_windows_events",
+    # round-7 promotions (staged + oracle-verified in round 6)
+    "duplicate_ngram_rate_documents",
+    "zipf_slope_documents",
+    "oov_rate_by_source_documents",
+    "embedding_norm_outliers",
+    "session_gap_sensitivity_events",
+    "cusum_drift_events",
+    "drop_rate_by_delay_events",
+    "minhash_band_stability_documents",
+    "multimodal_aspect_hist",
+    "funnel_time_to_convert_events",
+    "opq_reconstruction_error_embeddings",
+    "ivf_pq_recall_embeddings",
+    "kn_discount_logprob_documents",
+    "burstiness_events",
+    "minhash_calibration_documents",
+    "lsh_degree_hist_documents",
+    "rolling_active_users_events",
+    "gini_user_activity_events",
+    "label_margin_confusion_embeddings",
+    "source_shingle_containment_documents",
+    # round-7 additions
+    "tokenizer_fertility_documents",
+    "pq_codebook_balance_embeddings",
+    "dow_seasonality_events",
+    "event_transition_matrix_events",
+    "arrival_delay_quantiles_events",
+    "watermark_state_rows_events",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but
@@ -409,6 +437,25 @@ def main() -> None:
             ("sessionization", "timeseries"), ("asof_", "timeseries"),
             ("interarrival", "timeseries"), ("funnel", "timeseries"),
             ("retention", "timeseries"), ("range_bucket", "timeseries"),
+            # round-7 names (first benched this round, so the new
+            # prefixes create no subtotal discontinuity vs any
+            # COMMITTED bench artifact; ivf_*/lsh_* also reclassify
+            # r6's ivf_recall_vs_nprobe and lsh_precision from
+            # analytics to embedding/dedup, where they always
+            # belonged — no BENCH_r06 was ever recorded, so nothing
+            # breaks round-over-round)
+            ("duplicate_ngram", "text"), ("zipf_", "text"),
+            ("oov_", "text"), ("kn_discount", "text"),
+            ("tokenizer_", "text"),
+            ("minhash_", "dedup"), ("lsh_", "dedup"),
+            ("source_shingle", "dedup"),
+            ("ivf_", "embedding"), ("opq_", "embedding"),
+            ("label_margin", "embedding"),
+            ("burstiness", "timeseries"), ("session_gap", "timeseries"),
+            ("rolling_active", "timeseries"), ("dow_", "timeseries"),
+            ("event_transition", "timeseries"),
+            ("drop_rate", "streaming"), ("arrival_delay", "streaming"),
+            ("watermark_", "streaming"),
         ):
             if name.startswith(prefix):
                 return f

@@ -1929,17 +1929,84 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   — displaced from this window by the two new r6 queries — go
 #   first) = exactly 50. Freeze at rotation.
 #
-#   ROUND 6 WINDOW (this list) = the 20 promoted round-5 stagings
-#   (registered from queries_more.py, fronted here the same round —
-#   no unchecked tail) + the 15 r1/r2-stale rows deferred from r5
-#   (the 14 named in the r5 plan above PLUS json_extract_events,
-#   which the r5 comment missed but the staleness ledger shows as
-#   r2-only) + 15 refresh slots: round 6's own new queries first,
-#   then the stalest r3-only greens (there are no r2-only rows left
-#   after this rotation — the ledger's next-stalest tier is r3).
-#   CATALOG FROZEN for round 6 at this rotation.
+#   ROUND 6 WINDOW (rotated out in r7) = the 20 promoted round-5
+#   stagings (registered from queries_more.py, fronted here the same
+#   round — no unchecked tail) + the 15 r1/r2-stale rows deferred
+#   from r5 (the 14 named in the r5 plan above PLUS
+#   json_extract_events, which the r5 comment missed but the
+#   staleness ledger shows as r2-only) + 15 refresh slots: round 6's
+#   own new queries first, then the stalest r3-only greens (there
+#   are no r2-only rows left after this rotation — the ledger's
+#   next-stalest tier is r3). CATALOG FROZEN for round 6 at this
+#   rotation. The r6 window was: the 20 r5-promoted stagings
+#   (ivf_recall_vs_nprobe .. pareto_revenue_share_lineitem), the 15
+#   deferred r2 rows (corr_lineitem_qty_price .. json_extract), and
+#   refresh slots pq_opq_recall, sliding_late_data_windows,
+#   embedding_ivf_topk, kmeans_2iter, containment, incremental,
+#   tfidf, pii_scan, funnel, tumbling_window, quantiles_approx, q7,
+#   retention_cohorts, pivot_event_type, embedding_quantize_int8.
+#
+#   ROUND 7 DEVIATION NOTE — the driver never delivered a
+#   CORRECTNESS_r06.json artifact (no round-6 verdict/advice either),
+#   so the 22 round-6 window debutants (20 promoted r5 stagings + the
+#   2 r6-new queries) have NO committed driver-green row. Rotating
+#   them out would recreate the unchecked tail the
+#   test_no_unchecked_catalog_tail invariant exists to prevent, so
+#   they STAY windowed for round 7 and the planned r3-staleness
+#   burn-down defers. The other 28 r6-window rows all have committed
+#   r1-r5 green rows (the 15 r1/r2-deferred and the 13 r3-green
+#   refresh picks), so they rotate out as planned.
+#
+#   ROUND 7 WINDOW (this list) = the 20 promoted round-6 stagings
+#   (queries_staging_r7.py, registered from queries_more.py, fronted
+#   the same round) + round 7's own 6 new queries (queries_r7.py)
+#   + the 22 artifact-less round-6 debutants retained per the note
+#   above + the 2 stalest r3-only greens (pack_assign_documents,
+#   char_entropy_documents — displaced from the r6 window by the two
+#   r6-new queries, first in line per the r6 plan) = exactly 50.
+#   CATALOG FROZEN for round 7 at this rotation (212 entries).
+#
+#   ROUND 8 PLAN — promote the TWENTY staged round-8 queries
+#   (queries_staging_r8.py), register any new round-8 queries EARLY,
+#   then window: 20 promoted + round 8's own new queries + the
+#   stalest r3-only greens (34 r3 rows remain after this rotation:
+#   the 36 in the r6-era ledger minus pack_assign/char_entropy
+#   windowed below; the 17-strong TPC-H q-family is the largest
+#   stale block — front-load it) = exactly 50. If CORRECTNESS_r06
+#   still never lands, CORRECTNESS_r07 covers this window and the
+#   22 retained debutants rotate out with committed proof.
 _DRIVER_WINDOW = [
-    # promoted round-5 stagings (oracle-verified at 3 SFs in r5)
+    # promoted round-6 stagings (oracle-verified at 3 SFs in r6)
+    "duplicate_ngram_rate_documents",
+    "zipf_slope_documents",
+    "oov_rate_by_source_documents",
+    "embedding_norm_outliers",
+    "session_gap_sensitivity_events",
+    "cusum_drift_events",
+    "drop_rate_by_delay_events",
+    "minhash_band_stability_documents",
+    "multimodal_aspect_hist",
+    "funnel_time_to_convert_events",
+    "opq_reconstruction_error_embeddings",
+    "ivf_pq_recall_embeddings",
+    "kn_discount_logprob_documents",
+    "burstiness_events",
+    "minhash_calibration_documents",
+    "lsh_degree_hist_documents",
+    "rolling_active_users_events",
+    "gini_user_activity_events",
+    "label_margin_confusion_embeddings",
+    "source_shingle_containment_documents",
+    # round 7's OWN new queries (queries_r7.py — registered and
+    # windowed the same round, per the plan)
+    "tokenizer_fertility_documents",
+    "pq_codebook_balance_embeddings",
+    "dow_seasonality_events",
+    "event_transition_matrix_events",
+    "arrival_delay_quantiles_events",
+    "watermark_state_rows_events",
+    # the 22 round-6 debutants retained (no CORRECTNESS_r06 artifact
+    # was ever delivered — see the ROUND 7 DEVIATION NOTE above)
     "ivf_recall_vs_nprobe_embeddings",
     "trigram_backoff_logprob_documents",
     "vocab_coverage_documents",
@@ -1960,41 +2027,11 @@ _DRIVER_WINDOW = [
     "lsh_precision_documents",
     "rare_token_ratio_documents",
     "pareto_revenue_share_lineitem",
-    # the 15 rows deferred from the r5 rotation (all r2-stale)
-    "corr_lineitem_qty_price",
-    "ntile_bins_lineitem",
-    "psi_bins_lineitem",
-    "quantiles_lineitem",
-    "embedding_cosine_topk",
-    "embedding_knn_join",
-    "embedding_near_dup_pairs",
-    "dedup_jaccard_documents",
-    "dedup_minhash_lsh_documents",
-    "dedup_simhash_documents",
-    "multimodal_payload_stats",
-    "text_stats_documents",
-    "top_words_documents",
-    "lang_stats_documents",
-    "json_extract_events",
-    # refresh slots: round 6's OWN new queries first (queries_r6.py —
-    # registered and windowed the same round, per the plan), then the
-    # stalest r3-only greens (family-diverse picks; pack_assign /
-    # char_entropy return to the r7 pool)
     "pq_opq_recall_embeddings",
     "sliding_late_data_windows_events",
-    "embedding_ivf_topk",
-    "kmeans_embeddings_2iter",
-    "dedup_containment_documents",
-    "dedup_incremental_documents",
-    "tfidf_top_terms_documents",
-    "pii_scan_documents",
-    "funnel_events",
-    "tumbling_window_counts_events",
-    "quantiles_lineitem_approx",
-    "q7_volume_shipping",
-    "retention_cohorts_events",
-    "pivot_event_type_by_day",
-    "embedding_quantize_int8",
+    # stalest r3-only greens (first in line per the r6 plan)
+    "pack_assign_documents",
+    "char_entropy_documents",
 ]
 
 

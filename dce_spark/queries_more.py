@@ -4281,7 +4281,7 @@ def bpe_pair_counts_documents(spark, sf_dir):
 _BPE_N_MERGES = 3
 
 
-def _bpe_cte(n_merges: int) -> str:
+def _bpe_cte(n_merges: int, keep_word: bool = False) -> str:
     """Oracle CTE chain replaying ``n_merges`` BPE iterations in pure
     SQL: per iteration a zip-unnest pair count, a LIMIT-1 argmax with
     the (count desc, l, r) tie-break, and a list_reduce fold applying
@@ -4291,16 +4291,22 @@ def _bpe_cte(n_merges: int) -> str:
     last symbol instead — encoded as a chr(30)-joined string because
     DuckDB's reduce accumulator must share the element type; chr(30)
     cannot collide since the word table is ^[a-z0-9]+$ only). Sums
-    over BIGINT are cast back to BIGINT (DuckDB widens to HUGEINT)."""
+    over BIGINT are cast back to BIGINT (DuckDB widens to HUGEINT).
+
+    ``keep_word=True`` threads the word ``w`` through every s{k} CTE
+    so consumers can join the final symbolization back to per-source
+    usage (tokenizer_fertility_documents); the default emits exactly
+    the historical text so registered oracle strings are unchanged."""
+    wcol = "w, " if keep_word else ""
     parts = [
-        """WITH words AS (
+        f"""WITH words AS (
   SELECT w, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
           '[[:space:]]+'), x -> x <> '')) AS w FROM documents)
   WHERE regexp_matches(w, '^[a-z0-9]+$')
   GROUP BY w
 ), s0 AS (
-  SELECT cnt, list_transform(range(1, length(w) + 1),
+  SELECT {wcol}cnt, list_transform(range(1, length(w) + 1),
            i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
   FROM words
 )"""
@@ -4314,7 +4320,7 @@ def _bpe_cte(n_merges: int) -> str:
   SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c
   FROM p{k} GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
 ), s{k} AS (
-  SELECT cnt, string_split(list_reduce(syms,
+  SELECT {wcol}cnt, string_split(list_reduce(syms,
     (acc, x) -> CASE WHEN list_extract(string_split(acc, chr(30)), -1) = m{k}.l
                       AND x = m{k}.r
                 THEN acc || m{k}.r ELSE acc || chr(30) || x END), chr(30)) AS syms
@@ -4573,3 +4579,41 @@ for _name, _spec in _STAGED_R6.items():
 del _name, _spec, _o
 
 from . import queries_r6  # noqa: E402,F401  (registers the round-6 additions)
+
+# =====================================================================
+# Round-7 promotion: the twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 6 enter the live catalog here —
+# same protocol as the round-5/6 promotions above. The staging module
+# stays the single source of truth for fn + oracle + doc; round-7
+# staged oracles are all eager strings (the round-6 backfill lesson),
+# so the loop just asserts that invariant instead of backfilling.
+#
+# RE-ENTRANCY: the eager oracles are BUILT at staging-module-body time
+# by helpers that import from .queries — so if a consumer imports
+# queries_staging_r7 FIRST (tests do), that mid-module import runs
+# this whole chain while STAGED_R7 is only partially populated, and a
+# single promotion pass here would register just the prefix. The loop
+# therefore lives in a skip-if-registered function that runs twice:
+# here, and again from the staging module's own tail once all twenty
+# entries exist. Whichever import order wins, the catalog ends
+# complete; doubly-registered names are impossible (the second pass
+# skips), and the driver window is order-independent (queries()
+# fronts _DRIVER_WINDOW explicitly).
+# =====================================================================
+
+
+def _promote_staged_r7() -> None:
+    from .queries import QUERIES
+    from .queries_staging_r7 import STAGED_R7, staged_oracle
+
+    for name, spec in STAGED_R7.items():
+        if name in QUERIES:
+            continue
+        o = staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r7()
+
+from . import queries_r7  # noqa: E402,F401  (registers the round-7 additions)

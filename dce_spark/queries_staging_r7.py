@@ -2025,3 +2025,18 @@ def source_shingle_containment_documents(spark, sf_dir):
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Round-7 promotion hook (second pass; see queries_more's re-entrancy
+# note): several eager-oracle builders above import from .queries at
+# module-body time, so importing THIS module first runs the whole
+# registration chain while STAGED_R7 is still a prefix. Re-invoking
+# the skip-if-registered promotion here — after all twenty entries
+# exist — makes the catalog complete under either import order.
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r7 as _promote  # noqa: E402
+
+_promote()
+del _promote
