@@ -155,15 +155,45 @@ _PASSTHROUGH_NODES = (
     "TakeOrderedAndProject",
     "LocalLimit",
     "GlobalLimit",
+    # adaptive wrappers seen when auditing an EXECUTED df — pure
+    # plumbing around a materialized stage, cannot multiply rows
+    "BroadcastQueryStage",
+    "ShuffleQueryStage",
+    "ResultQueryStage",
+    "TableCacheQueryStage",
+    "ReusedExchange",
+    "ReusedSubquery",
 )
+
+
+_TREE_PREFIX = re.compile(r"^((?:[:+]- |[: ] {2})*)")
 
 
 def _parse_tree(text: str) -> list[tuple[int, str, str, int]]:
     """Tree section of a formatted explain -> [(depth, name, line, id)].
     Markers are 3-char units (':- ', '+- ', ':  ', '   '), so depth is
-    prefix length // 3."""
+    prefix length // 3.
+
+    Two dedup rules keep the parse to WHAT ACTUALLY RUNS (or will run)
+    exactly once; without them every join/exchange double-counts and
+    the scalar-BNLJ build-side pairing misfires:
+
+    - An adaptive plan that has started executing prints ``== Final
+      Plan ==`` followed by ``== Initial Plan ==`` with distinct node
+      ids for each copy. This happens at top level on an executed df
+      AND inline mid-tree under any cached ``InMemoryRelation`` (its
+      child is an executed AdaptiveSparkPlan). Skip each Initial Plan
+      section — scoped by indentation depth, since for the inline case
+      the outer tree RESUMES after it — the final plan is the one that
+      ran.
+    - A cached subtree referenced twice (e.g. a self-join on a
+      persisted frame) prints in full under each ``InMemoryRelation``
+      with the SAME node ids; the cache is computed once, so count its
+      nodes once (skip ids already seen)."""
     out: list[tuple[int, str, str, int]] = []
     started = False
+    seen_ids: set[int] = set()
+    skip_below: int | None = None
     for ln in text.splitlines():
         if ln.startswith("== Physical Plan =="):
             started = True
@@ -172,7 +202,25 @@ def _parse_tree(text: str) -> list[tuple[int, str, str, int]]:
             continue
         if not ln.strip():
             break
-        m = re.match(r"^((?:[:+]- |[: ] {2})*)(.*?)\((\d+)\)\s*$", ln)
+        depth = len(_TREE_PREFIX.match(ln).group(1)) // 3
+        if skip_below is not None:
+            # section CONTENT prints at the marker's own depth (the
+            # marker is a pass-through label, not a parent), so skip
+            # >=; the outer tree resumes strictly shallower
+            if depth >= skip_below:
+                continue
+            skip_below = None
+        if "== Initial Plan ==" in ln:
+            skip_below = depth
+            continue
+        # query-stage rows on an executed plan carry a trailing
+        # ", Statistics(...)" — parse them anyway, or their children
+        # sit two depths below their grandparent and the BNLJ
+        # build-side kid detection misfires
+        m = re.match(
+            r"^((?:[:+]- |[: ] {2})*)(.*?)\((\d+)\)(?:, Statistics\(.*)?\s*$",
+            ln,
+        )
         if not m:
             continue
         rest = m.group(2).strip()
@@ -180,7 +228,13 @@ def _parse_tree(text: str) -> list[tuple[int, str, str, int]]:
             rest = rest[2:]
         if not rest:
             continue
-        out.append((len(m.group(1)) // 3, rest.split()[0], rest, int(m.group(3))))
+        nid = int(m.group(3))
+        if nid in seen_ids:
+            # second print of a shared cached subtree — skip the whole
+            # repeated block (all its ids were seen on the first print)
+            continue
+        seen_ids.add(nid)
+        out.append((depth, rest.split()[0], rest, nid))
     return out
 
 
@@ -227,9 +281,14 @@ def audit(df: DataFrame) -> PlanReport:
     """Lint ``df``'s physical plan without executing it."""
     text = _formatted_plan(df)
     rep = PlanReport()
-    # the formatted output shows each node twice (tree "Node (4)" +
-    # details "(4) Node ..."); count ONLY the details lines
-    nodes = re.findall(r"^\(\d+\)\s+(\w+)", text, flags=re.MULTILINE)
+    # Count nodes from the PARSED TREE (final plan only — see
+    # _parse_tree): the details section lists a block per id from BOTH
+    # the final and initial adaptive plans on an executed df, which
+    # double-counted every join and exchange (found when the staged-
+    # query sweep audited already-collected frames).
+    tree = _parse_tree(text)
+    nodes = [name for _, name, _, _ in tree]
+    tree_ids = {nid for _, _, _, nid in tree}
     for node in _JOIN_NODES:
         n = sum(1 for x in nodes if x == node)
         if n:
@@ -250,8 +309,11 @@ def audit(df: DataFrame) -> PlanReport:
             _count_scalar_bnlj(text), rep.joins["BroadcastNestedLoopJoin"]
         )
 
-    # scan blocks: "(1) Scan parquet ..." followed by indented attributes
-    for m in re.finditer(r"\(\d+\)\s+Scan (\w+)", text):
+    # scan blocks: "(1) Scan parquet ..." followed by indented
+    # attributes; initial-plan detail blocks are skipped via tree_ids
+    for m in re.finditer(r"\((\d+)\)\s+Scan (\w+)", text):
+        if int(m.group(1)) not in tree_ids:
+            continue
         block_start = m.end()
         block = text[block_start : block_start + 2000]
         pushed: list[str] = []
@@ -263,7 +325,7 @@ def audit(df: DataFrame) -> PlanReport:
         if rm and rm.group(1).strip():
             cols = [c.split(":")[0].strip() for c in rm.group(1).split(",")]
         rep.scans.append(
-            ScanInfo(format=m.group(1), pushed_filters=pushed, read_columns=cols)
+            ScanInfo(format=m.group(2), pushed_filters=pushed, read_columns=cols)
         )
     return rep
 

@@ -124,3 +124,24 @@ def test_estimate_and_script_plan_shapes(spark):
 
     rep = assert_scalable(QUERIES["dedup_simhash_pairs_documents"].fn(spark, SF_DIR))
     assert not rep.cartesian_like and rep.row_python_stages == 0
+
+
+def test_audit_executed_adaptive_plan_not_double_counted(spark):
+    """Auditing an already-executed df must see the FINAL adaptive
+    plan only: the formatted explain then prints Final + Initial plan
+    copies with distinct node ids, which used to double every
+    join/exchange count and break the scalar-BNLJ exemption (found
+    when the staged-query sweep audited collected frames)."""
+    df = QUERIES["unigram_logprob_documents"].fn(spark, SF_DIR)
+    before = audit(df)
+    df.collect()  # finalize the adaptive plan
+    after = audit(df)
+    assert after.joins == before.joins
+    # the FINAL plan may legitimately have FEWER exchanges/scans (AQE
+    # exchange reuse); what must never happen is the ~2x inflation of
+    # parsing both plan copies
+    assert after.shuffle_exchanges <= before.shuffle_exchanges
+    assert len(after.scans) <= len(before.scans)
+    assert after.scalar_bnlj == before.scalar_bnlj
+    assert_scalable(df)  # the scalar crossJoin exemption still holds
+    spark.catalog.clearCache()
