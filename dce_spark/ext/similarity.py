@@ -797,66 +797,61 @@ def pca_top_direction(
     emb = df.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x")
     )
-    pe = emb.select(F.posexplode("x").alias("pos", "v"))
-    mu_rows = (
-        pe.groupBy("pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long")).cast("double")
-                / F.lit(1e9)
-                / F.count(F.lit(1))
-            ).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
+    # ONE wide single-row aggregate instead of posexplode + groupBy(pos):
+    # the per-dimension int64 sums are the same addends either way
+    # (exact integer addition commutes), but this shape never shuffles
+    # dim x n exploded rows — the only exchange is the 1-row partial
+    # merge, and at 100 TB that is the difference between a full-corpus
+    # shuffle per power-iteration step and none.
+    mu_terms = ", ".join(
+        f"sum(cast(round(get(x, {i}) * 1e9) as bigint)) as s{i}" for i in range(dim)
     )
-    if len(mu_rows) != dim:
-        raise ValueError(f"expected {dim} dimensions, saw {len(mu_rows)}")
-    # a ragged input vector (fewer than `dim` elements in some rows)
-    # passes the dim-length check but skews per-pos counts — catch it
-    # here rather than dividing the C.v mean by a nondeterministically
-    # chosen n from an unordered collect()
-    counts = {int(r["n"]) for r in mu_rows}
-    if len(counts) != 1:
+    row = emb.agg(
+        F.expr(
+            f"struct({mu_terms}, count(x) as n, "
+            "min(size(x)) as mn, max(size(x)) as mx)"
+        ).alias("r")
+    ).collect()[0]["r"]
+    if row["mx"] is None:
+        raise ValueError(f"expected {dim} dimensions, saw 0 (empty input)")
+    if row["mn"] != row["mx"]:
+        # a ragged input (different vector lengths) would skew the
+        # per-dimension divisors — catch it rather than dividing the
+        # C.v mean by the wrong n
         raise ValueError(
-            f"ragged input: per-position counts differ "
-            f"(min {min(counts)}, max {max(counts)}) — every vector "
+            f"ragged input: vector lengths differ "
+            f"(min {row['mn']}, max {row['mx']}) — every vector "
             f"must have exactly {dim} elements"
         )
-    mu = [0.0] * dim
-    for r in mu_rows:
-        mu[r["pos"]] = float(r["m"])
-    n = counts.pop()
+    if row["mx"] != dim:
+        raise ValueError(f"expected {dim} dimensions, saw {row['mx']}")
+    n = int(row["n"])
+    # double division in index order, exactly the IEEE ops the previous
+    # Spark-side `cast(double) / 1e9 / n` performed
+    mu = [float(row[f"s{i}"]) / 1e9 / n for i in range(dim)]
     mu_lit = _as_literal_array(mu)
 
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(iters):
         v_lit = _as_literal_array(v)
         xd = F.zip_with(F.col("x"), mu_lit, lambda a, b: a - b)
-        staged = emb.select(xd.alias("xd"))
         s = F.aggregate(
             F.zip_with(F.col("xd"), v_lit, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
-        w_rows = (
-            staged.select(s.alias("s"), F.posexplode("xd").alias("pos", "d"))
-            .groupBy("pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("d") * F.col("s") * F.lit(1e6)).cast("long")
-                    ).cast("double")
-                    / F.lit(1e6)
-                    / F.lit(n)
-                ).alias("w")
-            )
-            .collect()
+        # xd staged as a REAL column, s computed from it in a second
+        # projection: the Aggregate consumes both as attributes, so the
+        # fold runs once per row, not once per sum term
+        staged = emb.select(xd.alias("xd")).select(F.col("xd"), s.alias("s"))
+        w_terms = ", ".join(
+            f"sum(cast(round(get(xd, {i}) * s * 1e6) as bigint)) as w{i}"
+            for i in range(dim)
         )
-        w = [0.0] * dim
-        for r in w_rows:
-            w[r["pos"]] = float(r["w"])
-        v = w
+        wrow = staged.agg(F.expr(f"struct({w_terms})").alias("r")).collect()[0][
+            "r"
+        ]
+        v = [float(wrow[f"w{i}"]) / 1e6 / n for i in range(dim)]
     nm = 0.0
     for y in v:  # in-index-order fold == the oracle's ordered list_sum
         nm = nm + y * y
@@ -937,43 +932,30 @@ def _opq_fit_stages(
     u2 = _householder_u([0.0] + v2t, sub_dim)
     x2 = _householder_apply(x1, u2, "__x1", "__x2").persist()
     # per-dimension variance of the rotated data (quantized-exact like
-    # the power iteration: mean at 1e9, squared-deviation mean at 1e6)
-    pe = x2.select(F.posexplode("__x2").alias("pos", "v"))
-    mu_rows = (
-        pe.groupBy("pos")
-        .agg(
-            (
-                F.sum(F.round(F.col("v") * F.lit(1e9)).cast("long"))
-                .cast("double")
-                / F.lit(1e9)
-                / F.count(F.lit(1))
-            ).alias("m"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
+    # the power iteration: mean at 1e9, squared-deviation mean at 1e6),
+    # as two single-row wide aggregates — same int64 addends as the
+    # old posexplode + groupBy(pos) form, no dim x n exploded shuffle
+    mu_terms = ", ".join(
+        f"sum(cast(round(get(__x2, {i}) * 1e9) as bigint)) as s{i}"
+        for i in range(dim)
     )
-    mu = {int(r["pos"]): float(r["m"]) for r in mu_rows}
-    mu_lit = _as_literal_array([mu[p] for p in range(dim)])
-    var_rows = (
-        x2.select(
-            F.posexplode(
-                F.zip_with(F.col("__x2"), mu_lit, lambda a, b: a - b)
-            ).alias("pos", "d")
-        )
-        .groupBy("pos")
-        .agg(
-            (
-                F.sum(
-                    F.round(F.col("d") * F.col("d") * F.lit(1e6)).cast("long")
-                ).cast("double")
-                / F.lit(1e6)
-                / F.count(F.lit(1))
-            ).alias("var")
-        )
-        .collect()
+    mrow = x2.agg(
+        F.expr(f"struct({mu_terms}, count(__x2) as n)").alias("r")
+    ).collect()[0]["r"]
+    n2 = int(mrow["n"])
+    mu_lit = _as_literal_array(
+        [float(mrow[f"s{i}"]) / 1e9 / n2 for i in range(dim)]
     )
+    xd2 = x2.select(
+        F.zip_with(F.col("__x2"), mu_lit, lambda a, b: a - b).alias("xd")
+    )
+    var_terms = ", ".join(
+        f"sum(cast(round(get(xd, {i}) * get(xd, {i}) * 1e6) as bigint)) as v{i}"
+        for i in range(dim)
+    )
+    vrow = xd2.agg(F.expr(f"struct({var_terms})").alias("r")).collect()[0]["r"]
     ranked = sorted(
-        ((float(r["var"]), int(r["pos"])) for r in var_rows),
+        ((float(vrow[f"v{i}"]) / 1e6 / n2, i) for i in range(dim)),
         key=lambda t: (-t[0], t[1]),
     )
     # snake assignment: rank r lands in subspace (r%m forward on even
