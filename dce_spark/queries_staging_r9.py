@@ -482,3 +482,479 @@ def dup_ngram_span_documents(spark, sf_dir):
             "max_dup_run"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# 6. SemDeDup: k-means cells + within-cell cosine pruning
+# ---------------------------------------------------------------------
+
+_SEMDEDUP_THR = 0.95
+
+
+def _semdedup_oracle() -> str:
+    from .queries import _DIRTY_EMB_SQL
+    from .queries_more import _KM_DIST, _KM_K
+
+    return f"""WITH {_DIRTY_EMB_SQL}, e AS (
+  SELECT vec_id, embedding AS v FROM dirty
+), seeds AS (
+  SELECT vec_id AS cid, v FROM e WHERE vec_id < {_KM_K}
+), d0 AS (
+  SELECT e.vec_id, s.cid, {_KM_DIST.format(e='e.v', c='s.v')} AS d2
+  FROM e, seeds s
+), a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d0) WHERE rn = 1
+), c1 AS (
+  SELECT a0.cid, t.pos,
+         CAST(sum(CAST(round(e.v[t.pos + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM e JOIN a0 ON e.vec_id = a0.vec_id, range(0, 64) t(pos)
+  GROUP BY a0.cid, t.pos
+), c1v AS (
+  SELECT cid, list(m ORDER BY pos) AS v FROM c1 GROUP BY cid
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_KM_DIST.format(e='e.v', c='c.v')} AS d2
+  FROM e, c1v c
+), cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1
+), pruned AS (
+  SELECT DISTINCT cb.vec_id
+  FROM cells ca JOIN cells cb
+    ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+  JOIN e ea ON ea.vec_id = ca.vec_id
+  JOIN e eb ON eb.vec_id = cb.vec_id
+  WHERE round(list_sum(list_transform(range(1, 65),
+                i -> ea.v[i] * eb.v[i]))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> ea.v[i] * ea.v[i])))
+           * sqrt(list_sum(list_transform(range(1, 65),
+                i -> eb.v[i] * eb.v[i])))), 6) >= {_SEMDEDUP_THR}
+)
+SELECT CAST(c.cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_pruned,
+       round(CAST(sum(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS prune_rate
+FROM cells c LEFT JOIN pruned p ON p.vec_id = c.vec_id
+GROUP BY c.cid"""
+
+
+@stage(
+    "semdedup_prune_embeddings",
+    _semdedup_oracle(),
+    "SemDeDup (Abbas et al.): embedding-space dedup made tractable by "
+    "CLUSTER-THEN-PRUNE — k-means cells from the deterministic "
+    "2-iteration replay (kmeans_embeddings_2iter's exact protocol: "
+    "seed vectors, quantized-exact mean update, lowest-cid argmin "
+    "ties), then within each cell prune every vector that has a "
+    "LOWER-ID neighbor at cosine >= 0.95 (keep-min-id, the "
+    "dedup_exact convention), reported as per-cell membership and "
+    "prune rates over the dirtied view (25 injected perturbed copies "
+    "so pruning is non-vacuous). Pairs only ever meet INSIDE a cell — "
+    "the quadratic term is bounded by the largest cell, which is the "
+    "entire point of SemDeDup at corpus scale (k grows with n so "
+    "cells stay bounded); the cell equi-join never degenerates into a "
+    "cross join. Scale: 2 corpus scans for the k-means replay, one "
+    "cell-keyed self-join for the prune pass.",
+)
+def semdedup_prune_embeddings(spark, sf_dir):
+    from .ext.similarity import _as_literal_array, dot_col
+    from .queries import _dirty_embeddings
+    from .queries_more import _KM_K
+
+    df = _dirty_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    base = df.select("vec_id", F.col("embedding").alias("v"))
+
+    def d2_to(cvec):
+        lit = _as_literal_array(cvec)
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent_pairs):
+        # argmin with lowest-cid ties — the kmeans_embeddings_2iter
+        # shape verbatim (array of d2 exprs, array_min + array_position)
+        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
+        best_d2 = F.array_min(d2s)
+        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
+        return F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
+
+    seed_rows = base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
+    cid0 = assign(cents)
+    c1_rows = (
+        base.withColumn("cid", cid0)
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    cents1 = [
+        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
+    ]
+    cells = base.select(
+        "vec_id", "v", assign(cents1).alias("cid")
+    ).persist()
+    cells.count()  # materialize: reused by both sides of the self-join
+    n2 = dot_col(F.col("v"), F.col("v"))
+    a = cells.select(
+        F.col("cid"), F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"), n2.alias("na2"),
+    )
+    b = cells.select(
+        F.col("cid"), F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), n2.alias("nb2"),
+    )
+    cos = F.round(
+        dot_col(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
+    pruned = (
+        a.join(b, ["cid"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cos >= F.lit(_SEMDEDUP_THR))
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    return (
+        cells.join(pruned, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("__p"), F.lit(0))).alias("n_pruned"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_pruned").cast("long").alias("n_pruned"),
+            F.round(
+                F.col("n_pruned").cast("double") / F.col("n_members"), 6
+            ).alias("prune_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 7. Hard-negative mining (contrastive training data)
+# ---------------------------------------------------------------------
+
+_HNM_NPROBE = 2
+_HNM_K = 5
+
+_HNM_ORACLE = f"""WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, CAST(t.pos AS BIGINT) AS pos,
+         CAST(sum(CAST(round(v[t.pos + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / CAST(count(*) AS DOUBLE) AS c
+  FROM e, range(0, 64) t(pos)
+  GROUP BY label, t.pos
+), qv AS (
+  SELECT vec_id AS qid, label AS qlabel, v FROM e WHERE vec_id < 3
+), cs AS (
+  SELECT qv.qid, cent.label,
+         sum(CAST(round(cent.c * qv.v[cent.pos + 1] * 1000000000.0)
+                  AS BIGINT)) AS score
+  FROM cent JOIN qv ON cent.label <> qv.qlabel
+  GROUP BY qv.qid, cent.label
+), probe AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, label) AS rk
+    FROM cs)
+  WHERE rk <= {_HNM_NPROBE}
+), cand AS (
+  SELECT q.qid, e.vec_id, e.label AS neg_label,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> q.v[i] * e.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> q.v[i] * q.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> e.v[i] * e.v[i])))), 6) AS cos_sim
+  FROM probe p
+  JOIN qv q ON q.qid = p.qid
+  JOIN e ON e.label = p.label
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(rk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       neg_label,
+       cos_sim
+FROM (
+  SELECT qid, vec_id, neg_label, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM cand)
+WHERE rk <= {_HNM_K}"""
+
+
+@stage(
+    "hard_negative_mining_embeddings",
+    _HNM_ORACLE,
+    "contrastive-training data mining: for each probe query "
+    "(vec_id < 3), the top-5 HARD NEGATIVES — nearest vectors by "
+    "cosine drawn ONLY from the nprobe=2 nearest FOREIGN-label IVF "
+    "cells (close in embedding space, guaranteed different label: the "
+    "pairs that actually move a contrastive loss). Cell ranking uses "
+    "the EXACT-INTEGER quantized dot score (sum of "
+    "round(c*q*1e9) int64 terms) against the quantized per-label "
+    "centroids, so probe selection is bit-deterministic on both "
+    "engines with no float-sum ordering hazard; candidate ranking is "
+    "the established 6dp in-order cosine. Scale shape: centroids are "
+    "a k-row metadata pull (one wide aggregate per label), probes "
+    "resolve driver-side, candidates arrive through a label equi-join "
+    "(broadcast probe dim) — never a corpus cross join; this is the "
+    "ivf_topk search shape pointed at the training-data problem.",
+)
+def hard_negative_mining_embeddings(spark, sf_dir):
+    from .ext.similarity import dot_col
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # per-label quantized centroids: ONE wide aggregate, 64 int64 sums
+    # + count per label (the pca_top_direction wide-agg shape)
+    sum_terms = ", ".join(
+        f"sum(cast(round(get(v, {i}) * 1e9) as bigint)) as s{i}"
+        for i in range(64)
+    )
+    cent_rows = (
+        emb.groupBy("label")
+        .agg(F.expr(f"struct({sum_terms}, count(*) as n)").alias("r"))
+        .collect()
+    )
+    cents = {
+        int(r["label"]): [
+            float(r["r"][f"s{i}"]) / 1e9 / float(int(r["r"]["n"]))
+            for i in range(64)
+        ]
+        for r in cent_rows
+    }
+    q_rows = emb.filter(F.col("vec_id") < 3).collect()
+    probes = []  # (qid, neg_label, qvec)
+    for qr in sorted(q_rows, key=lambda r: int(r["vec_id"])):
+        qid, qlabel = int(qr["vec_id"]), int(qr["label"])
+        qv = [float(x) for x in qr["v"]]
+        scored = []
+        for lbl, c in cents.items():
+            if lbl == qlabel:
+                continue
+            # exact-integer quantized dot — replays the oracle's cs CTE
+            score = sum(
+                int(round(c[i] * qv[i] * 1e9)) for i in range(64)
+            )
+            scored.append((-score, lbl))
+        for _negscore, lbl in sorted(scored)[:_HNM_NPROBE]:
+            probes.append((qid, lbl, qv))
+    probe_df = spark.createDataFrame(
+        probes, "qid long, label long, qv array<double>"
+    )
+    cos = F.round(
+        dot_col(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(dot_col(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot_col(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        emb.join(F.broadcast(probe_df), "label")
+        .select(
+            "qid",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HNM_K)
+        .select("qid", "rank", "vec_id", "neg_label", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------
+# 8. Contrastive anchor/positive pair mining (mid-band Jaccard)
+# ---------------------------------------------------------------------
+
+# Deterministic partial-overlap fixture: the natural corpus is bimodal
+# (near-dups at ~0.99 Jaccard, background at ~0.03 — measured), so a
+# mid-band miner needs injected MIXTURES: for doc_id < 20, a synthetic
+# document whose words are the first half of doc i followed by the
+# first half of doc i+1 (re-keyed +2000000, source of parent a). Both
+# engines build the identical text from the identical raw words —
+# the _dirty_documents / _dirty_embeddings convention, partial-overlap
+# flavor.
+_MIX_CORPUS_SQL = """mixes AS (
+  SELECT a.doc_id + 2000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(a.text, ' '), 1,
+                      CAST(floor((len(string_split(a.text, ' ')) + 1) / 2)
+                           AS BIGINT))
+           || list_slice(string_split(b.text, ' '), 1,
+                         CAST(floor((len(string_split(b.text, ' ')) + 1) / 2)
+                              AS BIGINT)),
+           ' ') AS text,
+         a.source
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < 20
+), corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL SELECT doc_id, text, source FROM mixes
+)"""
+
+_CONTRASTIVE_ORACLE = f"""WITH {_MIX_CORPUS_SQL}, toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                     x -> x <> '') AS t
+  FROM corpus
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 2),
+                                                    ' '))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS common
+  FROM shingles a JOIN shingles b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), banded AS (
+  SELECT p.ia, p.ib, p.common,
+         sa.sz + sb.sz - p.common AS un
+  FROM pairs p JOIN sizes sa ON p.ia = sa.doc_id
+               JOIN sizes sb ON p.ib = sb.doc_id
+  WHERE 5 * p.common >= sa.sz + sb.sz - p.common
+    AND 10 * p.common < 7 * (sa.sz + sb.sz - p.common)
+)
+SELECT CAST(bd.ia AS BIGINT) AS anchor,
+       CAST(bd.ib AS BIGINT) AS positive,
+       round(CAST(bd.common AS DOUBLE) / bd.un, 6) AS jaccard,
+       ca.source = cb.source AS same_source
+FROM banded bd
+JOIN corpus ca ON ca.doc_id = bd.ia
+JOIN corpus cb ON cb.doc_id = bd.ib"""
+
+
+@stage(
+    "contrastive_pair_mining_documents",
+    _CONTRASTIVE_ORACLE,
+    "anchor/positive pair mining for contrastive text training: "
+    "document pairs whose word-3gram Jaccard sits in the MID BAND "
+    "[0.2, 0.7) — related enough to be positives, distinct enough "
+    "that they are not near-duplicates (those the dedup family "
+    "removes). Band membership is decided by EXACT-INTEGER compares "
+    "(5*common >= union, 10*common < 7*union — the "
+    "dedup_threshold_sweep convention: no float boundary can flip an "
+    "engine). Runs over the corpus + injected deterministic MIXTURES "
+    "(half of doc i + half of doc i+1 for doc_id < 20), because the "
+    "natural corpus is bimodal (~0.99 near-dups vs ~0.03 background, "
+    "measured) and a mid-band miner must be proven on pairs that "
+    "actually exist. Same inverted-index equi-join as the Jaccard "
+    "dedup family — documents only meet on shared shingles; at 100 TB "
+    "the shingle string swaps for xxhash64 (the _fast convention).",
+)
+def contrastive_pair_mining_documents(spark, sf_dir):
+    from .ext.dedup import _shingle_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    half = F.expr(
+        "slice(split(text, ' '), 1, "
+        "cast(floor((size(split(text, ' ')) + 1) / 2) as int))"
+    )
+    a = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id"), half.alias("ha"), F.col("source")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), half.alias("hb")
+    )
+    mixes = a.join(b, "doc_id").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.concat(F.col("ha"), F.col("hb")), " ").alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(mixes)
+    sh = _shingle_table(corpus, "text", "doc_id", 3).distinct().persist()
+    sh.count()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    pa, pb = sh.alias("a"), sh.alias("b")
+    common = (
+        pa.join(
+            pb,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    un = F.col("sz_a") + F.col("sz_b") - F.col("common")
+    banded = (
+        common.join(
+            F.broadcast(
+                sizes.select(F.col("__id").alias("ia"), F.col("sz").alias("sz_a"))
+            ),
+            "ia",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("__id").alias("ib"), F.col("sz").alias("sz_b"))
+            ),
+            "ib",
+        )
+        .filter(
+            (F.lit(5) * F.col("common") >= un)
+            & (F.lit(10) * F.col("common") < F.lit(7) * un)
+        )
+        .select("ia", "ib", "common", un.alias("un"))
+    )
+    src = corpus.select("doc_id", "source")
+    return (
+        banded.join(
+            F.broadcast(src.select(F.col("doc_id").alias("ia"),
+                                   F.col("source").alias("src_a"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("ib"),
+                                   F.col("source").alias("src_b"))),
+            "ib",
+        )
+        .select(
+            F.col("ia").cast("long").alias("anchor"),
+            F.col("ib").cast("long").alias("positive"),
+            F.round(F.col("common").cast("double") / F.col("un"), 6).alias(
+                "jaccard"
+            ),
+            (F.col("src_a") == F.col("src_b")).alias("same_source"),
+        )
+    )

@@ -137,3 +137,131 @@ def test_scd2_intervals_tile_the_stream(spark):
             assert int(a["valid_to_s"]) == int(b["valid_from_s"])
             assert int(a["valid_from_s"]) <= int(a["valid_to_s"])
         assert sum(int(r["n_events"]) for r in rows) == totals[uid]
+
+
+def test_semdedup_prunes_exactly_the_injected_copies(spark):
+    """On the dirtied view the ONLY cosine pairs >= 0.95 are
+    (original, its injected perturbed copy) — measured: natural max
+    pairwise cosine is ~0.5. So across cells the prune totals must
+    account for every injected copy whose original landed in the same
+    cell, and membership must equal corpus + 25."""
+    from dce_spark.data import load_table
+
+    out = STAGED_R9["semdedup_prune_embeddings"].fn(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(int(r["n_members"]) for r in out) == n_corpus + 25
+    assert sum(int(r["n_pruned"]) for r in out) == 25  # all copies
+    for r in out:
+        assert 0 <= int(r["n_pruned"]) <= int(r["n_members"])
+    spark.catalog.clearCache()
+
+
+def test_hard_negatives_brute_force(spark):
+    """Replays probe selection and candidate ranking independently in
+    Python over the collected table: quantized per-label centroids,
+    exact-integer probe scores, 6dp cosine top-5."""
+    import math
+
+    from dce_spark.data import load_table
+    from dce_spark.queries_staging_r9 import _HNM_K, _HNM_NPROBE
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    vecs = {int(r["vec_id"]): ([float(x) for x in r["v"]], int(r["label"]))
+            for r in rows}
+    sums, counts = {}, {}
+    for v, lbl in vecs.values():
+        counts[lbl] = counts.get(lbl, 0) + 1
+        s = sums.setdefault(lbl, [0] * 64)
+        for i in range(64):
+            s[i] += int(round(v[i] * 1e9))
+    cents = {
+        lbl: [float(s[i]) / 1e9 / counts[lbl] for i in range(64)]
+        for lbl, s in sums.items()
+    }
+    expect = {}
+    for qid in (0, 1, 2):
+        qv, qlabel = vecs[qid]
+        scored = sorted(
+            (-sum(int(round(c[i] * qv[i] * 1e9)) for i in range(64)), lbl)
+            for lbl, c in cents.items()
+            if lbl != qlabel
+        )[:_HNM_NPROBE]
+        probe = {lbl for _s, lbl in scored}
+        nq = math.sqrt(sum(x * x for x in qv))
+        cand = []
+        for vid, (v, lbl) in vecs.items():
+            if lbl not in probe:
+                continue
+            dot = 0.0
+            for i in range(64):
+                dot += qv[i] * v[i]
+            nv = math.sqrt(sum(x * x for x in v))
+            cand.append((round(dot / (nq * nv), 6), vid, lbl))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (cos, vid, lbl) in enumerate(cand[:_HNM_K], start=1):
+            expect[(qid, rk)] = (vid, lbl, cos)
+    got = {
+        (int(r["qid"]), int(r["rank"])): (
+            int(r["vec_id"]), int(r["neg_label"]), float(r["cos_sim"])
+        )
+        for r in STAGED_R9["hard_negative_mining_embeddings"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_contrastive_band_brute_force(spark):
+    """Recomputes the mixture corpus, shingle sets, and the
+    exact-integer band in plain Python; the returned pair set must
+    match exactly."""
+    from dce_spark.data import load_table
+
+    docs = {
+        int(r["doc_id"]): (r["text"], r["source"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "source")
+        .collect()
+    }
+    corpus = dict(docs)
+    for i in range(20):
+        if i + 1 not in docs:
+            continue
+        wa, wb = docs[i][0].split(" "), docs[i + 1][0].split(" ")
+        mix = wa[: (len(wa) + 1) // 2] + wb[: (len(wb) + 1) // 2]
+        corpus[i + 2000000] = (" ".join(mix), docs[i][1])
+    sh = {}
+    for did, (text, _src) in corpus.items():
+        toks = [t for t in __import__("re").split(r"\s+", text.lower()) if t]
+        sh[did] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(corpus)
+    expect = {}
+    for x, ia in enumerate(ids):
+        for ib in ids[x + 1 :]:
+            common = len(sh[ia] & sh[ib])
+            un = len(sh[ia]) + len(sh[ib]) - common
+            if un and 5 * common >= un and 10 * common < 7 * un:
+                expect[(ia, ib)] = (
+                    round(common / un, 6),
+                    corpus[ia][1] == corpus[ib][1],
+                )
+    got = {
+        (int(r["anchor"]), int(r["positive"])): (
+            float(r["jaccard"]), bool(r["same_source"])
+        )
+        for r in STAGED_R9["contrastive_pair_mining_documents"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == expect
+    spark.catalog.clearCache()
