@@ -958,3 +958,486 @@ def contrastive_pair_mining_documents(spark, sf_dir):
             (F.col("src_a") == F.col("src_b")).alias("same_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# 9. Last-click attribution windows
+# ---------------------------------------------------------------------
+
+# (es, event_id) packed into ONE BIGINT so the as-of "latest click
+# before me" resolves as a window max of a scalar — max over a STRUCT
+# is not portable to the oracle's window functions. es ~ 1.7e9 and
+# event_id < 1e7 at every tested SF, so es * 1e7 + event_id < 2^63.
+_ATTR_ORACLE = """WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+  FROM events
+), lasts AS (
+  SELECT event_id, event_type, es,
+         max(CASE WHEN event_type = 'click'
+                  THEN es * 10000000 + event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS packed
+  FROM base
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       (packed IS NOT NULL AND es - packed // 10000000 <= 3600)
+         AS attributed,
+       CASE WHEN packed IS NOT NULL AND es - packed // 10000000 <= 3600
+            THEN packed % 10000000 END AS click_event_id,
+       CASE WHEN packed IS NOT NULL AND es - packed // 10000000 <= 3600
+            THEN es - packed // 10000000 END AS gap_s
+FROM lasts WHERE event_type = 'purchase'"""
+
+
+@stage(
+    "attribution_windows_events",
+    _ATTR_ORACLE,
+    "last-click attribution: for every purchase, the user's MOST "
+    "RECENT click strictly earlier in (ts, event_id) row order, "
+    "attributed iff it happened within the 1-hour window — the "
+    "marketing-attribution join every conversion pipeline runs. "
+    "Implemented without a self-join: (epoch_s, event_id) packs into "
+    "one BIGINT (es*1e7 + id, exact integer order = (es, id) lexical "
+    "order), so 'latest qualifying click before me' is a single "
+    "running window MAX over the user's ordered stream — the same "
+    "union-sort as-of shape as watermark_state_rows, here as pure "
+    "integer arithmetic both engines replay exactly. Scale: one "
+    "shuffle on user_id, no join, no second scan.",
+)
+def attribution_windows_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.col("ts"))
+    base = ev.select(
+        "event_id", "user_id", "event_type", "ts", es.alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = F.max(
+        F.when(
+            F.col("event_type") == "click",
+            F.col("es") * F.lit(10000000) + F.col("event_id"),
+        )
+    ).over(w)
+    lasts = base.select(
+        "event_id", "event_type", "es", packed.alias("packed")
+    )
+    ok = F.col("packed").isNotNull() & (
+        F.col("es") - F.floor(F.col("packed") / 10000000) <= 3600
+    )
+    return lasts.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        ok.alias("attributed"),
+        F.when(ok, F.col("packed") % 10000000)
+        .cast("long")
+        .alias("click_event_id"),
+        F.when(ok, F.col("es") - F.floor(F.col("packed") / 10000000))
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 10. Normalization-ladder duplicate rates
+# ---------------------------------------------------------------------
+
+# Deterministic variant view: case-perturbed copies (doc_id < 10,
+# re-keyed +3000000) and whitespace-perturbed copies (10 <= doc_id
+# < 20, re-keyed +4000000) — the _dirty_documents convention, but the
+# copies are NOT byte-identical, so each normalization level catches a
+# different stratum: raw text catches nothing, lowercasing catches the
+# case copies, whitespace collapsing catches both.
+_VARIANT_DOCS_SQL = """variants AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, upper(text) FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 4000000, replace(text, ' ', '  ')
+  FROM documents WHERE doc_id >= 10 AND doc_id < 20
+)"""
+
+_NORM_LADDER_ORACLE = f"""WITH {_VARIANT_DOCS_SQL}, keys AS (
+  SELECT doc_id, 0 AS level, text AS k FROM variants
+  UNION ALL
+  SELECT doc_id, 1, lower(text) FROM variants
+  UNION ALL
+  SELECT doc_id, 2, trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g'))
+  FROM variants
+), groups AS (
+  SELECT level, k, CAST(count(*) AS BIGINT) AS cnt
+  FROM keys GROUP BY level, k
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_docs
+FROM groups GROUP BY level"""
+
+
+@stage(
+    "normalized_dup_ladder_documents",
+    _NORM_LADDER_ORACLE,
+    "dedup sensitivity ladder: exact-duplicate group/document counts "
+    "at THREE normalization levels in one pass — raw bytes, "
+    "lowercased, lowercased + whitespace-collapsed — the measurement "
+    "that tells a curation pipeline how much 'exact' dedup is leaving "
+    "on the table for want of normalization (case and formatting "
+    "variants dominate real crawl dup mass). Runs over a variant view "
+    "with injected case-perturbed and whitespace-perturbed copies so "
+    "every rung catches a different stratum (0 / 10 / 20 groups by "
+    "construction). Spark computes all three levels from ONE scan via "
+    "posexplode of the three keys, then a single (level, key) "
+    "aggregate — at 100 TB each key is replaced by xxhash64(key) so "
+    "the shuffle carries 8-byte digests (the dedup_exact convention).",
+)
+def normalized_dup_ladder_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.upper(F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= 10) & (F.col("doc_id") < 20)
+            ).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.regexp_replace(F.col("text"), " ", "  ").alias("text"),
+            )
+        )
+    )
+    keys = variants.select(
+        F.posexplode(
+            F.array(
+                F.col("text"),
+                F.lower(F.col("text")),
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"\s+", " "
+                    )
+                ),
+            )
+        ).alias("level", "k")
+    )
+    return (
+        keys.groupBy("level", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("level")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_groups"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            F.col("level").cast("long").alias("level"),
+            "n_groups",
+            "n_dup_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 11. k-means assignment margins (clustering-confidence QC)
+# ---------------------------------------------------------------------
+
+
+def _cluster_margin_oracle() -> str:
+    from .queries_more import _KM_DIST, _KM_K
+
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v FROM e WHERE vec_id < {_KM_K}
+), d0 AS (
+  SELECT e.vec_id, s.cid, {_KM_DIST.format(e='e.v', c='s.v')} AS d2
+  FROM e, seeds s
+), a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d0) WHERE rn = 1
+), c1 AS (
+  SELECT a0.cid, t.pos,
+         CAST(sum(CAST(round(e.v[t.pos + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM e JOIN a0 ON e.vec_id = a0.vec_id, range(0, 64) t(pos)
+  GROUP BY a0.cid, t.pos
+), c1v AS (
+  SELECT cid, list(m ORDER BY pos) AS v FROM c1 GROUP BY cid
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_KM_DIST.format(e='e.v', c='c.v')} AS d2
+  FROM e, c1v c
+), ranked AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d1
+), m AS (
+  SELECT b.vec_id, b.cid,
+         (s.d2 - b.d2) / s.d2 AS margin
+  FROM ranked b JOIN ranked s
+    ON s.vec_id = b.vec_id AND b.rn = 1 AND s.rn = 2
+)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(CAST(round(margin * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS mean_margin,
+       round(min(margin), 6) AS min_margin
+FROM m GROUP BY cid"""
+
+
+@stage(
+    "cluster_margin_embeddings",
+    _cluster_margin_oracle(),
+    "clustering-confidence QC: per k-means cell, the ASSIGNMENT "
+    "MARGIN distribution — (d2_second_best - d2_best) / d2_second_best "
+    "for every vector under the deterministic 2-iteration replay "
+    "(kmeans_embeddings_2iter's exact protocol). Near-zero margins "
+    "mean boundary-straddling vectors: the cells are unstable, IVF "
+    "recall will be nprobe-sensitive, and SemDeDup pruning misses "
+    "cross-cell near-dups — this is the one number that predicts all "
+    "three. Mean margin is a quantized-exact sum (1e6) so the replay "
+    "hash-matches; min is order-free. Scale shape: the same "
+    "corpus-scan + k-literal-centroid distance array as every k-means "
+    "operator; margins add array sorting of k doubles per row, no "
+    "extra shuffle.",
+)
+def cluster_margin_embeddings(spark, sf_dir):
+    from .ext.similarity import _as_literal_array
+    from .queries_more import _KM_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def d2_to(cvec):
+        lit = _as_literal_array(cvec)
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seed_rows = base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
+
+    def assign_expr(cent_pairs):
+        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
+        best = F.array_min(d2s)
+        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
+        return d2s, best, F.element_at(
+            cids, F.array_position(d2s, best).cast("int")
+        )
+
+    _d2s0, _b0, cid0 = assign_expr(cents)
+    c1_rows = (
+        base.withColumn("cid", cid0)
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    cents1 = [
+        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
+    ]
+    d2s, best, cid1 = assign_expr(cents1)
+    srt = F.sort_array(d2s)
+    margin = (F.element_at(srt, 2) - F.element_at(srt, 1)) / F.element_at(
+        srt, 2
+    )
+    return (
+        base.select(cid1.alias("cid"), margin.alias("margin"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.round(F.col("margin") * F.lit(1e6)).cast("long"))
+                .cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_margin"),
+            F.round(F.min("margin"), 6).alias("min_margin"),
+        )
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "mean_margin",
+            "min_margin",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 12. Corpus length drift: PSI per source vs the global mix
+# ---------------------------------------------------------------------
+
+_LEN_EDGES = [150, 250, 350, 450]
+_LEN_B = len(_LEN_EDGES) + 1
+
+
+def _len_bin_cases(col: str) -> list[str]:
+    """One exact-integer CASE per bin (c0..c4)."""
+    out = []
+    for i in range(_LEN_B):
+        if i == 0:
+            cond = f"{col} < {_LEN_EDGES[0]}"
+        elif i == len(_LEN_EDGES):
+            cond = f"{col} >= {_LEN_EDGES[-1]}"
+        else:
+            cond = f"{col} >= {_LEN_EDGES[i - 1]} AND {col} < {_LEN_EDGES[i]}"
+        out.append(cond)
+    return out
+
+
+def _length_psi_oracle() -> str:
+    conds = _len_bin_cases("n_chars")
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, c in enumerate(conds)
+    )
+    gcells = ", ".join(
+        f"CAST(sum(c{i}) AS BIGINT) AS g{i}" for i in range(_LEN_B)
+    )
+    # explicit in-order term sum: identical IEEE evaluation order on
+    # both engines (never a group-sum over ln terms)
+    terms = " + ".join(
+        f"((CAST(s.c{i} + 1 AS DOUBLE) / (s.n + {_LEN_B})"
+        f" - CAST(g.g{i} + 1 AS DOUBLE) / (g.n + {_LEN_B}))"
+        f" * ln((CAST(s.c{i} + 1 AS DOUBLE) / (s.n + {_LEN_B}))"
+        f" / (CAST(g.g{i} + 1 AS DOUBLE) / (g.n + {_LEN_B}))))"
+        for i in range(_LEN_B)
+    )
+    return f"""WITH src AS (
+  SELECT source, {cells}, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+), g AS (
+  SELECT {gcells}, CAST(sum(n) AS BIGINT) AS n FROM src
+)
+SELECT s.source, s.n AS n_docs,
+       round({terms}, 6) AS length_psi
+FROM src s CROSS JOIN g"""
+
+
+@stage(
+    "length_psi_by_source_documents",
+    _length_psi_oracle(),
+    "corpus-mix drift: PSI of each source's DOCUMENT LENGTH "
+    "distribution against the global mix on fixed n_chars bins — the "
+    "per-source twin of psi_value_drift_events, answering the "
+    "curation question 'which feed changed shape' rather than 'did "
+    "the stream change'. Bin counts are dense per-source conditional "
+    "sums (never a sparse (source, bin) grid with missing rows), "
+    "Laplace-smoothed (c+1)/(n+B); the five (p-q)ln(p/q) terms are "
+    "summed in EXPLICIT written order in one expression on both "
+    "engines, so no group-sum reordering can move the 6dp result. "
+    "Scale shape: one scan into a 20-row per-source aggregate, global "
+    "margins via a 1-row broadcast.",
+)
+def length_psi_by_source_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    conds = _len_bin_cases("n_chars")
+    cells = [
+        F.sum(F.when(F.expr(c), 1).otherwise(0)).cast("long").alias(f"c{i}")
+        for i, c in enumerate(conds)
+    ]
+    src = docs.groupBy("source").agg(
+        *cells, F.count(F.lit(1)).alias("n")
+    )
+    g = src.agg(
+        *[F.sum(f"c{i}").alias(f"g{i}") for i in range(_LEN_B)],
+        F.sum("n").alias("gn"),
+    )
+    psi = None
+    for i in range(_LEN_B):
+        p = (F.col(f"c{i}") + 1).cast("double") / (F.col("n") + _LEN_B)
+        q = (F.col(f"g{i}") + 1).cast("double") / (F.col("gn") + _LEN_B)
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return src.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(psi, 6).alias("length_psi"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 13. Markov entropy of the event-type transition structure
+# ---------------------------------------------------------------------
+
+_MARKOV_ORACLE = """WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), trans AS (
+  SELECT prev AS from_state, event_type AS to_state,
+         CAST(count(*) AS BIGINT) AS nij
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+)
+SELECT from_state,
+       CAST(sum(nij) AS BIGINT) AS n_trans,
+       CAST(count(*) AS BIGINT) AS n_targets,
+       round(ln(CAST(sum(nij) AS DOUBLE))
+             - sum(CAST(nij AS DOUBLE) * ln(CAST(nij AS DOUBLE)))
+               / CAST(sum(nij) AS DOUBLE), 6) AS entropy_nats
+FROM trans GROUP BY from_state"""
+
+
+@stage(
+    "markov_entropy_rate_events",
+    _MARKOV_ORACLE,
+    "behavioral predictability QC: per from-state SHANNON ENTROPY of "
+    "the event-type transition distribution (the Markov-chain row "
+    "entropies of event_transition_matrix_events) — near-zero rows "
+    "mean deterministic flows (bot traffic, instrumentation loops); "
+    "rising row entropy across snapshots means the funnel structure "
+    "is dissolving. Uses the char_entropy identity "
+    "ln(N) - sum(c*ln c)/N over the transition COUNT table (25 cells "
+    "max), so the heavy lifting is one lag window + one tiny "
+    "aggregate; counts are exact integers and only the final identity "
+    "runs in doubles at 6dp. Scale: one shuffle on user_id for the "
+    "lag, then a states^2-sized table.",
+)
+def markov_entropy_rate_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev").alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    n = F.sum("nij").cast("double")
+    return trans.groupBy("from_state").agg(
+        F.sum("nij").cast("long").alias("n_trans"),
+        F.count(F.lit(1)).cast("long").alias("n_targets"),
+        F.round(
+            F.log(n)
+            - F.sum(F.col("nij").cast("double") * F.log(F.col("nij").cast("double")))
+            / n,
+            6,
+        ).alias("entropy_nats"),
+    )

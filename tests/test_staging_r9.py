@@ -265,3 +265,73 @@ def test_contrastive_band_brute_force(spark):
     }
     assert got == expect
     spark.catalog.clearCache()
+
+
+def test_attribution_brute_force(spark):
+    """Last-click attribution replayed row-at-a-time in Python: for
+    each purchase, the latest click strictly earlier in (ts, event_id)
+    row order, attributed iff within 3600 s."""
+    from dce_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id", "user_id", "event_type", "ts",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(int(r["user_id"]), []).append(r)
+    expect = {}
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], int(r["event_id"])))
+        last_click = None  # (es, event_id)
+        for r in rs:
+            if r["event_type"] == "purchase":
+                es = int(r["es"])
+                if last_click is not None and es - last_click[0] <= 3600:
+                    expect[int(r["event_id"])] = (
+                        True, last_click[1], es - last_click[0]
+                    )
+                else:
+                    expect[int(r["event_id"])] = (False, None, None)
+            if r["event_type"] == "click":
+                cand = (int(r["es"]), int(r["event_id"]))
+                # max over PACKED es*1e7+id == lexicographic (es, id)
+                if last_click is None or cand > last_click:
+                    last_click = cand
+    got = {
+        int(r["event_id"]): (
+            bool(r["attributed"]),
+            None if r["click_event_id"] is None else int(r["click_event_id"]),
+            None if r["gap_s"] is None else int(r["gap_s"]),
+        )
+        for r in STAGED_R9["attribution_windows_events"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_norm_ladder_catches_each_stratum(spark):
+    """The variant view is built so each rung catches a different
+    stratum: raw bytes 0 groups, lowercasing the 10 case copies,
+    whitespace collapsing those plus the 10 spacing copies."""
+    out = {
+        int(r["level"]): (int(r["n_groups"]), int(r["n_dup_docs"]))
+        for r in STAGED_R9["normalized_dup_ladder_documents"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[1] == (10, 20)
+    assert out[2] == (20, 40)
+
+
+def test_cluster_margin_in_unit_interval(spark):
+    out = STAGED_R9["cluster_margin_embeddings"].fn(spark, SF_DIR).collect()
+    assert sum(int(r["n_members"]) for r in out) > 0
+    for r in out:
+        assert 0.0 <= float(r["min_margin"]) <= float(r["mean_margin"]) <= 1.0
