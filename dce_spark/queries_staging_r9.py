@@ -1441,3 +1441,547 @@ def markov_entropy_rate_events(spark, sf_dir):
             6,
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------
+# 14. Winsorized scaling stats (clip-bounds export)
+# ---------------------------------------------------------------------
+
+_WINSOR_ORACLE = """WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(CAST(value AS DOUBLE), 0.01) AS p01,
+         quantile_cont(CAST(value AS DOUBLE), 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       any_value(s.n) AS n,
+       round(any_value(s.p01), 6) AS p01,
+       round(any_value(s.p99), 6) AS p99,
+       round(CAST(sum(CAST(round(
+               CASE WHEN CAST(e.value AS DOUBLE) < s.p01 THEN s.p01
+                    WHEN CAST(e.value AS DOUBLE) > s.p99 THEN s.p99
+                    ELSE CAST(e.value AS DOUBLE) END * 1000000.0)
+             AS BIGINT)) AS DOUBLE) / 1000000.0 / any_value(s.n), 6)
+         AS winsorized_mean,
+       CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < s.p01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) > s.p99
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM events e JOIN stats s ON s.event_type = e.event_type
+GROUP BY e.event_type"""
+
+
+@stage(
+    "winsorized_stats_events",
+    _WINSOR_ORACLE,
+    "feature preprocessing export: per event_type the p01/p99 CLIP "
+    "BOUNDS and the winsorized mean — what a serving pipeline applies "
+    "when outliers must be bounded but rows must not be dropped "
+    "(complement of robust_scaling_stats_events' fences, which count "
+    "rather than clamp). Quantiles exact interpolated; each clamped "
+    "value is the same IEEE double on both engines, so the "
+    "quantized-exact (1e6) mean hash-matches; clip counts are strict "
+    "compares against the unrounded bounds. Scale: one grouped "
+    "quantile pass, bounds broadcast back onto the scan.",
+)
+def winsorized_stats_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    pcts = F.percentile(F.col("v"), F.array(F.lit(0.01), F.lit(0.99)))
+    stats = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pcts.alias("p"))
+        .select(
+            "event_type", "n",
+            F.col("p")[0].alias("p01"), F.col("p")[1].alias("p99"),
+        )
+    )
+    clamped = (
+        F.when(F.col("v") < F.col("p01"), F.col("p01"))
+        .when(F.col("v") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("p01"), 6).alias("p01"),
+            F.round(F.first("p99"), 6).alias("p99"),
+            F.round(
+                F.sum(F.round(clamped * F.lit(1e6)).cast("long")).cast("double")
+                / F.lit(1e6)
+                / F.first("n"),
+                6,
+            ).alias("winsorized_mean"),
+            F.sum((F.col("v") < F.col("p01")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("v") > F.col("p99")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 15. Split-assignment churn between hash salts
+# ---------------------------------------------------------------------
+
+_HEX_POS_R9 = "strpos('0123456789abcdef', {c}) - 1"
+
+
+def _bucket_sql_r9(h: str) -> str:
+    return (
+        f"(({_HEX_POS_R9.format(c=f'substr({h}, 1, 1)')}) * 16 + "
+        f"({_HEX_POS_R9.format(c=f'substr({h}, 2, 1)')}))"
+    )
+
+
+def _split_case_sql(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < 205 THEN 'train' "
+        f"WHEN {bucket} < 230 THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_CHURN_ORACLE = f"""WITH hashed AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS ha,
+         md5(CAST(doc_id AS VARCHAR) || ':2') AS hb
+  FROM documents
+), assigned AS (
+  SELECT {_split_case_sql(_bucket_sql_r9('ha'))} AS split_from,
+         {_split_case_sql(_bucket_sql_r9('hb'))} AS split_to
+  FROM hashed
+)
+SELECT split_from, split_to,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY split_from, split_to"""
+
+
+@stage(
+    "split_churn_documents",
+    _SPLIT_CHURN_ORACLE,
+    "split reproducibility audit: the full from x to transition table "
+    "between the production hash-split (md5(doc_id), the "
+    "split_assign_documents convention) and a RE-SALTED assignment "
+    "(md5(doc_id || ':2')) — off-diagonal mass is exactly the set of "
+    "documents whose split membership a salt change would churn "
+    "(train->test leakage in any system that caches model state "
+    "across the change). Deterministic md5 bucketing on both engines; "
+    "one scan, one 9-cell aggregate. The operational rule this "
+    "quantifies: NEVER change the salt mid-project — expected "
+    "off-diagonal is ~2 * p_train*p_val*... of the corpus, i.e. most "
+    "of it.",
+)
+def split_churn_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bucket(h):
+        return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+    def split(b):
+        return (
+            F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+        )
+
+    ha = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    hb = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":2")).cast("binary")
+    )
+    return (
+        docs.select(
+            split(bucket(ha)).alias("split_from"),
+            split(bucket(hb)).alias("split_to"),
+        )
+        .groupBy("split_from", "split_to")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 16. Label x split independence audit (embeddings)
+# ---------------------------------------------------------------------
+
+_LABEL_SPLIT_ORACLE = f"""WITH assigned AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         {_split_case_sql(_bucket_sql_r9("md5(CAST(vec_id AS VARCHAR))"))}
+           AS split
+  FROM embeddings
+), cells AS (
+  SELECT label, split, CAST(count(*) AS BIGINT) AS n
+  FROM assigned GROUP BY label, split
+), margins AS (
+  SELECT c.label, c.split, c.n,
+         sum(c.n) OVER (PARTITION BY c.label) AS row_tot,
+         sum(c.n) OVER (PARTITION BY c.split) AS col_tot,
+         sum(c.n) OVER () AS tot
+  FROM cells c
+)
+SELECT label, split, n,
+       round(CAST(row_tot AS DOUBLE) * col_tot / tot, 6) AS expected,
+       round((n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+             * (n - CAST(row_tot AS DOUBLE) * col_tot / tot)
+             / (CAST(row_tot AS DOUBLE) * col_tot / tot), 6)
+         AS chi2_contrib
+FROM margins"""
+
+
+@stage(
+    "label_split_balance_embeddings",
+    _LABEL_SPLIT_ORACLE,
+    "supervised-split audit: label x split contingency for the hash "
+    "split over embeddings, with per-cell expected counts and "
+    "chi-square contributions — the CLASS-balance independence check "
+    "(does any label concentrate in val/test?) that "
+    "split_balance_chi_square_documents runs for sources; a skewed "
+    "cell here means eval metrics measure the split, not the model. "
+    "Counts are exact integers, expected/chi2 are single-expression "
+    "rational arithmetic rounded at 6dp. Scale: one scan, a "
+    "labels x 3 cell table, window margins over it.",
+)
+def label_split_balance_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 2),
+        16, 10,
+    ).cast("int")
+    split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    cells = (
+        emb.select(F.col("label").cast("long").alias("label"),
+                   split.alias("split"))
+        .groupBy("label", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("label")
+    wc = Window.partitionBy("split")
+    wt = Window.partitionBy()
+    exp = (
+        F.sum("n").over(wr).cast("double")
+        * F.sum("n").over(wc)
+        / F.sum("n").over(wt)
+    )
+    return cells.select(
+        "label",
+        "split",
+        F.col("n").cast("long").alias("n"),
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# 17. Recency-decay-weighted activity score
+# ---------------------------------------------------------------------
+
+_DECAY_ORACLE = """WITH anchor AS (
+  SELECT max(date_trunc('day', ts)) AS d0 FROM events
+), scored AS (
+  SELECT e.user_id,
+         CAST(round(CAST(e.value AS DOUBLE)
+                    / CAST((CAST(1 AS BIGINT) << least(
+                        CAST(datediff('day', date_trunc('day', e.ts), a.d0)
+                             AS BIGINT), 62)) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS qterm
+  FROM events e CROSS JOIN anchor a
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(qterm) AS DOUBLE) / 1000000.0, 6) AS decay_score
+FROM scored GROUP BY user_id"""
+
+
+@stage(
+    "decay_weighted_activity_events",
+    _DECAY_ORACLE,
+    "recency-weighted user activity: sum of value * 2^(-days_ago) "
+    "per user, anchored at the stream's last day — the exponential-"
+    "decay engagement feature ranking models use (yesterday counts "
+    "double vs the day before). Half-life-of-one-day weights are "
+    "NEGATIVE POWERS OF TWO, so each weighted term is an EXACT "
+    "mantissa shift of the value (1 / (1 << d), never pow()) — "
+    "bit-identical on both engines — and the quantized 1e6 sum is "
+    "order-free. days_ago is clamped at 62 to keep the shift in "
+    "int64 range (weight underflows to ~2^-62, far below the 1e-6 "
+    "quantum, so the clamp is value-invisible). Scale: the anchor is "
+    "a 1-row broadcast onto one scan, then a per-user aggregate.",
+)
+def decay_weighted_activity_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.date_trunc("day", F.col("ts"))).alias("d0"))
+    d = F.least(
+        F.datediff(F.col("d0"), F.date_trunc("day", F.col("ts"))).cast("long"),
+        F.lit(62),
+    )
+    # weight = 1 / (1 << d): the SQL shiftleft takes a column exponent
+    # (the PySpark wrapper only takes a literal)
+    qterm = F.expr(
+        "cast(round(cast(value as double)"
+        " / cast(shiftleft(cast(1 as bigint), cast(__d as int)) as double)"
+        " * 1000000.0) as bigint)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("__d", d)
+        .select("user_id", qterm.alias("qterm"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum("qterm").cast("double") / F.lit(1e6), 6
+            ).alias("decay_score"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "decay_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 18. Hourly concentration (Herfindahl index) per event type
+# ---------------------------------------------------------------------
+
+_HHI_ORACLE = """WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, h
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(CAST(sum(n * n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6)
+         AS hourly_hhi
+FROM hourly GROUP BY event_type"""
+
+
+@stage(
+    "hourly_hhi_events",
+    _HHI_ORACLE,
+    "load-concentration QC: the HERFINDAHL INDEX of each event type's "
+    "hourly volume — sum of squared hourly shares, 1/n_hours for a "
+    "perfectly flat load, 1.0 for a single burst hour. The capacity-"
+    "planning twin of gini_user_activity (which measures USER "
+    "concentration): a type whose HHI spikes is batching or botting, "
+    "and its partitions will skew at the same ratio. Computed as "
+    "exact-integer sum(n^2) / sum(n)^2 with ONE final double "
+    "division — no float accumulation at all. Scale: one "
+    "(type, hour)-grouped scan, then a calendar-sized rollup.",
+)
+def hourly_hhi_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n").cast("double")),
+            6,
+        ).alias("hourly_hhi"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 19. Session abandonment stages (30-min gap rule)
+# ---------------------------------------------------------------------
+
+_ABANDON_ORACLE = """WITH gaps AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch(ts)
+                   - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+), stages AS (
+  SELECT user_id, sess_id,
+         CASE WHEN max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+              THEN 'purchase'
+              WHEN max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+              THEN 'click'
+              WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+              THEN 'view'
+              ELSE 'other' END AS stage
+  FROM sess GROUP BY user_id, sess_id
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM stages)
+SELECT s.stage, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(count(*) AS DOUBLE) / any_value(t.n), 6) AS share
+FROM stages s CROSS JOIN tot t GROUP BY s.stage"""
+
+
+@stage(
+    "session_abandonment_events",
+    _ABANDON_ORACLE,
+    "funnel abandonment at SESSION grain: each 30-min-gap session "
+    "classified by the FURTHEST funnel stage it reached "
+    "(purchase > click > view > other) and the share of sessions "
+    "ending at each — funnel_events answers 'did the user ever "
+    "convert', this answers 'which stage do individual visits die "
+    "at', the number a checkout change actually moves. Reuses the "
+    "sessionization lag/running-sum shape (deterministic "
+    "(ts, event_id) ordering); stage election is three exact max "
+    "flags per session. Scale: one shuffle on user_id, then "
+    "session-count-sized aggregates and a 1-row total broadcast.",
+)
+def session_abandonment_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts"))
+    new_sess = F.when(
+        F.lag(F.col("ts")).over(w).isNull()
+        | ((ep - F.lag(ep).over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        new_sess.alias("new_sess"),
+    ).withColumn("sess_id", F.sum("new_sess").over(wcum))
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    stages = sess.groupBy("user_id", "sess_id").agg(
+        flag("purchase").alias("fp"),
+        flag("click").alias("fc"),
+        flag("view").alias("fv"),
+    ).select(
+        F.when(F.col("fp") == 1, "purchase")
+        .when(F.col("fc") == 1, "click")
+        .when(F.col("fv") == 1, "view")
+        .otherwise("other")
+        .alias("stage")
+    )
+    tot = stages.agg(F.count(F.lit(1)).alias("tn"))
+    return (
+        stages.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("tn"), 6
+            ).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 20. RFM customer segmentation (orders)
+# ---------------------------------------------------------------------
+
+_RFM_ORACLE = """WITH cust AS (
+  SELECT o_custkey,
+         CAST(datediff('day', max(o_orderdate),
+              (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS DOUBLE) / 100.0 AS monetary
+  FROM orders GROUP BY o_custkey
+), bounds AS (
+  SELECT quantile_cont(CAST(recency_d AS DOUBLE), 0.5) AS r50,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
+         quantile_cont(monetary, 0.5) AS m50
+  FROM cust
+), coded AS (
+  SELECT (CASE WHEN CAST(c.recency_d AS DOUBLE) <= b.r50
+               THEN 2 ELSE 1 END) * 100
+         + (CASE WHEN CAST(c.frequency AS DOUBLE) > b.f50
+                 THEN 2 ELSE 1 END) * 10
+         + (CASE WHEN c.monetary > b.m50 THEN 2 ELSE 1 END) AS rfm_code,
+         c.monetary
+  FROM cust c CROSS JOIN bounds b
+)
+SELECT CAST(rfm_code AS BIGINT) AS rfm_code,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(round(monetary * 100.0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 6) AS total_monetary
+FROM coded GROUP BY rfm_code"""
+
+
+@stage(
+    "rfm_segments_customers",
+    _RFM_ORACLE,
+    "RFM customer segmentation over orders: per-customer RECENCY "
+    "(days since last order vs the dataset horizon), FREQUENCY "
+    "(order count) and MONETARY (cent-quantized revenue), each split "
+    "at its exact interpolated median into a high/low digit — eight "
+    "segments from 111 (cold, rare, small) to 222 (the "
+    "keep-them-happy quadrant), with customer counts and segment "
+    "revenue. Median splits rather than quintiles keep every "
+    "boundary a single documented compare (recency ties at <= so the "
+    "fresher side is 'high'). Scale: one orders scan into a "
+    "per-customer aggregate, 1-row bounds broadcast, 8-row rollup.",
+)
+def rfm_segments_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("hz"))
+    cust = (
+        orders.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("hz"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice").cast("double") * 100).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("monetary"),
+        )
+    )
+    bounds = cust.agg(
+        F.percentile(F.col("recency_d").cast("double"), F.lit(0.5)).alias("r50"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.5)).alias("f50"),
+        F.percentile(F.col("monetary"), F.lit(0.5)).alias("m50"),
+    )
+    code = (
+        F.when(F.col("recency_d").cast("double") <= F.col("r50"), 2)
+        .otherwise(1)
+        * 100
+        + F.when(F.col("frequency").cast("double") > F.col("f50"), 2)
+        .otherwise(1)
+        * 10
+        + F.when(F.col("monetary") > F.col("m50"), 2).otherwise(1)
+    )
+    return (
+        cust.crossJoin(F.broadcast(bounds))
+        .select(code.alias("rfm_code"), "monetary")
+        .groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.round(F.col("monetary") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0),
+                6,
+            ).alias("total_monetary"),
+        )
+        .select(
+            F.col("rfm_code").cast("long").alias("rfm_code"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            "total_monetary",
+        )
+    )

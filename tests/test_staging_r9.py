@@ -335,3 +335,81 @@ def test_cluster_margin_in_unit_interval(spark):
     assert sum(int(r["n_members"]) for r in out) > 0
     for r in out:
         assert 0.0 <= float(r["min_margin"]) <= float(r["mean_margin"]) <= 1.0
+
+
+def test_decay_score_brute_force(spark):
+    """Exponential-decay score replayed in Python: each term is an
+    exact mantissa shift (value / 2**days_ago), quantized at 1e6."""
+    from dce_spark.data import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .collect()
+    )
+    import math
+
+    d0 = max(r["day"] for r in rows)
+
+    def half_up(x):  # engine round(): half away from zero, not banker's
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    acc = {}
+    for r in rows:
+        d = min((d0 - r["day"]).days, 62)
+        n, q = acc.get(int(r["user_id"]), (0, 0))
+        acc[int(r["user_id"])] = (
+            n + 1,
+            q + half_up(float(r["v"]) / (1 << d) * 1e6),
+        )
+    expect = {u: (n, round(float(q) / 1e6, 6)) for u, (n, q) in acc.items()}
+    got = {
+        int(r["user_id"]): (int(r["n_events"]), float(r["decay_score"]))
+        for r in STAGED_R9["decay_weighted_activity_events"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Eight possible codes, every customer in exactly one, and
+    segment revenue sums to total customer revenue (cent-exact)."""
+    from dce_spark.data import load_table
+
+    out = STAGED_R9["rfm_segments_customers"].fn(spark, SF_DIR).collect()
+    codes = {int(r["rfm_code"]) for r in out}
+    assert codes <= {111, 112, 121, 122, 211, 212, 221, 222}
+    orders = load_table(spark, SF_DIR, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(int(r["n_customers"]) for r in out) == n_cust
+    total_cents = (
+        orders.agg(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+            ).alias("c")
+        ).collect()[0]["c"]
+    )
+    got_cents = sum(int(round(float(r["total_monetary"]) * 100)) for r in out)
+    assert got_cents == total_cents
+
+
+def test_split_churn_matches_split_assign_margins(spark):
+    """The churn table's from-margins must equal the production split
+    assignment's totals (same hash, same thresholds)."""
+    from dce_spark.queries import QUERIES
+
+    churn = STAGED_R9["split_churn_documents"].fn(spark, SF_DIR).collect()
+    margins = {}
+    for r in churn:
+        margins[r["split_from"]] = margins.get(r["split_from"], 0) + int(
+            r["n_docs"]
+        )
+    assign = {}
+    for r in QUERIES["split_assign_documents"].fn(spark, SF_DIR).collect():
+        assign[r["split"]] = assign.get(r["split"], 0) + int(r["n_docs"])
+    assert margins == assign
