@@ -59,15 +59,48 @@ def tally_line(c: dict[str, int]) -> str:
     )
 
 
+_TALLY_RE = re.compile(
+    r"^\d+ oracle-paired queries total \(\d+ with SQL oracles\); "
+    r"\d+ tests collected; \d+ timed bench entries "
+    r"\(\d+ labeled parity probes\)\.$"
+)
+
+
+def _tally_lines(lines: list[str]) -> list[int]:
+    return [i for i, ln in enumerate(lines) if _TALLY_RE.match(ln)]
+
+
 def main() -> int:
     c = counts()
     line = tally_line(c)
+    readme_path = os.path.join(REPO, "README.md")
     if "--check" in sys.argv:
-        readme = open(os.path.join(REPO, "README.md")).read()
-        if line not in readme:
-            print(f"README tally out of date.\nexpected: {line}", file=sys.stderr)
+        # the CURRENT tally is the LAST tally-shaped line (earlier ones
+        # are frozen history snapshots inside past round sections) — a
+        # substring-anywhere check once passed while the current line
+        # was stale because an ad-hoc regex edit had refreshed a
+        # HISTORY line instead (round 7).
+        lines = open(readme_path).read().split("\n")
+        idxs = _tally_lines(lines)
+        if not idxs or lines[idxs[-1]] != line:
+            got = lines[idxs[-1]] if idxs else "<no tally line found>"
+            print(
+                f"README tally out of date.\nexpected: {line}\n"
+                f"current (last tally line): {got}",
+                file=sys.stderr,
+            )
             return 1
         print("README tally matches.")
+        return 0
+    if "--write" in sys.argv:
+        lines = open(readme_path).read().split("\n")
+        idxs = _tally_lines(lines)
+        if not idxs:
+            print("no tally line found to replace", file=sys.stderr)
+            return 1
+        lines[idxs[-1]] = line
+        open(readme_path, "w").write("\n".join(lines))
+        print(f"updated README.md line {idxs[-1] + 1}: {line}")
         return 0
     print(line)
     return 0
