@@ -121,20 +121,18 @@ FROM ranked WHERE rn = 1"""
     "mapper.",
 )
 def cdc_last_write_wins_events(spark, sf_dir):
+    from .ext.warehouse import last_write_wins
+
     ev = load_table(spark, sf_dir, "events")
-    latest = F.max(
-        F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
-    ).alias("w")
-    return (
-        ev.groupBy("user_id", "event_type")
-        .agg(latest, F.count(F.lit(1)).alias("n_versions"))
-        .select(
-            F.col("user_id").cast("long").alias("user_id"),
-            "event_type",
-            F.unix_timestamp(F.col("w.ts")).alias("last_epoch_s"),
-            F.round(F.col("w.value").cast("double"), 6).alias("last_value"),
-            F.col("n_versions").cast("long").alias("n_versions"),
-        )
+    out = last_write_wins(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.unix_timestamp(F.col("last_ts")).alias("last_epoch_s"),
+        F.round(F.col("last_value").cast("double"), 6).alias("last_value"),
+        F.col("n_versions").cast("long").alias("n_versions"),
     )
 
 
@@ -185,30 +183,17 @@ FROM intervals"""
     "partitioning, so the whole history build costs a single shuffle.",
 )
 def scd2_intervals_events(spark, sf_dir):
+    from .ext.warehouse import scd2_intervals
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type")),
-        1,
-    ).otherwise(0)
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    runs = ev.select(
-        "user_id", "event_type", "ts", "event_id", chg.alias("chg")
-    ).withColumn("run_id", F.sum("chg").over(wcum))
-    intervals = runs.groupBy("user_id", "run_id").agg(
-        F.min("event_type").alias("event_type"),
-        F.unix_timestamp(F.min("ts")).alias("valid_from_s"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    wl = Window.partitionBy("user_id").orderBy("run_id")
-    return intervals.select(
+    iv = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    return iv.select(
         F.col("user_id").cast("long").alias("user_id"),
-        F.col("run_id").cast("long").alias("version_no"),
+        "version_no",
         "event_type",
-        "valid_from_s",
-        F.lead("valid_from_s").over(wl).alias("valid_to_s"),
-        F.col("n_events").cast("long").alias("n_events"),
+        F.unix_timestamp(F.col("valid_from")).alias("valid_from_s"),
+        F.unix_timestamp(F.col("valid_to")).alias("valid_to_s"),
+        F.col("n_rows").alias("n_events"),
     )
 
 
@@ -340,36 +325,24 @@ FROM feat WHERE event_type = 'purchase'"""
     "frame slides.",
 )
 def pit_features_events(spark, sf_dir):
+    from .ext.warehouse import pit_window_features
+
     ev = load_table(spark, sf_dir, "events")
-    es = F.unix_timestamp(F.col("ts"))
     base = ev.select(
         "event_id",
         "user_id",
         "event_type",
-        es.alias("es"),
+        F.unix_timestamp(F.col("ts")).alias("es"),
         F.col("value").cast("double").alias("v"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("es")
-        .rangeBetween(-604800, -1)
-    )
-    feat = base.select(
-        "event_id",
-        "event_type",
-        F.count(F.lit(1)).over(w).alias("n_prior_7d"),
-        F.sum(F.round(F.col("v") * F.lit(1e6)).cast("long"))
-        .over(w)
-        .alias("qsum"),
-        (F.col("es") - F.max("es").over(w)).alias("last_gap_s"),
+    feat = pit_window_features(
+        base, "user_id", "es", "v", horizon_s=604800, quantum=1e6
     )
     return feat.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").cast("long").alias("event_id"),
-        F.col("n_prior_7d").cast("long").alias("n_prior_7d"),
-        F.round(
-            F.coalesce(F.col("qsum"), F.lit(0)).cast("double") / F.lit(1e6), 6
-        ).alias("sum_value_7d"),
-        F.col("last_gap_s").cast("long").alias("last_gap_s"),
+        F.col("pit_n_prior").cast("long").alias("n_prior_7d"),
+        F.round(F.col("pit_sum_value"), 6).alias("sum_value_7d"),
+        F.col("pit_last_gap_s").cast("long").alias("last_gap_s"),
     )
 
 
@@ -1007,37 +980,22 @@ FROM lasts WHERE event_type = 'purchase'"""
     "shuffle on user_id, no join, no second scan.",
 )
 def attribution_windows_events(spark, sf_dir):
+    from .ext.warehouse import last_event_attribution
+
     ev = load_table(spark, sf_dir, "events")
-    es = F.unix_timestamp(F.col("ts"))
-    base = ev.select(
-        "event_id", "user_id", "event_type", "ts", es.alias("es")
+    out = last_event_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type") == "click",
+        window_s=3600,
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = F.max(
-        F.when(
-            F.col("event_type") == "click",
-            F.col("es") * F.lit(10000000) + F.col("event_id"),
-        )
-    ).over(w)
-    lasts = base.select(
-        "event_id", "event_type", "es", packed.alias("packed")
-    )
-    ok = F.col("packed").isNotNull() & (
-        F.col("es") - F.floor(F.col("packed") / 10000000) <= 3600
-    )
-    return lasts.filter(F.col("event_type") == "purchase").select(
+    return out.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").cast("long").alias("event_id"),
-        ok.alias("attributed"),
-        F.when(ok, F.col("packed") % 10000000)
-        .cast("long")
-        .alias("click_event_id"),
-        F.when(ok, F.col("es") - F.floor(F.col("packed") / 10000000))
-        .cast("long")
-        .alias("gap_s"),
+        F.col("attr_source_id").isNotNull().alias("attributed"),
+        F.col("attr_source_id").alias("click_event_id"),
+        F.col("attr_gap_s").alias("gap_s"),
     )
 
 
