@@ -1975,6 +1975,25 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   stale block — front-load it) = exactly 50. If CORRECTNESS_r06
 #   still never lands, CORRECTNESS_r07 covers this window and the
 #   22 retained debutants rotate out with committed proof.
+#
+#   ROUND 9 PLAN — promote the TWENTY staged round-9 queries
+#   (queries_staging_r9.py: the warehouse/training-matrix family
+#   cdc_last_write_wins_events, scd2_intervals_events,
+#   pit_features_events, attribution_windows_events; the curation
+#   family semdedup_prune_embeddings,
+#   hard_negative_mining_embeddings,
+#   contrastive_pair_mining_documents, dup_ngram_span_documents,
+#   normalized_dup_ladder_documents, split_churn_documents,
+#   label_split_balance_embeddings, cluster_margin_embeddings,
+#   length_psi_by_source_documents; and the analytics family
+#   robust_scaling_stats_events, winsorized_stats_events,
+#   markov_entropy_rate_events, decay_weighted_activity_events,
+#   hourly_hhi_events, session_abandonment_events,
+#   rfm_segments_customers — all oracle-verified at sf0.001 +
+#   sf0.01 + sf0.1 in round 7), register any new round-9 queries
+#   EARLY, then window: 20 promoted + round 9's own new queries +
+#   the next-stalest greens from the staleness ledger = exactly 50.
+#   Freeze at rotation.
 _DRIVER_WINDOW = [
     # promoted round-6 stagings (oracle-verified at 3 SFs in r6)
     "duplicate_ngram_rate_documents",
