@@ -132,3 +132,143 @@ def test_attribution_window_boundary_and_source_choice(spark):
         for r in out.filter(F.col("et") == "purchase").collect()
     }
     assert got == {3: (2, 100), 4: (None, None), 5: (None, None)}
+
+
+# ---------------------------------------------------------------------
+# Randomized equivalence: the operators vs brute-force Python replays
+# on adversarial frames (ties, same-second rows, singleton keys).
+# Fixed seeds: deterministic, no flake.
+# ---------------------------------------------------------------------
+
+
+def _rand_events(seed, n_keys=5, n_rows=120):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_rows):
+        rows.append(
+            Row(
+                k=rng.randrange(n_keys),
+                # coarse grid forces ts ties; id i breaks them
+                ts=_ts(rng.randrange(20) * 10),
+                i=i,
+                et=rng.choice(["click", "purchase", "view"]),
+                v=round(rng.uniform(-5, 5), 3),
+            )
+        )
+    return rows
+
+
+def test_lww_equals_window_formulation_randomized(spark):
+    for seed in (1, 2, 3):
+        rows = _rand_events(seed)
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["k"], r["et"]): (
+                r["last_ts"], int(r["last_i"]), float(r["last_v"]),
+                int(r["n_versions"]),
+            )
+            for r in last_write_wins(
+                df, ["k", "et"], ["ts", "i"], ["v"]
+            ).collect()
+        }
+        expect = {}
+        for r in rows:
+            key = (r.k, r.et)
+            cur = expect.get(key)
+            cand = (r.ts, r.i, r.v)
+            n = (cur[3] if cur else 0) + 1
+            best = cand if cur is None or cand > (cur[0], cur[1], cur[2]) \
+                else (cur[0], cur[1], cur[2])
+            expect[key] = (best[0], best[1], best[2], n)
+        assert got == expect, f"seed {seed}"
+
+
+def test_pit_features_equal_brute_force_randomized(spark):
+    for seed in (11, 12):
+        rows = _rand_events(seed, n_rows=80)
+        base = [(r.k, r.i, int((r.ts - TS0).total_seconds()), r.v)
+                for r in rows]
+        df = spark.createDataFrame(
+            [Row(k=k, i=i, t=t, v=v) for k, i, t, v in base]
+        )
+        out = pit_window_features(df, "k", "t", "v", horizon_s=40)
+        got = {
+            int(r["i"]): (
+                int(r["pit_n_prior"]),
+                round(float(r["pit_sum_value"]), 6),
+                None if r["pit_last_gap_s"] is None
+                else int(r["pit_last_gap_s"]),
+            )
+            for r in out.collect()
+        }
+        for k, i, t, _v in base:
+            prior = [(t2, v2) for k2, i2, t2, v2 in base
+                     if k2 == k and t - 40 <= t2 <= t - 1]
+            q = sum(int(round(v2 * 1e6)) for _t2, v2 in prior)
+            exp = (
+                len(prior),
+                round(q / 1e6, 6),
+                (t - max(t2 for t2, _ in prior)) if prior else None,
+            )
+            assert got[i] == exp, f"seed {seed} row {i}"
+
+
+def test_scd2_reconstructs_point_lookups_randomized(spark):
+    """SCD2 correctness property: for any probe instant, the interval
+    covering it carries the attr of the key's latest row at or before
+    that instant."""
+    for seed in (21, 22):
+        rows = _rand_events(seed, n_rows=60)
+        df = spark.createDataFrame(rows)
+        iv = scd2_intervals(df, "k", "et", "ts", "i").collect()
+        by_key = {}
+        for r in iv:
+            by_key.setdefault(r["k"], []).append(r)
+        events = sorted(rows, key=lambda r: (r.ts, r.i))
+        for probe in {r.ts for r in rows}:
+            for k, ivs in by_key.items():
+                latest = None
+                for e in events:
+                    if e.k == k and e.ts <= probe:
+                        latest = e.et
+                if latest is None:
+                    continue
+                hits = [
+                    r for r in ivs
+                    if r["valid_from"] <= probe
+                    and (r["valid_to"] is None or probe < r["valid_to"])
+                ]
+                assert len(hits) == 1, f"seed {seed} {k} {probe}"
+                assert hits[0]["et"] == latest, f"seed {seed} {k} {probe}"
+
+
+def test_attribution_equals_brute_force_randomized(spark):
+    for seed in (31, 32):
+        rows = _rand_events(seed, n_rows=80)
+        df = spark.createDataFrame(rows)
+        out = last_event_attribution(
+            df, "k", "ts", "i", F.col("et") == "click", window_s=30
+        )
+        got = {
+            int(r["i"]): (
+                None if r["attr_source_id"] is None
+                else int(r["attr_source_id"]),
+                None if r["attr_gap_s"] is None else int(r["attr_gap_s"]),
+            )
+            for r in out.collect()
+        }
+        by_key = {}
+        for r in sorted(rows, key=lambda r: (r.ts, r.i)):
+            es = int((r.ts - TS0).total_seconds())
+            last = by_key.get(r.k)
+            if last is not None and es - last[0] <= 30:
+                exp = (last[1], es - last[0])
+            else:
+                exp = (None, None)
+            assert got[r.i] == exp, f"seed {seed} row {r.i}"
+            if r.et == "click":
+                cand = (es, r.i)
+                if last is None or cand > last:
+                    by_key[r.k] = cand
