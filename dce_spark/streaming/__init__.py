@@ -24,6 +24,7 @@ from .enrich import (
 )
 from .heavyhitters import lossy_count_fold, streaming_heavy_hitters
 from .sessionize import fold_sessions, stateful_sessionize
+from .upsert import fold_lww, streaming_last_write_wins
 
 __all__ = [
     "validate_stream",
@@ -38,4 +39,6 @@ __all__ = [
     "windowed_value_quantiles",
     "lossy_count_fold",
     "streaming_heavy_hitters",
+    "fold_lww",
+    "streaming_last_write_wins",
 ]

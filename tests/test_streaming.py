@@ -1017,3 +1017,91 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_lww_matches_batch_compaction(spark, tmp_path):
+    """The streaming upsert state, drained over two file-source
+    micro-batches, must end at exactly the batch last_write_wins
+    compaction of the union — per key: same (ts, id, value) winner and
+    the same cumulative version count."""
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.warehouse import last_write_wins
+    from dce_spark.streaming import streaming_last_write_wins
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    srcdir = tmp_path / "lww_src"
+    srcdir.mkdir()
+    # two batches split by event id parity: every key sees versions in
+    # BOTH micro-batches, so state genuinely carries across
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(srcdir / "b0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(srcdir / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "*"))
+    )
+    out = streaming_last_write_wins(
+        stream, ["user_id", "event_type"], "ts", "event_id", "value"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lww"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM lww_stream").collect()
+    # update mode appends one row per (micro-batch, key); the key's
+    # final state is its max-n_versions emission
+    final = {}
+    for r in emitted:
+        k = (int(r["user_id"]), r["event_type"])
+        if k not in final or int(r["n_versions"]) > int(final[k]["n_versions"]):
+            final[k] = r
+    got = {
+        k: (r["last_ts"], int(r["last_id"]), float(r["last_value"]),
+            int(r["n_versions"]))
+        for k, r in final.items()
+    }
+    expect = {
+        (int(r["user_id"]), r["event_type"]): (
+            r["last_ts"], int(r["last_event_id"]), float(r["last_value"]),
+            int(r["n_versions"]),
+        )
+        for r in last_write_wins(
+            ev, ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+        ).collect()
+    }
+    assert got == expect
+    # state genuinely crossed batches: some key must have emitted twice
+    from collections import Counter
+
+    per_key = Counter(
+        (int(r["user_id"]), r["event_type"]) for r in emitted
+    )
+    assert max(per_key.values()) == 2
+
+
+def test_fold_lww_pure_function():
+    from dce_spark.streaming import fold_lww
+
+    st, changed = fold_lww([(100, 1, 5.0), (200, 2, 7.0)], None)
+    assert st == (200, 2, 7.0, 2) and changed
+    # older version arrives late: state keeps the winner, counts it
+    st2, changed2 = fold_lww([(150, 3, 9.0)], st)
+    assert st2 == (200, 2, 7.0, 3) and not changed2
+    # same timestamp, higher id: wins the tiebreak
+    st3, changed3 = fold_lww([(200, 9, 1.0)], st2)
+    assert st3 == (200, 9, 1.0, 4) and changed3
