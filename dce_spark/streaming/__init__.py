@@ -24,7 +24,12 @@ from .enrich import (
 )
 from .heavyhitters import lossy_count_fold, streaming_heavy_hitters
 from .sessionize import fold_sessions, stateful_sessionize
-from .upsert import fold_lww, streaming_last_write_wins
+from .upsert import (
+    fold_lww,
+    fold_scd2,
+    streaming_last_write_wins,
+    streaming_scd2,
+)
 
 __all__ = [
     "validate_stream",
@@ -41,4 +46,6 @@ __all__ = [
     "streaming_heavy_hitters",
     "fold_lww",
     "streaming_last_write_wins",
+    "fold_scd2",
+    "streaming_scd2",
 ]

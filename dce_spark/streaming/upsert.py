@@ -28,7 +28,12 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
-__all__ = ["fold_lww", "streaming_last_write_wins"]
+__all__ = [
+    "fold_lww",
+    "streaming_last_write_wins",
+    "fold_scd2",
+    "streaming_scd2",
+]
 
 State = tuple[int, int, float, int]  # (es_us, id, value, n_versions)
 
@@ -119,6 +124,129 @@ def streaming_last_write_wins(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# SCD2: streaming dimension-history build
+# ---------------------------------------------------------------------
+
+# state: (attr, run_start_us, run_n, version_no, last_us, last_id)
+Scd2State = tuple[str, int, int, int, int, int]
+
+
+def fold_scd2(
+    records: list[tuple[int, int, str]],
+    state: Optional[Scd2State],
+) -> tuple[list[tuple[int, str, int, int, int]], Optional[Scd2State], int]:
+    """Fold (es_us, id, attr) rows — MUST be pre-sorted by (es_us, id)
+    — into SCD2 run state. Returns ``(closed, new_state, n_dropped)``:
+    ``closed`` rows are (version_no, attr, valid_from_us, valid_to_us,
+    n_rows) — an interval closes when the attr changes, its valid_to
+    being the closing row's timestamp (half-open, the batch operator's
+    convention). Rows at or before the last processed (es_us, id) are
+    DROPPED and counted — the streaming operator cannot splice history
+    once later rows were folded (same contract as a watermark: bound
+    your disorder upstream or widen the batch sort).
+    """
+    closed: list[tuple[int, str, int, int, int]] = []
+    dropped = 0
+    cur = state
+    for es_us, rid, attr in records:
+        if cur is not None and (es_us, rid) <= (cur[4], cur[5]):
+            dropped += 1
+            continue
+        if cur is None:
+            cur = (attr, es_us, 1, 1, es_us, rid)
+        elif attr == cur[0]:
+            cur = (cur[0], cur[1], cur[2] + 1, cur[3], es_us, rid)
+        else:
+            closed.append((cur[3], cur[0], cur[1], es_us, cur[2]))
+            cur = (attr, es_us, 1, cur[3] + 1, es_us, rid)
+    return closed, cur, dropped
+
+
+def streaming_scd2(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming SCD type-2 history: emits CLOSED validity intervals
+    (key, version_no, attr, valid_from, valid_to, n_rows) as an
+    append stream — an interval closes the moment a row with a
+    DIFFERENT attr value arrives for the key; the open (current)
+    interval lives in state until then. The streaming face of
+    :func:`dce_spark.ext.warehouse.scd2_intervals`: over an in-order
+    (per key, by (ts, id)) stream the closed intervals are exactly the
+    batch operator's non-open rows, which
+    test_streaming_scd2_matches_batch_history pins.
+
+    Out-of-order rows BEHIND the key's fold point are dropped (folded
+    history cannot be spliced); keep disorder inside a micro-batch —
+    each batch is sorted per key before folding — or bound it upstream
+    with a watermark. State per key is one (attr, run) tuple.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream_df.schema.fields
+        if f.name in key_cols
+    )
+    out_schema = (
+        f"{key_fields}, version_no bigint, {attr_col} string, "
+        "valid_from timestamp, valid_to timestamp, n_rows bigint"
+    )
+    state_schema = (
+        "attr string, start_us bigint, n bigint, version bigint, "
+        "last_us bigint, last_id bigint"
+    )
+
+    def per_key(key, pdf_iter, state):
+        import pandas as pd
+
+        recs: list[tuple[int, int, str]] = []
+        for pdf in pdf_iter:
+            es = pdf[ts_col].astype("int64").floordiv(1_000).tolist()
+            ids = pdf[id_col].astype("int64").tolist()
+            attrs = pdf[attr_col].astype(str).tolist()
+            recs.extend(zip(es, ids, attrs))
+        if not recs:
+            return
+        recs.sort(key=lambda r: (r[0], r[1]))
+        prev = tuple(state.get) if state.exists else None
+        closed, cur, _dropped = fold_scd2(recs, prev)
+        if cur is not None:
+            state.update(cur)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    **{k: [key[i]] * len(closed)
+                       for i, k in enumerate(key_cols)},
+                    "version_no": [c[0] for c in closed],
+                    attr_col: [c[1] for c in closed],
+                    "valid_from": [
+                        pd.Timestamp(c[2] * 1_000, unit="ns") for c in closed
+                    ],
+                    "valid_to": [
+                        pd.Timestamp(c[3] * 1_000, unit="ns") for c in closed
+                    ],
+                    "n_rows": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        stream_df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            per_key,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

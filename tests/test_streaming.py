@@ -1105,3 +1105,79 @@ def test_fold_lww_pure_function():
     # same timestamp, higher id: wins the tiebreak
     st3, changed3 = fold_lww([(200, 9, 1.0)], st2)
     assert st3 == (200, 9, 1.0, 4) and changed3
+
+
+def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+    """Closed intervals from the streaming SCD2 state, drained over two
+    time-split micro-batches, must equal the batch operator's
+    non-open rows exactly (version numbers, attrs, both interval
+    bounds at microsecond precision, run sizes)."""
+    import datetime as dt
+
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.warehouse import scd2_intervals
+    from dce_spark.streaming import streaming_scd2
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cut = dt.datetime(2024, 1, 16)
+    srcdir = tmp_path / "scd2_src"
+    srcdir.mkdir()
+    # time-split batches: per key, batch-0 rows all precede batch-1
+    # rows in (ts, id) order, so the in-order-stream contract holds
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(str(srcdir / "b0"))
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(str(srcdir / "b1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "*"))
+    )
+    out = streaming_scd2(stream, ["user_id"], "event_type", "ts", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (int(r["user_id"]), int(r["version_no"])): (
+            r["event_type"], r["valid_from"], r["valid_to"], int(r["n_rows"])
+        )
+        for r in spark.sql("SELECT * FROM scd2_stream").collect()
+    }
+    expect = {
+        (int(r["user_id"]), int(r["version_no"])): (
+            r["event_type"], r["valid_from"], r["valid_to"], int(r["n_rows"])
+        )
+        for r in scd2_intervals(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+        if r["valid_to"] is not None  # open rows live in stream state
+    }
+    assert got == expect
+    assert len(got) > 100  # non-vacuous: real history volume crossed
+
+
+def test_fold_scd2_pure_function():
+    from dce_spark.streaming import fold_scd2
+
+    closed, st, dropped = fold_scd2(
+        [(100, 1, "x"), (200, 2, "x"), (300, 3, "y"), (400, 4, "x")], None
+    )
+    assert closed == [(1, "x", 100, 300, 2), (2, "y", 300, 400, 1)]
+    assert st == ("x", 400, 1, 3, 400, 4) and dropped == 0
+    # late row behind the fold point: dropped, history unchanged
+    closed2, st2, dropped2 = fold_scd2([(250, 9, "z")], st)
+    assert closed2 == [] and st2 == st and dropped2 == 1
+    # continuation of the open run across a fold call
+    closed3, st3, _ = fold_scd2([(500, 5, "x"), (600, 6, "y")], st2)
+    assert closed3 == [(3, "x", 400, 600, 2)]
+    assert st3 == ("y", 600, 1, 4, 600, 6)
