@@ -26,8 +26,10 @@ from .heavyhitters import lossy_count_fold, streaming_heavy_hitters
 from .sessionize import fold_sessions, stateful_sessionize
 from .upsert import (
     fold_lww,
+    fold_pit,
     fold_scd2,
     streaming_last_write_wins,
+    streaming_pit_features,
     streaming_scd2,
 )
 
@@ -48,4 +50,6 @@ __all__ = [
     "streaming_last_write_wins",
     "fold_scd2",
     "streaming_scd2",
+    "fold_pit",
+    "streaming_pit_features",
 ]

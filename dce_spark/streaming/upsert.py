@@ -33,6 +33,8 @@ __all__ = [
     "streaming_last_write_wins",
     "fold_scd2",
     "streaming_scd2",
+    "fold_pit",
+    "streaming_pit_features",
 ]
 
 State = tuple[int, int, float, int]  # (es_us, id, value, n_versions)
@@ -237,6 +239,159 @@ def streaming_scd2(
                         pd.Timestamp(c[3] * 1_000, unit="ns") for c in closed
                     ],
                     "n_rows": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        stream_df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            per_key,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Point-in-time features, online (the feature-store serving path)
+# ---------------------------------------------------------------------
+
+# state: (es list asc (seconds), qv list (quantized values),
+#         last_es, last_id) — the retained horizon tail
+PitState = tuple[list[int], list[int], int, int]
+
+
+def fold_pit(
+    records: list[tuple[int, int, int]],
+    state: Optional[PitState],
+    horizon_s: int,
+) -> tuple[list[tuple[int, int, float, Optional[int]]], PitState, int]:
+    """Fold (es_seconds, id, qvalue) rows — pre-sorted by (es, id) —
+    through a sliding-horizon ring, emitting for EACH row the features
+    the batch operator computes: priors strictly earlier BY SECOND
+    within ``[es - horizon_s, es - 1]``. Returns ``(feats, new_state,
+    n_dropped)`` where feats rows are (id, n_prior, sum_value_quantum,
+    last_gap_s). Rows behind the fold point (<= last (es, id)) are
+    dropped and counted — the scd2 disorder contract.
+
+    The per-row prior scan is a bisect + prefix sum over the retained
+    ring (O(ring) worst case per row): the ring is horizon-bounded, so
+    per-key work is O(batch x events-in-horizon) — the honest cost of
+    exact online features; coarser aggregates (hourly buckets) shrink
+    the ring when the horizon is long.
+    """
+    import bisect
+
+    es_ring, qv_ring, last_es, last_id = (
+        (list(state[0]), list(state[1]), state[2], state[3])
+        if state is not None
+        else ([], [], -1, -1)
+    )
+    feats: list[tuple[int, int, float, Optional[int]]] = []
+    dropped = 0
+    for es, rid, qv in records:
+        if (es, rid) <= (last_es, last_id):
+            dropped += 1
+            continue
+        lo = bisect.bisect_left(es_ring, es - horizon_s)
+        if lo:
+            del es_ring[:lo], qv_ring[:lo]
+        hi = bisect.bisect_right(es_ring, es - 1)
+        qsum = sum(qv_ring[:hi])
+        feats.append(
+            (
+                rid,
+                hi,
+                float(qsum),
+                (es - es_ring[hi - 1]) if hi else None,
+            )
+        )
+        # insert keeping es order (same-second rows append after)
+        es_ring.append(es)
+        qv_ring.append(qv)
+        last_es, last_id = es, rid
+    return feats, (es_ring, qv_ring, last_es, last_id), dropped
+
+
+def streaming_pit_features(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    horizon_s: int = 604800,
+    quantum: float = 1e6,
+) -> DataFrame:
+    """ONLINE point-in-time features: for every arriving row, the
+    key's prior-history features over ``[t - horizon_s, t - 1]``
+    seconds — ``pit_n_prior``, ``pit_sum_value`` (quantized-exact),
+    ``pit_last_gap_s`` — exactly what
+    :func:`dce_spark.ext.warehouse.pit_window_features` backfills
+    offline, computed at serving time from a horizon-bounded state
+    ring (train/serve skew zero BY CONSTRUCTION, which is the entire
+    feature-store problem). Append mode; rows behind a key's fold
+    point are dropped (the scd2 disorder contract).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream_df.schema.fields
+        if f.name in key_cols
+    )
+    out_schema = (
+        f"{key_fields}, {id_col} bigint, pit_n_prior bigint, "
+        "pit_sum_value double, pit_last_gap_s bigint"
+    )
+    state_schema = (
+        "es array<bigint>, qv array<bigint>, last_es bigint, last_id bigint"
+    )
+
+    def per_key(key, pdf_iter, state):
+        import pandas as pd
+
+        recs: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            es = (
+                pdf[ts_col].astype("int64").floordiv(1_000_000_000).tolist()
+            )
+            ids = pdf[id_col].astype("int64").tolist()
+            qvs = [
+                int(v)
+                for v in pdf[value_col]
+                .astype("float64")
+                .mul(quantum)
+                .round()
+                .tolist()
+            ]
+            recs.extend(zip(es, ids, qvs))
+        if not recs:
+            return
+        recs.sort(key=lambda r: (r[0], r[1]))
+        prev = tuple(state.get) if state.exists else None
+        feats, new_state, _dropped = fold_pit(recs, prev, horizon_s)
+        state.update(
+            (
+                [int(x) for x in new_state[0]],
+                [int(x) for x in new_state[1]],
+                int(new_state[2]),
+                int(new_state[3]),
+            )
+        )
+        if feats:
+            yield pd.DataFrame(
+                {
+                    **{k: [key[i]] * len(feats)
+                       for i, k in enumerate(key_cols)},
+                    id_col: [f[0] for f in feats],
+                    "pit_n_prior": [f[1] for f in feats],
+                    "pit_sum_value": [f[2] / quantum for f in feats],
+                    "pit_last_gap_s": pd.array(
+                        [f[3] for f in feats], dtype="Int64"
+                    ),
                 }
             )
 

@@ -1181,3 +1181,91 @@ def test_fold_scd2_pure_function():
     closed3, st3, _ = fold_scd2([(500, 5, "x"), (600, 6, "y")], st2)
     assert closed3 == [(3, "x", 400, 600, 2)]
     assert st3 == ("y", 600, 1, 4, 600, 6)
+
+
+def test_streaming_pit_features_match_batch_backfill(spark, tmp_path):
+    """Online features over a time-split two-batch stream must equal
+    the offline backfill (ext/warehouse.pit_window_features) on the
+    union — the zero-train/serve-skew property, row for row."""
+    import datetime as dt
+
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.warehouse import pit_window_features
+    from dce_spark.streaming import streaming_pit_features
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut = dt.datetime(2024, 1, 16)
+    srcdir = tmp_path / "pit_src"
+    srcdir.mkdir()
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(str(srcdir / "b0"))
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(str(srcdir / "b1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "*"))
+    )
+    out = streaming_pit_features(
+        stream, ["user_id"], "ts", "event_id", "value", horizon_s=604800
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        int(r["event_id"]): (
+            int(r["pit_n_prior"]),
+            round(float(r["pit_sum_value"]), 6),
+            None if r["pit_last_gap_s"] is None else int(r["pit_last_gap_s"]),
+        )
+        for r in spark.sql("SELECT * FROM pit_stream").collect()
+    }
+    batch = pit_window_features(
+        ev.withColumn("es", F.unix_timestamp("ts")),
+        "user_id", "es", "value", horizon_s=604800,
+    )
+    expect = {
+        int(r["event_id"]): (
+            int(r["pit_n_prior"]),
+            round(float(r["pit_sum_value"]), 6),
+            None if r["pit_last_gap_s"] is None else int(r["pit_last_gap_s"]),
+        )
+        for r in batch.collect()
+    }
+    assert len(got) == ev.count()  # in-order stream: nothing dropped
+    assert got == expect
+
+
+def test_fold_pit_pure_function():
+    from dce_spark.streaming import fold_pit
+
+    feats, st, dropped = fold_pit(
+        [(100, 1, 1_000_000), (200, 2, 2_000_000),
+         (300, 3, 4_000_000), (300, 4, 8_000_000)],
+        None, horizon_s=150,
+    )
+    # windows: [.,99]=∅; [50,199]={100}; [150,299]={200};
+    # same-second 300s never see each other
+    assert feats == [
+        (1, 0, 0.0, None),
+        (2, 1, 1_000_000.0, 100),
+        (3, 1, 2_000_000.0, 100),
+        (4, 1, 2_000_000.0, 100),
+    ]
+    assert dropped == 0
+    # cross-call: the ring carried both same-second rows
+    feats2, st2, _ = fold_pit([(301, 9, 0)], st, horizon_s=150)
+    assert feats2 == [(9, 3, 14_000_000.0, 1)]
+    # late row behind the fold point: dropped
+    feats3, st3, dropped3 = fold_pit([(250, 1, 0)], st2, horizon_s=150)
+    assert feats3 == [] and dropped3 == 1 and st3 == st2
