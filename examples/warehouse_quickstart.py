@@ -97,6 +97,61 @@ def main() -> None:
         F.round(F.avg("attr_gap_s"), 1).alias("avg_gap_s"),
     ).show()
 
+    print("== 5. The same ops LIVE: streaming upsert + online PIT ==")
+    import tempfile
+
+    from dce_spark.streaming import (
+        streaming_last_write_wins,
+        streaming_pit_features,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        cols = ev.select("user_id", "event_type", "ts", "event_id", "value")
+        # two micro-batches split by time: state carries across them
+        cols.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(
+            os.path.join(src, "b0")
+        )
+        cols.filter(F.dayofmonth("ts") > 15).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        stream = (
+            spark.readStream.schema(cols.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q1 = (
+            streaming_last_write_wins(stream, ["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName("live_compacted")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination(120)
+        print("upsert emissions (one per touched key per micro-batch):")
+        spark.sql(
+            "SELECT count(*) AS emissions, count(DISTINCT user_id) AS users "
+            "FROM live_compacted"
+        ).show()
+
+        q2 = (
+            streaming_pit_features(stream, ["user_id"])
+            .writeStream.format("memory")
+            .queryName("live_features")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        print("online features == the batch backfill, row for row:")
+        spark.sql(
+            "SELECT count(*) AS rows_served, "
+            "round(avg(pit_n_prior), 2) AS avg_prior FROM live_features"
+        ).show()
+
     spark.stop()
 
 
