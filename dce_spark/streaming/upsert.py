@@ -69,6 +69,7 @@ def streaming_last_write_wins(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming upsert compaction: for every key that received rows in
     a micro-batch, emit its CURRENT row — ``last_ts`` / ``last_id`` /
@@ -79,6 +80,12 @@ def streaming_last_write_wins(
     Key column types are taken from the input schema, so any
     groupable key works. Event time is compared at microsecond
     precision (exact int64 — no float timestamp hazards).
+
+    ``ttl_seconds`` bounds state for unbounded key churn: a key idle
+    for that much processing time is evicted silently; its next
+    version re-opens state with the version count restarted (the
+    compacted row stays correct — a MERGE sink tolerates the counter
+    reset, as the module docstring discusses).
     """
     import pandas as pd  # noqa: F401  (workers need it; checked here)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -97,6 +104,11 @@ def streaming_last_write_wins(
     def per_key(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle eviction: drop state silently — the next version of
+            # this key re-opens it (version counter restarts)
+            state.remove()
+            return
         records: list[tuple[int, int, float]] = []
         for pdf in pdf_iter:
             es = pdf[ts_col].astype("int64").floordiv(1_000).tolist()
@@ -108,6 +120,8 @@ def streaming_last_write_wins(
         prev = tuple(state.get) if state.exists else None
         new_state, _changed = fold_lww(records, prev)
         state.update(new_state)
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(int(ttl_seconds * 1000))
         es_us, rid, val, n = new_state
         yield pd.DataFrame(
             {
@@ -126,7 +140,11 @@ def streaming_last_write_wins(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_seconds is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -1269,3 +1269,49 @@ def test_fold_pit_pure_function():
     # late row behind the fold point: dropped
     feats3, st3, dropped3 = fold_pit([(250, 1, 0)], st2, horizon_s=150)
     assert feats3 == [] and dropped3 == 1 and st3 == st2
+
+
+def test_streaming_lww_with_ttl_runs_and_compacts(spark, tmp_path):
+    """The ttl_seconds path (ProcessingTimeTimeout) must run end to
+    end and still produce the correct compaction when no key actually
+    idles past the TTL during the drain."""
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.warehouse import last_write_wins
+    from dce_spark.streaming import streaming_last_write_wins
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    srcdir = tmp_path / "lww_ttl_src"
+    srcdir.mkdir()
+    ev.coalesce(1).write.parquet(str(srcdir / "b0"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(srcdir / "*"))
+    out = streaming_last_write_wins(
+        stream, ["user_id", "event_type"], ttl_seconds=3600.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_ttl_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lww_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (int(r["user_id"]), r["event_type"]): (
+            int(r["last_id"]), int(r["n_versions"])
+        )
+        for r in spark.sql("SELECT * FROM lww_ttl_stream").collect()
+    }
+    expect = {
+        (int(r["user_id"]), r["event_type"]): (
+            int(r["last_event_id"]), int(r["n_versions"])
+        )
+        for r in last_write_wins(
+            ev, ["user_id", "event_type"], ["ts", "event_id"], ["value"]
+        ).collect()
+    }
+    assert got == expect
