@@ -211,3 +211,41 @@ def layout_stats(
         .agg(*aggs)
         .orderBy("file")
     )
+
+
+def dataset_manifest(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Release manifest for a written dataset: per output file, the
+    row count and an ORDER-INDEPENDENT content digest —
+    ``bit_xor(xxhash64(columns...))`` over the file's rows — plus the
+    per-file hash min/max as secondary fingerprints. The reproducible
+    dataset-card primitive: re-running a pipeline must reproduce the
+    manifest bit-for-bit (same rows per file, same digests), and two
+    exports can be diffed file-by-file without reading either twice.
+
+    One distributed aggregation grouped on ``input_file_name()`` —
+    nothing listed or collected driver-side, so the manifest of a
+    100 TB export is one scan. Caveats stated so they cannot
+    surprise: xor cancels PAIRS of byte-identical rows inside one
+    file (the row count changes in step, and hash_min/hash_max still
+    move), and the digest covers the named ``columns`` (default: all,
+    in schema order).
+    """
+    df = spark.read.format(format).load(path)
+    cols = list(columns) if columns is not None else list(df.columns)
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    return (
+        df.select(F.input_file_name().alias("file"), h.alias("__h"))
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor("__h").alias("content_xor64"),
+            F.min("__h").alias("hash_min"),
+            F.max("__h").alias("hash_max"),
+        )
+        .orderBy("file")
+    )

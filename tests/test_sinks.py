@@ -223,3 +223,46 @@ def test_zorder_minmax_properties(spark):
     assert all(a[1] < b[1] for a, b in zip(xs, xs[1:]))
     ys = sorted((r["y"], r["z"]) for r in rows if r["x"] == 7)
     assert all(a[1] < b[1] for a, b in zip(ys, ys[1:]))
+
+
+def test_dataset_manifest_reproducible_and_change_sensitive(spark, tmp_path):
+    from dce_spark.sinks import dataset_manifest
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    p1 = str(tmp_path / "ds1")
+    df.repartition(4, "g").write.parquet(p1)
+    m1 = {r["file"].rsplit("/", 1)[-1]: r for r in
+          dataset_manifest(spark, p1).collect()}
+    assert sum(int(r["rows"]) for r in m1.values()) == 1000
+    # reproducible: reading again yields the identical manifest
+    m1b = {r["file"].rsplit("/", 1)[-1]: r for r in
+           dataset_manifest(spark, p1).collect()}
+    assert {k: (int(v["rows"]), int(v["content_xor64"]))
+            for k, v in m1.items()} == {
+        k: (int(v["rows"]), int(v["content_xor64"])) for k, v in m1b.items()
+    }
+    # a one-value change flips its file's digest but not the row count
+    p2 = str(tmp_path / "ds2")
+    df.withColumn(
+        "v", F.when(F.col("id") == 500, F.lit(-1.0)).otherwise(F.col("v"))
+    ).repartition(4, "g").write.parquet(p2)
+    tot1 = 0
+    for r in dataset_manifest(spark, p1).collect():
+        tot1 ^= int(r["content_xor64"])
+    tot2 = 0
+    for r in dataset_manifest(spark, p2).collect():
+        tot2 ^= int(r["content_xor64"])
+    assert tot1 != tot2
+    assert sum(
+        int(r["rows"]) for r in dataset_manifest(spark, p2).collect()
+    ) == 1000
+    # column subset digest ignores the changed column
+    d1 = {int(r["rows"]): int(r["content_xor64"]) for r in
+          dataset_manifest(spark, p1, columns=["id", "g"]).collect()}
+    d2 = {int(r["rows"]): int(r["content_xor64"]) for r in
+          dataset_manifest(spark, p2, columns=["id", "g"]).collect()}
+    assert d1 == d2
