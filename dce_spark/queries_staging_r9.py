@@ -60,7 +60,6 @@ from pyspark.sql import Window, functions as F
 # CTE never reaches a partially-initialized frame.
 from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
 from .data import load_table
-from .queries import _qsum, _qsum_sql
 
 STAGED_R9: dict[str, "StagedSpec"] = {}
 
