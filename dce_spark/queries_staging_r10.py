@@ -1,0 +1,776 @@
+"""ROUND-10 STAGED catalog queries — seeded in round 7 (the staging
+pipeline runs a full round ahead: round-8 and round-9 cohorts were
+already complete, so these compose the NEW round-7 surfaces — the
+warehouse family, SemDeDup, hard negatives, dup spans — one derivative
+step further), NOT registered (same freeze protocol as
+queries_staging_r5..r9). Round 10 promotes them; round 8/9 sessions
+may extend this cohort toward the usual twenty.
+
+- ``scd2_change_rate_events`` — dimension churn as a time series:
+  closed SCD2 intervals per close-day (how fast the dimension
+  actually changes — the number that sizes MERGE cadence).
+- ``attribution_gap_quantiles_events`` — conversion latency by
+  portable integer day-of-week: attributed share and exact p50/p90
+  click->purchase gaps.
+- ``pit_feature_drift_events`` — PSI drift on an ENGINEERED feature
+  (the 7-day prior-activity count of purchase labels), first half vs
+  second half of the stream: feature drift is what actually breaks
+  models, not raw-column drift.
+- ``semdedup_threshold_sweep_embeddings`` — SemDeDup prune rates at
+  three cosine thresholds from ONE within-cell pair table (the
+  tuning curve before freezing a threshold).
+- ``triplet_margin_embeddings`` — per probe query, the margin between
+  the nearest SAME-label vector and the hardest mined FOREIGN-label
+  negative: the triplet-loss feasibility number for contrastive
+  training.
+- ``dup_span_by_source_documents`` — the substring-dedup span profile
+  rolled up per source: which feeds carry verbatim-copied spans and
+  how long they run (the clip-vs-drop policy input).
+
+tests/test_staging_r10.py runs these through the SAME compare harness
+as the live catalog at the suite's SF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Window, functions as F
+
+from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
+from .data import load_table
+
+STAGED_R10: dict[str, "StagedSpec"] = {}
+
+
+@dataclass
+class StagedSpec:
+    fn: Callable
+    oracle: str
+    doc: str
+
+
+def stage(name: str, oracle: str, doc: str = ""):
+    def deco(fn):
+        STAGED_R10[name] = StagedSpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def staged_oracle(name: str) -> str:
+    """Oracle SQL for a staged query (uniform accessor; all round-10
+    oracles are eager strings)."""
+    return STAGED_R10[name].oracle
+
+
+# ---------------------------------------------------------------------
+# 1. SCD2 change rate (dimension churn time series)
+# ---------------------------------------------------------------------
+
+_SCD2_RATE_ORACLE = """WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+), intervals AS (
+  SELECT user_id, run_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_s
+  FROM runs GROUP BY user_id, run_id
+), closed AS (
+  SELECT user_id,
+         lead(valid_from_s) OVER (PARTITION BY user_id
+                                  ORDER BY run_id) AS valid_to_s
+  FROM intervals
+)
+SELECT CAST(valid_to_s // 86400 AS BIGINT) AS day_index,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_changing
+FROM closed WHERE valid_to_s IS NOT NULL
+GROUP BY valid_to_s // 86400"""
+
+
+@stage(
+    "scd2_change_rate_events",
+    _SCD2_RATE_ORACLE,
+    "dimension churn as a time series: CLOSED SCD2 intervals counted "
+    "by the epoch-day their successor opened (integer day_index = "
+    "epoch_s // 86400, engine-portable) plus distinct keys changing "
+    "that day — the number that sizes MERGE cadence and history-table "
+    "growth (a churn spike means the type-2 table is about to bloat). "
+    "Composes ext/warehouse.scd2_intervals with one grouped rollup; "
+    "still a single user_id shuffle plus a day-sized aggregate.",
+)
+def scd2_change_rate_events(spark, sf_dir):
+    from .ext.warehouse import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    closed = iv.filter(F.col("valid_to").isNotNull()).select(
+        "user_id",
+        (F.unix_timestamp("valid_to") / 86400).cast("long").alias("day_index"),
+    )
+    return closed.groupBy("day_index").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("user_id").alias("n_users_changing"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 2. Attribution gap quantiles by (portable) day-of-week
+# ---------------------------------------------------------------------
+
+_ATTR_GAP_ORACLE = """WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+  FROM events
+), lasts AS (
+  SELECT event_id, event_type, es,
+         max(CASE WHEN event_type = 'click'
+                  THEN es * 10000000 + event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS packed
+  FROM base
+), purchases AS (
+  SELECT (es // 86400) % 7 AS dow,
+         CASE WHEN packed IS NOT NULL AND es - packed // 10000000 <= 3600
+              THEN es - packed // 10000000 END AS gap_s
+  FROM lasts WHERE event_type = 'purchase'
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS attributed_share,
+       round(quantile_cont(CAST(gap_s AS DOUBLE), 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(CAST(gap_s AS DOUBLE), 0.9), 6) AS p90_gap_s
+FROM purchases GROUP BY dow"""
+
+
+@stage(
+    "attribution_gap_quantiles_events",
+    _ATTR_GAP_ORACLE,
+    "conversion latency profile: per PORTABLE integer day-of-week "
+    "(epoch_days % 7 — DuckDB dayofweek is 0-6 vs Spark 1-7, so "
+    "neither calendar function crosses engines), the purchase count, "
+    "last-click attributed share, and exact interpolated p50/p90 "
+    "click->purchase gaps (NULL-skipping quantiles over the "
+    "attributed subset only, both engines). Composes "
+    "ext/warehouse.last_event_attribution with a 7-row rollup; one "
+    "user_id shuffle.",
+)
+def attribution_gap_quantiles_events(spark, sf_dir):
+    from .ext.warehouse import last_event_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = last_event_attribution(
+        ev, "user_id", "ts", "event_id",
+        F.col("event_type") == "click", window_s=3600,
+    ).filter(F.col("event_type") == "purchase")
+    dow = (
+        (F.unix_timestamp("ts") / 86400).cast("long") % 7
+    ).alias("dow")
+    pcts = F.percentile(
+        F.col("attr_gap_s").cast("double"),
+        F.array(F.lit(0.5), F.lit(0.9)),
+    )
+    return (
+        out.select(dow, "attr_gap_s")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("attr_gap_s").isNotNull().cast("long"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("attributed_share"),
+            pcts.alias("p"),
+        )
+        .select(
+            "dow",
+            "n_purchases",
+            "attributed_share",
+            F.round(F.col("p")[0], 6).alias("p50_gap_s"),
+            F.round(F.col("p")[1], 6).alias("p90_gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 3. PSI drift on an engineered feature (pit prior-activity count)
+# ---------------------------------------------------------------------
+
+_PIT_EDGES = [5, 10, 20, 40]
+_PIT_B = len(_PIT_EDGES) + 1
+
+
+def _pit_bin_sql(col: str) -> str:
+    conds = [f"WHEN {col} < {_PIT_EDGES[0]} THEN 0"]
+    for i in range(1, len(_PIT_EDGES)):
+        conds.append(f"WHEN {col} < {_PIT_EDGES[i]} THEN {i}")
+    conds.append(f"ELSE {len(_PIT_EDGES)}")
+    return "CASE " + " ".join(conds) + " END"
+
+
+_PIT_DRIFT_ORACLE = f"""WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), feat AS (
+  SELECT event_id, event_type, es,
+         count(*) OVER w AS n_prior
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY es
+               RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+), labels AS (
+  SELECT es // 86400 AS day, n_prior FROM feat
+  WHERE event_type = 'purchase'
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS idx,
+         count(*) OVER () AS k
+  FROM (SELECT DISTINCT day FROM labels)
+), tagged AS (
+  SELECT CASE WHEN d.idx * 2 <= d.k THEN 0 ELSE 1 END AS period,
+         {_pit_bin_sql('l.n_prior')} AS bin
+  FROM labels l JOIN days d ON d.day = l.day
+), cells AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM tagged GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(count(*) AS BIGINT) AS b
+  FROM cells
+)
+SELECT CAST(c.bin AS BIGINT) AS bin, c.c0, c.c1,
+       round((CAST(c.c0 + 1 AS DOUBLE) / (t.n0 + t.b)
+              - CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + t.b))
+             * ln((CAST(c.c0 + 1 AS DOUBLE) / (t.n0 + t.b))
+                  / (CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + t.b))), 6)
+         AS psi_contrib
+FROM cells c CROSS JOIN tot t"""
+
+
+@stage(
+    "pit_feature_drift_events",
+    _PIT_DRIFT_ORACLE,
+    "feature drift where it matters: PSI of an ENGINEERED model input "
+    "— the 7-day prior-activity count behind each purchase label "
+    "(pit_features_events' n_prior_7d) — first half vs second half of "
+    "the label days. Raw-column drift tests miss exactly this: a "
+    "stable value distribution can still shift the engineered feature "
+    "when user behavior recomposes. Same protocol as "
+    "psi_value_drift_events (fixed bins, Laplace (c+1)/(n+B), exact "
+    "integer idx*2 <= k period split, per-bin 6dp contributions). "
+    "Scale: the pit window's one user_id shuffle + a bin-sized "
+    "rollup.",
+)
+def pit_feature_drift_events(spark, sf_dir):
+    from .ext.warehouse import pit_window_features
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        F.lit(0.0).alias("v"),
+    )
+    feat = pit_window_features(base, "user_id", "es", "v", horizon_s=604800)
+    labels = feat.filter(F.col("event_type") == "purchase").select(
+        (F.col("es") / 86400).cast("long").alias("day"),
+        F.col("pit_n_prior").alias("n_prior"),
+    )
+    days = labels.select("day").distinct()
+    widx = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idxd = days.select(
+        "day",
+        F.row_number().over(widx).alias("idx"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    bin_col = F.lit(len(_PIT_EDGES))
+    for i in range(len(_PIT_EDGES) - 1, -1, -1):
+        bin_col = F.when(
+            F.col("n_prior") < _PIT_EDGES[i], F.lit(i)
+        ).otherwise(bin_col)
+    tagged = labels.join(F.broadcast(idxd), "day").select(
+        F.when(F.col("idx") * 2 <= F.col("k"), 0).otherwise(1).alias("period"),
+        bin_col.alias("bin"),
+    )
+    cells = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    tot = cells.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    p = (F.col("c0") + 1).cast("double") / (F.col("n0") + F.col("b"))
+    q = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("b"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "c0",
+        "c1",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 4. SemDeDup threshold sweep
+# ---------------------------------------------------------------------
+
+_SEMDEDUP_THRS = [0.90, 0.95, 0.98]
+
+
+def _semdedup_sweep_oracle() -> str:
+    from .queries import _DIRTY_EMB_SQL
+    from .queries_more import _KM_DIST, _KM_K
+
+    thr_rows = ", ".join(str(t) for t in _SEMDEDUP_THRS)
+    return f"""WITH {_DIRTY_EMB_SQL}, e AS (
+  SELECT vec_id, embedding AS v FROM dirty
+), seeds AS (
+  SELECT vec_id AS cid, v FROM e WHERE vec_id < {_KM_K}
+), d0 AS (
+  SELECT e.vec_id, s.cid, {_KM_DIST.format(e='e.v', c='s.v')} AS d2
+  FROM e, seeds s
+), a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d0) WHERE rn = 1
+), c1 AS (
+  SELECT a0.cid, t.pos,
+         CAST(sum(CAST(round(e.v[t.pos + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / count(*) AS m
+  FROM e JOIN a0 ON e.vec_id = a0.vec_id, range(0, 64) t(pos)
+  GROUP BY a0.cid, t.pos
+), c1v AS (
+  SELECT cid, list(m ORDER BY pos) AS v FROM c1 GROUP BY cid
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_KM_DIST.format(e='e.v', c='c.v')} AS d2
+  FROM e, c1v c
+), cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1
+), maxcos AS (
+  SELECT cb.vec_id,
+         max(round(list_sum(list_transform(range(1, 65),
+               i -> ea.v[i] * eb.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> ea.v[i] * ea.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+               i -> eb.v[i] * eb.v[i])))), 6)) AS mc
+  FROM cells ca JOIN cells cb
+    ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+  JOIN e ea ON ea.vec_id = ca.vec_id
+  JOIN e eb ON eb.vec_id = cb.vec_id
+  GROUP BY cb.vec_id
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cells)
+SELECT CAST(t.thr AS DOUBLE) AS thr,
+       CAST(sum(CASE WHEN m.mc >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       round(CAST(sum(CASE WHEN m.mc >= t.thr THEN 1 ELSE 0 END) AS DOUBLE)
+             / any_value(tt.n), 6) AS prune_rate
+FROM (SELECT CAST(unnest([{thr_rows}]) AS DOUBLE) AS thr) t
+CROSS JOIN tot tt
+LEFT JOIN maxcos m ON true
+GROUP BY t.thr"""
+
+
+@stage(
+    "semdedup_threshold_sweep_embeddings",
+    _semdedup_sweep_oracle(),
+    "SemDeDup tuning curve: corpus prune rates at THREE cosine "
+    "thresholds from ONE within-cell pair table — per vector the MAX "
+    "6dp cosine to any lower-id cell-mate is computed once, then each "
+    "threshold is a conditional count over that per-victim table "
+    "(never a re-join per threshold; the dedup_threshold_sweep "
+    "convention applied to embeddings). Same deterministic k-means "
+    "cell replay and dirtied view as semdedup_prune_embeddings. "
+    "Scale: the one cell-keyed self-join dominates; the sweep itself "
+    "is a 3-row rollup.",
+)
+def semdedup_threshold_sweep_embeddings(spark, sf_dir):
+    from .ext.similarity import _as_literal_array, dot_col
+    from .queries import _dirty_embeddings
+    from .queries_more import _KM_K
+
+    df = _dirty_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    base = df.select("vec_id", F.col("embedding").alias("v"))
+
+    def d2_to(cvec):
+        lit = _as_literal_array(cvec)
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent_pairs):
+        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
+        best_d2 = F.array_min(d2s)
+        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
+        return F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
+
+    seed_rows = base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
+    c1_rows = (
+        base.withColumn("cid", assign(cents))
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    cents1 = [
+        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
+    ]
+    cells = base.select("vec_id", "v", assign(cents1).alias("cid")).persist()
+    n_total = cells.count()
+    n2 = dot_col(F.col("v"), F.col("v"))
+    a = cells.select(
+        "cid", F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"), n2.alias("na2"),
+    )
+    b = cells.select(
+        "cid", F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"), n2.alias("nb2"),
+    )
+    cos = F.round(
+        dot_col(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
+    maxcos = (
+        a.join(b, ["cid"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ib").alias("vec_id"), cos.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    counts = maxcos.agg(
+        *[
+            F.sum((F.col("mc") >= F.lit(t)).cast("long")).alias(f"t{i}")
+            for i, t in enumerate(_SEMDEDUP_THRS)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("thr"),
+                F.coalesce(F.col(f"t{i}"), F.lit(0)).alias("n_pruned"),
+            )
+            for i, t in enumerate(_SEMDEDUP_THRS)
+        ]
+    )
+    return (
+        counts.select(F.explode(pairs).alias("s"))
+        .select(
+            F.col("s.thr").alias("thr"),
+            F.col("s.n_pruned").cast("long").alias("n_pruned"),
+            F.round(
+                F.col("s.n_pruned").cast("double") / F.lit(float(n_total)), 6
+            ).alias("prune_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 5. Triplet margin (contrastive-training feasibility)
+# ---------------------------------------------------------------------
+
+_TM_NPROBE = 2
+
+_TRIPLET_ORACLE = f"""WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, CAST(t.pos AS BIGINT) AS pos,
+         CAST(sum(CAST(round(v[t.pos + 1] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / CAST(count(*) AS DOUBLE) AS c
+  FROM e, range(0, 64) t(pos)
+  GROUP BY label, t.pos
+), qv AS (
+  SELECT vec_id AS qid, label AS qlabel, v FROM e WHERE vec_id < 3
+), cs AS (
+  SELECT qv.qid, cent.label,
+         sum(CAST(round(cent.c * qv.v[cent.pos + 1] * 1000000000.0)
+                  AS BIGINT)) AS score
+  FROM cent JOIN qv ON cent.label <> qv.qlabel
+  GROUP BY qv.qid, cent.label
+), probe AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, label) AS rk
+    FROM cs)
+  WHERE rk <= {_TM_NPROBE}
+), cosall AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> q.v[i] * e.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> q.v[i] * q.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> e.v[i] * e.v[i])))), 6) AS cos_sim
+  FROM qv q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid
+), pos AS (
+  SELECT qid, max(cos_sim) AS pos_cos FROM cosall GROUP BY qid
+), neg AS (
+  SELECT q.qid,
+         max(round(list_sum(list_transform(range(1, 65),
+                 i -> q.v[i] * e.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> q.v[i] * q.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> e.v[i] * e.v[i])))), 6)) AS neg_cos
+  FROM probe p
+  JOIN qv q ON q.qid = p.qid
+  JOIN e ON e.label = p.label
+  GROUP BY q.qid
+)
+SELECT CAST(pos.qid AS BIGINT) AS qid,
+       pos.pos_cos, neg.neg_cos,
+       round(pos.pos_cos - neg.neg_cos, 6) AS margin
+FROM pos JOIN neg ON neg.qid = pos.qid"""
+
+
+@stage(
+    "triplet_margin_embeddings",
+    _TRIPLET_ORACLE,
+    "contrastive-training feasibility: per probe query, the TRIPLET "
+    "MARGIN — nearest SAME-label cosine (the easiest positive) minus "
+    "the hardest mined FOREIGN-label negative (from the same "
+    "exact-integer-scored nprobe=2 foreign cells as "
+    "hard_negative_mining_embeddings). Negative or near-zero margins "
+    "mean the mined negatives already violate the triplet constraint "
+    "— the single number that predicts whether a margin loss has "
+    "anything to learn from this corpus. Both maxes are over "
+    "6dp-rounded in-order cosines, and the margin subtracts on the "
+    "1e-6 grid (exact). Scale: two label equi-joins with 3-row "
+    "broadcast query dims.",
+)
+def triplet_margin_embeddings(spark, sf_dir):
+    from .ext.similarity import dot_col
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    sum_terms = ", ".join(
+        f"sum(cast(round(get(v, {i}) * 1e9) as bigint)) as s{i}"
+        for i in range(64)
+    )
+    cent_rows = (
+        emb.groupBy("label")
+        .agg(F.expr(f"struct({sum_terms}, count(*) as n)").alias("r"))
+        .collect()
+    )
+    cents = {
+        int(r["label"]): [
+            float(r["r"][f"s{i}"]) / 1e9 / float(int(r["r"]["n"]))
+            for i in range(64)
+        ]
+        for r in cent_rows
+    }
+    q_rows = emb.filter(F.col("vec_id") < 3).collect()
+    pos_dim, neg_dim = [], []
+    for qr in sorted(q_rows, key=lambda r: int(r["vec_id"])):
+        qid, qlabel = int(qr["vec_id"]), int(qr["label"])
+        qvec = [float(x) for x in qr["v"]]
+        pos_dim.append((qid, qlabel, qvec))
+        scored = []
+        for lbl, c in cents.items():
+            if lbl == qlabel:
+                continue
+            score = sum(int(round(c[i] * qvec[i] * 1e9)) for i in range(64))
+            scored.append((-score, lbl))
+        for _s, lbl in sorted(scored)[:_TM_NPROBE]:
+            neg_dim.append((qid, lbl, qvec))
+    pos_df = spark.createDataFrame(
+        pos_dim, "qid long, label long, qv array<double>"
+    )
+    neg_df = spark.createDataFrame(
+        neg_dim, "qid long, label long, qv array<double>"
+    )
+    cos = F.round(
+        dot_col(F.col("qv"), F.col("v"))
+        / (
+            F.sqrt(dot_col(F.col("qv"), F.col("qv")))
+            * F.sqrt(dot_col(F.col("v"), F.col("v")))
+        ),
+        6,
+    )
+    pos = (
+        emb.join(F.broadcast(pos_df), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", cos.alias("c"))
+        .groupBy("qid")
+        .agg(F.max("c").alias("pos_cos"))
+    )
+    neg = (
+        emb.join(F.broadcast(neg_df), "label")
+        .select("qid", cos.alias("c"))
+        .groupBy("qid")
+        .agg(F.max("c").alias("neg_cos"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "pos_cos",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 6. Duplicated-span profile per source
+# ---------------------------------------------------------------------
+
+_NGRAM_N10 = 8
+
+_DUP_SPAN_SRC_ORACLE = f"""WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_NGRAM_N10}
+), gpos AS (
+  SELECT doc_id, w, unnest(range(0, len(w) - {_NGRAM_N10 - 1})) AS pos
+  FROM words
+), grams AS (
+  SELECT doc_id, pos,
+         array_to_string(w[pos + 1 : pos + {_NGRAM_N10}], ' ') AS ng
+  FROM gpos
+), shared AS (
+  SELECT ng FROM grams GROUP BY ng HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT g.doc_id, g.pos,
+         CASE WHEN s.ng IS NULL THEN 0 ELSE 1 END AS dup
+  FROM grams g LEFT JOIN shared s ON s.ng = g.ng
+), islands AS (
+  SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+  FROM flagged WHERE dup = 1
+), runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT f.doc_id,
+         CAST(sum(f.dup) AS BIGINT) AS n_dup,
+         CAST(count(*) AS BIGINT) AS n_ngrams
+  FROM flagged f GROUP BY f.doc_id
+), spans AS (
+  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run
+  FROM runs GROUP BY doc_id
+)
+SELECT w.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CASE WHEN p.n_dup > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS docs_with_dup_share,
+       round(CAST(sum(coalesce(s.max_run, 0)) AS DOUBLE) / count(*), 6)
+         AS mean_max_run,
+       CAST(max(coalesce(s.max_run, 0)) AS BIGINT) AS longest_span
+FROM words w
+JOIN per_doc p ON p.doc_id = w.doc_id
+LEFT JOIN spans s ON s.doc_id = w.doc_id
+GROUP BY w.source"""
+
+
+@stage(
+    "dup_span_by_source_documents",
+    _DUP_SPAN_SRC_ORACLE,
+    "substring-dedup policy input per feed: which sources carry "
+    "verbatim-copied spans, what share of their documents have any, "
+    "and how long the longest run is — the numbers that decide "
+    "CLIP-the-span vs DROP-the-document per source "
+    "(dup_ngram_span_documents is the per-document readout; this is "
+    "the rollup a curation policy is actually written against). Exact "
+    "integer run lengths; the mean is an integer-sum division. Scale: "
+    "the same inverted-index + gaps-and-islands shapes, one extra "
+    "20-row rollup.",
+)
+def dup_span_by_source_documents(spark, sf_dir):
+    n = _NGRAM_N10
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= n)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> array_join(slice(w, i + 1, {n}), ' '))"
+            )
+        ).alias("pos", "ng"),
+    )
+    shared = (
+        grams.groupBy("ng")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ng")
+    )
+    flagged = grams.join(
+        shared.withColumn("__dup", F.lit(1)), "ng", "left"
+    ).select(
+        "doc_id", "pos", F.coalesce(F.col("__dup"), F.lit(0)).alias("dup")
+    )
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        flagged.filter(F.col("dup") == 1)
+        .select(
+            "doc_id", (F.col("pos") - F.row_number().over(wisl)).alias("grp")
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(F.sum("dup").alias("n_dup"))
+    base = (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .join(spans, "doc_id", "left")
+        .select(
+            "source",
+            "n_dup",
+            F.coalesce(F.col("max_run"), F.lit(0)).alias("max_run"),
+        )
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum((F.col("n_dup") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("docs_with_dup_share"),
+        F.round(
+            F.sum("max_run").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_max_run"),
+        F.max("max_run").cast("long").alias("longest_span"),
+    )
