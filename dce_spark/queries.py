@@ -1994,6 +1994,14 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   EARLY, then window: 20 promoted + round 9's own new queries +
 #   the next-stalest greens from the staleness ledger = exactly 50.
 #   Freeze at rotation.
+#
+#   ROUND 10 SEED — six queries already staged and oracle-verified at
+#   three SFs in round 7 (queries_staging_r10.py: scd2_change_rate,
+#   attribution_gap_quantiles, pit_feature_drift,
+#   semdedup_threshold_sweep, triplet_margin, dup_span_by_source —
+#   derivatives of the round-7 warehouse/SemDeDup/hard-negative
+#   surfaces). Rounds 8/9 extend the cohort toward twenty; round 10
+#   promotes.
 _DRIVER_WINDOW = [
     # promoted round-6 stagings (oracle-verified at 3 SFs in r6)
     "duplicate_ngram_rate_documents",
