@@ -1998,7 +1998,8 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   ROUND 10 SEED — six queries already staged and oracle-verified at
 #   three SFs in round 7 (queries_staging_r10.py: scd2_change_rate,
 #   attribution_gap_quantiles, pit_feature_drift,
-#   semdedup_threshold_sweep, triplet_margin, dup_span_by_source —
+#   semdedup_threshold_sweep, triplet_margin, dup_span_by_source,
+#   session_stage_transition, rfm_migration — EIGHT total,
 #   derivatives of the round-7 warehouse/SemDeDup/hard-negative
 #   surfaces). Rounds 8/9 extend the cohort toward twenty; round 10
 #   promotes.

@@ -774,3 +774,223 @@ def dup_span_by_source_documents(spark, sf_dir):
         ).alias("mean_max_run"),
         F.max("max_run").cast("long").alias("longest_span"),
     )
+
+
+# ---------------------------------------------------------------------
+# 7. Session-stage transition matrix (does abandonment persist?)
+# ---------------------------------------------------------------------
+
+_STAGE_TRANS_ORACLE = """WITH gaps AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN epoch(ts)
+                   - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+), stages AS (
+  SELECT user_id, sess_id,
+         CASE WHEN max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+              THEN 'purchase'
+              WHEN max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+              THEN 'click'
+              WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1
+              THEN 'view'
+              ELSE 'other' END AS stage
+  FROM sess GROUP BY user_id, sess_id
+), pairs AS (
+  SELECT stage,
+         lead(stage) OVER (PARTITION BY user_id ORDER BY sess_id)
+           AS next_stage
+  FROM stages
+)
+SELECT stage, next_stage, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE next_stage IS NOT NULL
+GROUP BY stage, next_stage"""
+
+
+@stage(
+    "session_stage_transition_events",
+    _STAGE_TRANS_ORACLE,
+    "retention structure: the SESSION-to-NEXT-SESSION stage transition "
+    "matrix — does a visit that died at 'click' convert next time, or "
+    "do abandonment stages persist per user? (The row-normalized "
+    "version is the session-grain Markov chain; "
+    "session_abandonment_events is its stationary marginal.) Same "
+    "30-min sessionization shape, stage election per session, then "
+    "one lead() over the user's session sequence — everything rides "
+    "the single user_id shuffle; output is a <=16-cell matrix.",
+)
+def session_stage_transition_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts"))
+    new_sess = F.when(
+        F.lag(F.col("ts")).over(w).isNull()
+        | ((ep - F.lag(ep).over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "event_type", "ts", "event_id", new_sess.alias("ns")
+    ).withColumn("sess_id", F.sum("ns").over(wcum))
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    stages = sess.groupBy("user_id", "sess_id").agg(
+        flag("purchase").alias("fp"),
+        flag("click").alias("fc"),
+        flag("view").alias("fv"),
+    ).select(
+        "user_id",
+        "sess_id",
+        F.when(F.col("fp") == 1, "purchase")
+        .when(F.col("fc") == 1, "click")
+        .when(F.col("fv") == 1, "view")
+        .otherwise("other")
+        .alias("stage"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("sess_id")
+    return (
+        stages.select(
+            "stage", F.lead("stage").over(wl).alias("next_stage")
+        )
+        .filter(F.col("next_stage").isNotNull())
+        .groupBy("stage", "next_stage")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 8. RFM segment migration between order-history halves
+# ---------------------------------------------------------------------
+
+_RFM_SPLIT_DATE = "1998-01-01"
+
+
+def _rfm_period_ctes(p: str, pred: str) -> str:
+    """Per-period RFM codes: metrics against the PERIOD's own horizon
+    and median splits (a migration is meaningful only if each period
+    is scored by its own yardstick)."""
+    return f""", {p}cust AS (
+  SELECT o_custkey,
+         CAST(datediff('day', max(o_orderdate),
+              (SELECT max(o_orderdate) FROM orders WHERE {pred}))
+              AS BIGINT) AS recency_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+                       AS BIGINT)) AS DOUBLE) / 100.0 AS monetary
+  FROM orders WHERE {pred} GROUP BY o_custkey
+), {p}bounds AS (
+  SELECT quantile_cont(CAST(recency_d AS DOUBLE), 0.5) AS r50,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
+         quantile_cont(monetary, 0.5) AS m50
+  FROM {p}cust
+), {p}coded AS (
+  SELECT c.o_custkey,
+         (CASE WHEN CAST(c.recency_d AS DOUBLE) <= b.r50
+               THEN 2 ELSE 1 END) * 100
+         + (CASE WHEN CAST(c.frequency AS DOUBLE) > b.f50
+                 THEN 2 ELSE 1 END) * 10
+         + (CASE WHEN c.monetary > b.m50 THEN 2 ELSE 1 END) AS code
+  FROM {p}cust c CROSS JOIN {p}bounds b
+)"""
+
+
+_RFM_MIGRATION_ORACLE = (
+    "WITH dummy AS (SELECT 1)"
+    + _rfm_period_ctes("a", f"o_orderdate < DATE '{_RFM_SPLIT_DATE}'")
+    + _rfm_period_ctes("b", f"o_orderdate >= DATE '{_RFM_SPLIT_DATE}'")
+    + """
+SELECT CAST(a.code AS BIGINT) AS code_from,
+       CAST(b.code AS BIGINT) AS code_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM acoded a JOIN bcoded b ON b.o_custkey = a.o_custkey
+GROUP BY a.code, b.code"""
+)
+
+
+@stage(
+    "rfm_migration_customers",
+    _RFM_MIGRATION_ORACLE,
+    "customer-lifecycle dynamics: the RFM SEGMENT MIGRATION matrix "
+    "between the two halves of the order history (split at the fixed "
+    f"date {_RFM_SPLIT_DATE}) — each period scored by its OWN horizon "
+    "and median splits, customers active in both periods counted by "
+    "(from, to) segment pair. Off-diagonal flow out of 222 is the "
+    "churn-risk early warning rfm_segments_customers' snapshot cannot "
+    "show. Same median-split convention as the snapshot query; scale "
+    "shape: two filtered per-customer aggregates, two 1-row bounds "
+    "broadcasts, one equi-join on custkey, a <=64-cell rollup.",
+)
+def rfm_migration_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+
+    def coded(pred):
+        sub = orders.filter(pred)
+        horizon = sub.agg(F.max("o_orderdate").alias("hz"))
+        cust = (
+            sub.crossJoin(F.broadcast(horizon))
+            .groupBy("o_custkey")
+            .agg(
+                F.datediff(F.first("hz"), F.max("o_orderdate"))
+                .cast("long")
+                .alias("recency_d"),
+                F.count(F.lit(1)).alias("frequency"),
+                (
+                    F.sum(
+                        F.round(
+                            F.col("o_totalprice").cast("double") * 100
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(100.0)
+                ).alias("monetary"),
+            )
+        )
+        bounds = cust.agg(
+            F.percentile(F.col("recency_d").cast("double"), F.lit(0.5)).alias(
+                "r50"
+            ),
+            F.percentile(F.col("frequency").cast("double"), F.lit(0.5)).alias(
+                "f50"
+            ),
+            F.percentile(F.col("monetary"), F.lit(0.5)).alias("m50"),
+        )
+        code = (
+            F.when(F.col("recency_d").cast("double") <= F.col("r50"), 2)
+            .otherwise(1)
+            * 100
+            + F.when(F.col("frequency").cast("double") > F.col("f50"), 2)
+            .otherwise(1)
+            * 10
+            + F.when(F.col("monetary") > F.col("m50"), 2).otherwise(1)
+        )
+        return cust.crossJoin(F.broadcast(bounds)).select(
+            "o_custkey", code.alias("code")
+        )
+
+    split = F.lit(_RFM_SPLIT_DATE).cast("date")
+    a = coded(F.col("o_orderdate") < split).withColumnRenamed(
+        "code", "code_from"
+    )
+    b = coded(F.col("o_orderdate") >= split).withColumnRenamed(
+        "code", "code_to"
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("code_from", "code_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.col("code_from").cast("long").alias("code_from"),
+            F.col("code_to").cast("long").alias("code_to"),
+            "n_customers",
+        )
+    )
