@@ -994,3 +994,138 @@ def rfm_migration_customers(spark, sf_dir):
             "n_customers",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# 9. CDC compaction ratio per key dimension
+# ---------------------------------------------------------------------
+
+_LWW_RATIO_ORACLE = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+       round(1.0 - CAST(count(DISTINCT user_id) AS DOUBLE) / count(*), 6)
+         AS compaction_ratio
+FROM events GROUP BY event_type"""
+
+
+@stage(
+    "lww_compaction_ratio_events",
+    _LWW_RATIO_ORACLE,
+    "CDC sizing: per event_type, how much of the change stream a "
+    "last-write-wins compaction deletes — versions vs distinct keys, "
+    "compaction_ratio = 1 - keys/versions. The capacity number behind "
+    "cdc_last_write_wins_events: a ratio near 0 means the MERGE sink "
+    "is pure inserts (compaction buys nothing); near 1 means the "
+    "stream is dominated by updates and the compacted table is tiny. "
+    "One grouped aggregate with an exact distinct count; at 100 TB "
+    "the distinct swaps for approx_count_distinct exactly as "
+    "documented for the uniqueness family.",
+)
+def lww_compaction_ratio_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("user_id").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("compaction_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 10. Hubness: in-degree distribution of the within-cell kNN graph
+# ---------------------------------------------------------------------
+
+_HUB_K = 5
+
+_HUBNESS_ORACLE = f"""WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * a.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> b.v[i] * b.v[i])))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst) AS rk
+    FROM pairs)
+  WHERE rk <= {_HUB_K}
+), indeg AS (
+  SELECT e.vec_id,
+         CAST(count(k.dst) AS BIGINT) AS in_degree
+  FROM e LEFT JOIN knn k ON k.dst = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT in_degree,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM indeg GROUP BY in_degree"""
+
+
+@stage(
+    "hubness_indegree_embeddings",
+    _HUBNESS_ORACLE,
+    "embedding-space pathology check: the IN-DEGREE distribution of "
+    "the within-cell kNN graph (k=5, cells = the IVF label "
+    "quantizer) — HUBNESS is the high-dimensional failure mode where "
+    "a few vectors appear in everyone's neighbor lists (a heavy "
+    "right tail here) while many are never retrieved (mass at 0), "
+    "silently biasing both ANN retrieval and hard-negative mining. "
+    "Healthy spaces concentrate near in-degree k. Pairs only meet "
+    "inside a label cell (the SemDeDup equi-join bound, never a "
+    "corpus cross join); per-source top-k is one window; the "
+    "histogram is a k-sized rollup.",
+)
+def hubness_indegree_embeddings(spark, sf_dir):
+    from .ext.similarity import dot_col
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    emb.count()  # reused by both join sides and the left join below
+    n2 = dot_col(F.col("v"), F.col("v"))
+    a = emb.select(
+        "label", F.col("vec_id").alias("src"),
+        F.col("v").alias("va"), n2.alias("na2"),
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"), n2.alias("nb2"),
+    )
+    cos = F.round(
+        dot_col(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
+    knn = (
+        a.join(b, ["label"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+        .select("dst")
+    )
+    indeg = (
+        emb.select("vec_id")
+        .join(
+            knn.groupBy("dst").agg(F.count(F.lit(1)).alias("d")),
+            emb.vec_id == F.col("dst"),
+            "left",
+        )
+        .select(F.coalesce(F.col("d"), F.lit(0)).alias("in_degree"))
+    )
+    return indeg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    ).select(F.col("in_degree").cast("long").alias("in_degree"), "n_vectors")
