@@ -2000,7 +2000,8 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   attribution_gap_quantiles, pit_feature_drift,
 #   semdedup_threshold_sweep, triplet_margin, dup_span_by_source,
 #   session_stage_transition, rfm_migration, lww_compaction_ratio,
-#   hubness_indegree — TEN total,
+#   hubness_indegree, reciprocal_neighbor_rate, anomaly_run_lengths,
+#   supplier_redundancy, behavior_profile_outliers — FOURTEEN total,
 #   derivatives of the round-7 warehouse/SemDeDup/hard-negative
 #   surfaces). Rounds 8/9 extend the cohort toward twenty; round 10
 #   promotes.

@@ -1129,3 +1129,322 @@ def hubness_indegree_embeddings(spark, sf_dir):
     return indeg.groupBy("in_degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     ).select(F.col("in_degree").cast("long").alias("in_degree"), "n_vectors")
+
+
+# ---------------------------------------------------------------------
+# 11. Anomaly run lengths (does the incident persist?)
+# ---------------------------------------------------------------------
+
+_ANOM_RUN_ORACLE = """WITH daily AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_index,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), wk AS (
+  SELECT day_index, n, day_index % 7 AS dow,
+         CAST(sum(n) OVER (PARTITION BY day_index % 7) AS BIGINT) AS tot_w,
+         CAST(count(*) OVER (PARTITION BY day_index % 7) AS BIGINT) AS k_w
+  FROM daily
+), ranked AS (
+  SELECT day_index, k_w,
+         row_number() OVER (PARTITION BY dow
+                            ORDER BY abs(n * k_w - tot_w) DESC, day_index)
+           AS rk
+  FROM wk
+), islands AS (
+  SELECT day_index - row_number() OVER (ORDER BY day_index) AS grp
+  FROM ranked WHERE rk <= (k_w + 4) // 5
+), runs AS (
+  SELECT CAST(count(*) AS BIGINT) AS run_len FROM islands GROUP BY grp
+)
+SELECT run_len, CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY run_len"""
+
+
+@stage(
+    "anomaly_run_lengths_events",
+    _ANOM_RUN_ORACLE,
+    "incident persistence: the RUN-LENGTH histogram of consecutive "
+    "extreme days — per weekday, the top ceil(20%) days by absolute "
+    "deviation from that weekday's mean are flagged (rank on the "
+    "EXACT integer |n*k_w - tot_w| with day_index tiebreak, so the "
+    "flag set is non-vacuous at every scale — a fixed relative "
+    "threshold goes silent as Poisson noise shrinks; portable "
+    "integer dow = epoch_day % 7). Isolated flags are noise; runs of "
+    "3+ are regime changes — the one-day detectors "
+    "(weekday_adjusted_anomaly, CUSUM) cannot see duration, which is "
+    "what paging policy keys on. Calendar-sized data end to end "
+    "after one grouped scan.",
+)
+def anomaly_run_lengths_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day_index")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wdow = Window.partitionBy(F.col("day_index") % 7)
+    wk = daily.select(
+        "day_index",
+        "n",
+        (F.col("day_index") % 7).alias("dow"),
+        F.sum("n").over(wdow).alias("tot_w"),
+        F.count(F.lit(1)).over(wdow).alias("k_w"),
+    )
+    wrank = Window.partitionBy("dow").orderBy(
+        F.abs(F.col("n") * F.col("k_w") - F.col("tot_w")).desc(),
+        F.col("day_index"),
+    )
+    ranked = wk.withColumn("rk", F.row_number().over(wrank))
+    wisl = Window.orderBy("day_index")
+    runs = (
+        ranked.filter(
+            F.col("rk") <= F.floor((F.col("k_w") + 4) / 5).cast("int")
+        )
+        .select(
+            (F.col("day_index") - F.row_number().over(wisl)).alias("grp")
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    ).select(F.col("run_len").cast("long").alias("run_len"), "n_runs")
+
+
+# ---------------------------------------------------------------------
+# 12. Supplier redundancy per brand (single-source risk)
+# ---------------------------------------------------------------------
+
+_SUPPLIER_REDUNDANCY_ORACLE = """WITH per_part AS (
+  SELECT l.l_partkey, p.p_brand,
+         CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY l.l_partkey, p.p_brand
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_sourced,
+       round(CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS single_source_share,
+       CAST(max(n_suppliers) AS BIGINT) AS max_suppliers
+FROM per_part GROUP BY p_brand"""
+
+
+@stage(
+    "supplier_redundancy_lineitem",
+    _SUPPLIER_REDUNDANCY_ORACLE,
+    "supply-chain risk: per brand, the share of parts OBSERVED with a "
+    "single supplier across the order history (the single-source-of-"
+    "failure rate q16's supplier counting never aggregates to) plus "
+    "the redundancy ceiling. Distinct supplier counts per part ride "
+    "one grouped pass over the lineitem-part broadcast join; the "
+    "brand rollup is dimension-sized. At 100 TB the exact distinct "
+    "swaps for approx_count_distinct exactly as documented for the "
+    "uniqueness family.",
+)
+def supplier_redundancy_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+    return per_part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum((F.col("n_suppliers") == 1).cast("long")).alias(
+            "n_single_sourced"
+        ),
+        F.round(
+            F.sum((F.col("n_suppliers") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("single_source_share"),
+        F.max("n_suppliers").cast("long").alias("max_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 13. Behavioral-profile outliers (type-mix cosine to the global mix)
+# ---------------------------------------------------------------------
+
+_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _profile_cosine_sql() -> str:
+    ccols = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, t in enumerate(_TYPES)
+    )
+    gcols = ", ".join(f"CAST(sum(c{i}) AS BIGINT) AS g{i}" for i in range(5))
+    # explicit in-order 5-term sums: identical IEEE order on both engines
+    dot = " + ".join(
+        f"CAST(u.c{i} AS DOUBLE) * CAST(g.g{i} AS DOUBLE)" for i in range(5)
+    )
+    nu = " + ".join(
+        f"CAST(u.c{i} AS DOUBLE) * CAST(u.c{i} AS DOUBLE)" for i in range(5)
+    )
+    ng = " + ".join(
+        f"CAST(g.g{i} AS DOUBLE) * CAST(g.g{i} AS DOUBLE)" for i in range(5)
+    )
+    return f"""WITH u AS (
+  SELECT user_id, {ccols} FROM events GROUP BY user_id
+), g AS (
+  SELECT {gcols} FROM u
+), scored AS (
+  SELECT u.user_id,
+         round(({dot}) / (sqrt({nu}) * sqrt({ng})), 6) AS cos_sim
+  FROM u CROSS JOIN g
+)
+SELECT CAST(least(floor(cos_sim * 10), 9) AS BIGINT) AS cos_band,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(min(cos_sim), 6) AS min_cos
+FROM scored GROUP BY 1"""
+
+
+@stage(
+    "behavior_profile_outliers_events",
+    _profile_cosine_sql(),
+    "behavioral outlier QC: every user as a 5-dim event-type count "
+    "vector, scored by COSINE to the GLOBAL type mix and banded into "
+    "deciles — bots and instrumentation loops live in the low bands "
+    "(their mix is one-hot-ish while organic users track the global "
+    "profile). All counts exact integers; the cosine is an EXPLICIT "
+    "in-order 5-term expression on both engines (no group-sum "
+    "reordering), rounded 6dp before the integer floor banding. One "
+    "grouped scan + a 1-row global broadcast; the histogram is "
+    "10-row.",
+)
+def behavior_profile_outliers_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"c{i}")
+            for i, t in enumerate(_TYPES)
+        ]
+    )
+    g = u.agg(*[F.sum(f"c{i}").alias(f"g{i}") for i in range(5)])
+    dot = None
+    nu = None
+    ng = None
+    for i in range(5):
+        d = F.col(f"c{i}").cast("double") * F.col(f"g{i}").cast("double")
+        a = F.col(f"c{i}").cast("double") * F.col(f"c{i}").cast("double")
+        b = F.col(f"g{i}").cast("double") * F.col(f"g{i}").cast("double")
+        dot = d if dot is None else dot + d
+        nu = a if nu is None else nu + a
+        ng = b if ng is None else ng + b
+    scored = u.crossJoin(F.broadcast(g)).select(
+        F.round(dot / (F.sqrt(nu) * F.sqrt(ng)), 6).alias("cos_sim")
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("cos_sim") * 10), F.lit(9))
+            .cast("long")
+            .alias("cos_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.min("cos_sim"), 6).alias("min_cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 14. Reciprocal-neighbor rate of the within-cell kNN graph
+# ---------------------------------------------------------------------
+
+_RECIP_ORACLE = f"""WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * a.v[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> b.v[i] * b.v[i])))), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst) AS rk
+    FROM pairs)
+  WHERE rk <= {_HUB_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.src IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_mutual,
+       round(CAST(sum(CASE WHEN r.src IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS reciprocal_share
+FROM knn k
+LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src"""
+
+
+@stage(
+    "reciprocal_neighbor_rate_embeddings",
+    _RECIP_ORACLE,
+    "neighborhood symmetry QC: the share of within-cell kNN edges "
+    "(k=5, same graph as hubness_indegree_embeddings) that are "
+    "MUTUAL — i's neighbor j also lists i. Low reciprocity is the "
+    "other face of hubness (hub edges are one-way by construction) "
+    "and predicts poor kNN-graph clustering and unreliable "
+    "reciprocal-rank retrieval metrics. One self-equi-join of the "
+    "edge list on reversed keys; everything upstream is the bounded "
+    "cell join.",
+)
+def reciprocal_neighbor_rate_embeddings(spark, sf_dir):
+    from .ext.similarity import dot_col
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    emb.count()
+    n2 = dot_col(F.col("v"), F.col("v"))
+    a = emb.select(
+        "label", F.col("vec_id").alias("src"),
+        F.col("v").alias("va"), n2.alias("na2"),
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"), n2.alias("nb2"),
+    )
+    cos = F.round(
+        dot_col(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        6,
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
+    knn = (
+        a.join(b, ["label"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HUB_K)
+        .select("src", "dst")
+        .persist()
+    )
+    knn.count()
+    rev = knn.select(
+        F.col("src").alias("rdst"), F.col("dst").alias("rsrc")
+    ).withColumn("__m", F.lit(1))
+    joined = knn.join(
+        rev, (F.col("src") == F.col("rsrc")) & (F.col("dst") == F.col("rdst")),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("long").alias(
+            "n_mutual"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reciprocal_share"),
+    )
