@@ -2001,10 +2001,12 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   semdedup_threshold_sweep, triplet_margin, dup_span_by_source,
 #   session_stage_transition, rfm_migration, lww_compaction_ratio,
 #   hubness_indegree, reciprocal_neighbor_rate, anomaly_run_lengths,
-#   supplier_redundancy, behavior_profile_outliers — FOURTEEN total,
-#   derivatives of the round-7 warehouse/SemDeDup/hard-negative
-#   surfaces). Rounds 8/9 extend the cohort toward twenty; round 10
-#   promotes.
+#   supplier_redundancy, behavior_profile_outliers,
+#   return_rate_by_supplier, qty_price_corr_by_brand,
+#   format_mix_drift_multimodal, ks_acctbal_segments,
+#   order_backlog_aging, vocab_growth_checkpoints — a FULL cohort of
+#   TWENTY, all oracle-verified at three SFs in round 7). Round 10
+#   promotes; rounds 8/9 only need their own per-round staging.
 _DRIVER_WINDOW = [
     # promoted round-6 stagings (oracle-verified at 3 SFs in r6)
     "duplicate_ngram_rate_documents",

@@ -1448,3 +1448,459 @@ def reciprocal_neighbor_rate_embeddings(spark, sf_dir):
             6,
         ).alias("reciprocal_share"),
     )
+
+
+# ---------------------------------------------------------------------
+# 15. Return rate per supplier (ops quality ranking)
+# ---------------------------------------------------------------------
+
+_RETURN_RATE_ORACLE = """SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS return_share
+FROM lineitem GROUP BY l_suppkey"""
+
+
+@stage(
+    "return_rate_by_supplier",
+    _RETURN_RATE_ORACLE,
+    "supplier quality ranking: per-supplier item counts and RETURN "
+    "share (l_returnflag = 'R') — q10 aggregates returns by customer "
+    "for revenue recovery; this is the other side of the ledger, the "
+    "supplier scorecard procurement actually reviews. One grouped "
+    "scan, exact integer counts, a single rounded division.",
+)
+def return_rate_by_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").cast("long").alias("suppkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+        F.round(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("return_share"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 16. Grouped Pearson correlation (quantity vs price per brand)
+# ---------------------------------------------------------------------
+
+_GROUPED_CORR_ORACLE = """WITH q AS (
+  SELECT p.p_brand,
+         CAST(round(CAST(l.l_quantity AS DOUBLE) * 100.0) AS BIGINT) AS qx,
+         CAST(round(CAST(l.l_extendedprice AS DOUBLE) * 100.0) AS BIGINT)
+           AS qy
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), s AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS sx,
+         CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         CAST(sum(qy * qy) AS BIGINT) AS syy,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy
+  FROM q GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS corr_qty_price
+FROM s"""
+
+
+@stage(
+    "qty_price_corr_by_brand",
+    _GROUPED_CORR_ORACLE,
+    "GROUPED Pearson correlation — the per-segment version of the "
+    "global corr_matrix machinery (A5's target-leakage check scoped "
+    "to a dimension): quantity vs extended price per brand, from "
+    "quantized-exact (cents) int64 moment sums so every engine "
+    "accumulates identical integers, combined in ONE explicit "
+    "double-arithmetic expression per group and rounded 6dp. A brand "
+    "whose correlation diverges from the pack prices nonlinearly — "
+    "the pricing-anomaly screen. Scale note: sum(qy*qy) reaches "
+    "~2.4e18 at sf0.1 (price cents squared); beyond sf1 the y-moment "
+    "needs a coarser quantum, documented here so the overflow is a "
+    "decision, not a surprise. One broadcast-joined grouped scan.",
+)
+def qty_price_corr_by_brand(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_quantity").cast("double") * 100).cast("long").alias(
+            "qx"
+        ),
+        F.round(F.col("l_extendedprice").cast("double") * 100)
+        .cast("long")
+        .alias("qy"),
+    )
+    s = q.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    dy = F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (dx * dy), 6).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 17. Multimodal format-mix drift between corpus halves
+# ---------------------------------------------------------------------
+
+_FORMAT_DRIFT_ORACLE = """WITH half AS (
+  SELECT (SELECT (max(doc_id) + 1) // 2 FROM documents) AS h
+), img AS (
+  SELECT CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+         CASE WHEN doc_id < (SELECT h FROM half) THEN 0 ELSE 1 END AS period
+  FROM documents
+), cells AS (
+  SELECT format,
+         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM img GROUP BY format
+), margins AS (
+  SELECT format, c0, c1,
+         sum(c0) OVER () AS n0, sum(c1) OVER () AS n1,
+         sum(c0 + c1) OVER () AS n
+  FROM cells
+)
+SELECT format, c0, c1,
+       round((c0 - CAST(c0 + c1 AS DOUBLE) * n0 / n)
+             * (c0 - CAST(c0 + c1 AS DOUBLE) * n0 / n)
+             / (CAST(c0 + c1 AS DOUBLE) * n0 / n)
+             + (c1 - CAST(c0 + c1 AS DOUBLE) * n1 / n)
+             * (c1 - CAST(c0 + c1 AS DOUBLE) * n1 / n)
+             / (CAST(c0 + c1 AS DOUBLE) * n1 / n), 6) AS chi2_contrib
+FROM margins"""
+
+
+@stage(
+    "format_mix_drift_multimodal",
+    _FORMAT_DRIFT_ORACLE,
+    "multimodal ingest drift: the container-FORMAT mix (png/jpeg/wav, "
+    "parsed FROM THE BYTES by the real header parser on the Spark "
+    "side) compared between the first and second half of the corpus "
+    "by doc_id, with per-format chi-square contributions — a feed "
+    "that silently flips image codecs shows up here before any "
+    "decode budget is spent. The oracle replays the payload "
+    "generator's arithmetic (the multimodal_header_meta contract: a "
+    "parser bit-offset bug breaks the match); the half split is an "
+    "exact integer compare against (max(doc_id)+1)//2. Scale shape: "
+    "Arrow-batched header parse, 3x2 cells, window margins.",
+)
+def format_mix_drift_multimodal(spark, sf_dir):
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from .ext import multimodal as X_mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    half = docs.agg(
+        F.floor((F.max("doc_id") + 1) / 2).cast("long").alias("h")
+    )
+
+    def synth(batches: "_It[_pd.DataFrame]"):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                kind = ("png", "jpeg", "wav")[i % 3]
+                payloads.append(
+                    X_mm.synthesize_payload(
+                        kind, width=16 + i % 512, height=16 + (i * 7) % 512
+                    )
+                )
+                ids.append(i)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    meta = X_mm.parse_media_headers(payloads, "doc_id")
+    cells = (
+        meta.crossJoin(F.broadcast(half))
+        .select(
+            "format",
+            F.when(F.col("id") < F.col("h"), 0).otherwise(1).alias(
+                "period"
+            ),
+        )
+        .groupBy("format")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    wall = Window.partitionBy()
+    m = cells.select(
+        "format", "c0", "c1",
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum(F.col("c0") + F.col("c1")).over(wall).alias("n"),
+    )
+    rt = F.col("c0") + F.col("c1")
+    e0 = rt.cast("double") * F.col("n0") / F.col("n")
+    e1 = rt.cast("double") * F.col("n1") / F.col("n")
+    return m.select(
+        "format", "c0", "c1",
+        F.round(
+            (F.col("c0") - e0) * (F.col("c0") - e0) / e0
+            + (F.col("c1") - e1) * (F.col("c1") - e1) / e1,
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 18. KS distance between customer segments (acctbal)
+# ---------------------------------------------------------------------
+
+_KS_SEGMENTS = ("BUILDING", "MACHINERY")
+
+_KS_SEG_ORACLE = f"""WITH v AS (
+  SELECT CASE WHEN c_mktsegment = '{_KS_SEGMENTS[0]}' THEN 0 ELSE 1 END
+           AS split,
+         CAST(c_acctbal AS DOUBLE) AS value
+  FROM customer
+  WHERE c_mktsegment IN ('{_KS_SEGMENTS[0]}', '{_KS_SEGMENTS[1]}')
+), cells AS (
+  SELECT value,
+         sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS c1
+  FROM v GROUP BY value
+), tot AS (
+  SELECT sum(c0) AS n0, sum(c1) AS n1 FROM cells
+), ecdf AS (
+  SELECT sum(c0) OVER (ORDER BY value) AS cum0,
+         sum(c1) OVER (ORDER BY value) AS cum1
+  FROM cells
+)
+SELECT round(max(abs(CAST(cum0 AS DOUBLE) / t.n0
+                   - CAST(cum1 AS DOUBLE) / t.n1)), 9) AS ks_stat,
+       CAST(t.n0 AS BIGINT) AS n0, CAST(t.n1 AS BIGINT) AS n1
+FROM ecdf, tot t GROUP BY t.n0, t.n1"""
+
+
+@stage(
+    "ks_acctbal_segments",
+    _KS_SEG_ORACLE,
+    "segment-comparison KS: the exact two-sample Kolmogorov-Smirnov "
+    "distance between account-balance distributions of two customer "
+    "market segments — 'do these segments differ in wealth "
+    "distribution or only in mean' is a shape question KS answers "
+    "without binning. ks_test_events' exact protocol (ECDFs at "
+    "distinct values so ties step once, exact int cumulative counts, "
+    "one double division per step, 9dp): this is its dimension-scoped "
+    "face on a new table, and the same single-task-ordered-window "
+    "parity-probe caveat applies at 100 TB (use the quantile-bucketed "
+    "variant there, as documented for ks_test_events).",
+)
+def ks_acctbal_segments(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(*_KS_SEGMENTS)
+    )
+    v = cust.select(
+        F.when(F.col("c_mktsegment") == _KS_SEGMENTS[0], 0)
+        .otherwise(1)
+        .alias("split"),
+        F.col("c_acctbal").cast("double").alias("value"),
+    )
+    cells = v.groupBy("value").agg(
+        F.sum((F.col("split") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("split") == 1).cast("long")).alias("c1"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cells.select(
+        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
+    )
+    totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    return (
+        ecdf.crossJoin(F.broadcast(totals))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum0").cast("double") / F.col("n0")
+                        - F.col("cum1").cast("double") / F.col("n1")
+                    )
+                ),
+                9,
+            ).alias("ks_stat")
+        )
+        .select(
+            "ks_stat",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 19. Order backlog aging (open orders by order year)
+# ---------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """SELECT o_orderstatus,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0)
+                           AS BIGINT)) AS DOUBLE) / 100.0, 6)
+         AS total_value
+FROM orders GROUP BY o_orderstatus, year(o_orderdate)"""
+
+
+@stage(
+    "order_backlog_aging",
+    _BACKLOG_ORACLE,
+    "fulfillment backlog aging: order counts and cent-exact value by "
+    "status x order year — the 'O' (open) rows aged by origin year "
+    "are working capital stuck in the pipeline, and an old open "
+    "cohort that is not shrinking is a fulfillment leak (q4 counts "
+    "late lineitems inside a quarter; this is the order-level "
+    "balance-sheet view across the whole history). One grouped scan; "
+    "year() agrees across engines on DATE columns.",
+)
+def order_backlog_aging(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+            ).cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 20. Vocabulary growth checkpoints (Heaps-law face of novelty)
+# ---------------------------------------------------------------------
+
+_VOCAB_Q = [25, 50, 75, 100]
+
+
+def _vocab_growth_oracle() -> str:
+    cols = []
+    for pct in _VOCAB_Q:
+        pred = f"doc_id * 100 < mx.m * {pct}"
+        cols.append(
+            f"CAST(count(DISTINCT CASE WHEN {pred} THEN w END) AS BIGINT)"
+            f" AS v{pct}"
+        )
+        cols.append(
+            f"CAST(count(CASE WHEN {pred} THEN w END) AS BIGINT) AS t{pct}"
+        )
+    sel = ", ".join(cols)
+    rows = []
+    prev = None
+    for pct in _VOCAB_Q:
+        nov = (
+            f"round(CAST(v{pct} - v{prev} AS DOUBLE) / "
+            f"nullif(v{pct}, 0), 6)"
+            if prev
+            else f"round(CAST(v{pct} AS DOUBLE) / nullif(v{pct}, 0), 6)"
+        )
+        rows.append(
+            f"SELECT CAST({pct} AS BIGINT) AS pct, t{pct} AS cum_tokens, "
+            f"v{pct} AS distinct_words, {nov} AS novelty_share FROM agg"
+        )
+        prev = pct
+    return f"""WITH mx AS (
+  SELECT max(doc_id) + 1 AS m FROM documents
+), words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[[:space:]]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), agg AS (
+  SELECT {sel} FROM words CROSS JOIN mx
+)
+{" UNION ALL ".join(rows)}"""
+
+
+@stage(
+    "vocab_growth_checkpoints_documents",
+    _vocab_growth_oracle(),
+    "corpus saturation (the Heaps-law face of ngram_novelty_decay, on "
+    "unigrams): cumulative token and DISTINCT-word counts at the 25/"
+    "50/75/100% doc_id checkpoints, plus each quarter's share of the "
+    "running vocabulary that is NEW — when novelty_share goes flat, "
+    "more of the same crawl stops buying vocabulary and the budget "
+    "should move to new sources. Checkpoint membership is the exact "
+    "integer compare doc_id*100 < max*pct; all four checkpoints are "
+    "conditional distinct/count aggregates in ONE grouped pass (never "
+    "four scans). Scale: exact distincts swap for "
+    "approx_count_distinct at 100 TB, as documented for the "
+    "uniqueness family.",
+)
+def vocab_growth_checkpoints_documents(spark, sf_dir):
+    from .ext.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    words = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
+    )
+    aggs = []
+    for pct in _VOCAB_Q:
+        pred = F.col("doc_id") * 100 < F.col("m") * pct
+        aggs.append(
+            F.countDistinct(F.when(pred, F.col("w"))).alias(f"v{pct}")
+        )
+        aggs.append(F.count(F.when(pred, F.col("w"))).alias(f"t{pct}"))
+    agg = words.crossJoin(F.broadcast(mx)).agg(*aggs)
+    rows = []
+    prev = None
+    for pct in _VOCAB_Q:
+        if prev is None:
+            nov = F.col(f"v{pct}").cast("double") / F.nullif(
+                F.col(f"v{pct}"), F.lit(0)
+            )
+        else:
+            nov = (F.col(f"v{pct}") - F.col(f"v{prev}")).cast(
+                "double"
+            ) / F.nullif(F.col(f"v{pct}"), F.lit(0))
+        rows.append(
+            F.struct(
+                F.lit(pct).cast("long").alias("pct"),
+                F.col(f"t{pct}").cast("long").alias("cum_tokens"),
+                F.col(f"v{pct}").cast("long").alias("distinct_words"),
+                F.round(nov, 6).alias("novelty_share"),
+            )
+        )
+        prev = pct
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.pct", "s.cum_tokens", "s.distinct_words", "s.novelty_share"
+    )
