@@ -218,6 +218,117 @@ BENCH_QUERIES = [
     "event_transition_matrix_events",
     "arrival_delay_quantiles_events",
     "watermark_state_rows_events",
+    # round-8 promotions (staged + oracle-verified in round 7)
+    "perplexity_filter_decisions_documents",
+    "ngram_novelty_decay_documents",
+    "dedup_threshold_sweep_documents",
+    "template_prefix_clusters_documents",
+    "lang_confusion_documents",
+    "late_arrival_bias_events",
+    "bm25_top_terms_documents",
+    "kmeans_cell_balance_embeddings",
+    "adc_rank_correlation_embeddings",
+    "mmr_diversified_topk_embeddings",
+    "binseg_changepoint_events",
+    "autocorrelation_daily_events",
+    "weekday_adjusted_anomaly_events",
+    "session_duration_quantiles_events",
+    "reorder_depth_events",
+    "funnel_cohort_conversion_events",
+    "pack_bin_fill_documents",
+    "psi_value_drift_events",
+    "multimodal_duration_budget",
+    "split_balance_chi_square_documents",
+    # round-8 additions
+    "ks_weekday_weekend_events",
+    "cvm_split_distance_events",
+]
+
+# DRIVER-MODE TIMED SUBSET (round-8 policy; the retire-or-rotate cap
+# the round-7 verdict asked for). The catalog outgrew the driver's
+# 420 s bench budget: at 184+ timed entries a single pass took 633 s
+# on the contended driver VM, so BENCH_r07 was ONE pass with zero
+# spreads and a 0.66 s-median query recorded at 50.3 s. Timing every
+# entry every round does not scale with a catalog that grows ~20
+# entries per round — and it never needed to: CORRECTNESS (the oracle
+# sweep + driver gate) covers every entry every round regardless;
+# timing only has to make a REGRESSION visible.
+#
+# Policy:
+# - Default (driver) runs time this fixed ~50-entry sentinel subset —
+#   every family represented by mid-weight production entries plus
+#   the newest round's additions — so >=3 passes fit the 420 s budget
+#   even under ~3x co-tenant contention, and medians/spreads return.
+# - The FULL catalog is still timed by the builder every round
+#   (SPARK_GRAFT_BENCH_FULL=1, budget 900) into the committed
+#   bench_detail_<sf>.json 3-pass baseline; driver runs write to
+#   bench_detail_<sf>_driver.json and NEVER clobber that baseline
+#   (BENCH_r07's second failure mode).
+# - The 9 labeled parity probes and the heavy OPQ/PQ replay pipelines
+#   are deliberately excluded here (62 s + ~16 s of the r7 driver
+#   pass); their trend lines live in the committed full-run medians.
+# - Rotation: when a round's additions enter, the stalest same-family
+#   sentinels rotate out to hold the subset near 50.
+DRIVER_TIMED = [
+    # tpch
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "q9_product_type_profit",
+    "q18_large_volume_orders",
+    # window
+    "window_topn_customers_per_segment",
+    "window_moving_avg_events",
+    # analytics / drift
+    "corr_matrix_lineitem",
+    "psi_total_lineitem",
+    "chi_square_drift_events",
+    "approx_distinct_accuracy_events",
+    "quantiles_lineitem_approx",
+    # dedup
+    "dedup_minhash_lsh_capped",
+    "lsh_precision_documents",
+    "dedup_survivor_selection_documents",
+    "source_shingle_containment_documents",
+    # embedding
+    "embedding_ivf_topk",
+    "embedding_ivf_knn_join",
+    "pq_recall_at_k_embeddings",
+    "pq_codebook_balance_embeddings",
+    "kmeans_embeddings_2iter",
+    # text
+    "text_stats_documents",
+    "tfidf_top_terms_documents",
+    "token_hist_by_lang_documents",
+    "zipf_slope_documents",
+    "tokenizer_fertility_documents",
+    "bigram_logprob_documents",
+    # sampling
+    "split_assign_documents",
+    "stratified_sample_documents",
+    "pack_efficiency_documents",
+    "decontamination_overlap_documents",
+    # multimodal
+    "multimodal_payload_stats",
+    "multimodal_header_meta",
+    "multimodal_aspect_hist",
+    # timeseries
+    "sessionization_events",
+    "asof_join_events",
+    "retention_cohorts_events",
+    "funnel_time_to_convert_events",
+    "dow_seasonality_events",
+    # streaming
+    "heavy_hitters_batch_events",
+    "windowed_quantiles_events",
+    "watermark_state_rows_events",
+    "arrival_delay_quantiles_events",
+    # round-8 additions (newest round always sentinelled)
+    "ks_weekday_weekend_events",
+    "cvm_split_distance_events",
+    "bm25_top_terms_documents",
+    "mmr_diversified_topk_embeddings",
+    "psi_value_drift_events",
+    "weekday_adjusted_anomaly_events",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but
@@ -265,6 +376,19 @@ def force(df):
 # measured time past this budget — the driver's bench capture must
 # never time out; medians then cover however many passes completed
 BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+
+# SPARK_GRAFT_BENCH_FULL=1 times the whole catalog (builder baseline,
+# pair with BUDGET 900 for 3-pass medians); default is the driver-mode
+# sentinel subset — see the DRIVER_TIMED policy note above
+FULL = os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1"
+
+assert set(DRIVER_TIMED) <= set(BENCH_QUERIES), (
+    sorted(set(DRIVER_TIMED) - set(BENCH_QUERIES))
+)
+assert not (set(DRIVER_TIMED) & PARITY_PROBES), (
+    "parity probes are full-run-only by policy"
+)
+assert len(DRIVER_TIMED) == len(set(DRIVER_TIMED))
 
 
 def run_pass(spark, items) -> dict[str, float]:
@@ -365,11 +489,19 @@ def main() -> None:
     def _mk(fn):
         return lambda: fn(spark, SF_DIR)
 
-    items = (
-        [(n, _mk(QUERIES[n].fn)) for n in BENCH_QUERIES]
-        + list(fast_variants.items())
-        + [("contract_validate_events", _contract_thunk)]
-    )
+    if FULL:
+        items = (
+            [(n, _mk(QUERIES[n].fn)) for n in BENCH_QUERIES]
+            + list(fast_variants.items())
+            + [("contract_validate_events", _contract_thunk)]
+        )
+    else:
+        # driver mode: the sentinel subset + the flagship contract —
+        # sized so >=3 passes fit the 420 s budget under contention
+        # (fast variants and parity probes are full-run-only)
+        items = [(n, _mk(QUERIES[n].fn)) for n in DRIVER_TIMED] + [
+            ("contract_validate_events", _contract_thunk)
+        ]
 
     bench_t0 = time.monotonic()
     passes: list[dict[str, float]] = []
@@ -400,11 +532,20 @@ def main() -> None:
     # line must stay compact (r2's ~96-entry per-query line overflowed
     # it and the driver recorded no bench number).  The summary carries
     # the total plus per-family subtotals (< ~1 KB); bench_detail.json
-    # has the per-query dict for round-over-round diffing.
+    # has the per-query dict for round-over-round diffing.  Driver-mode
+    # runs write to a _driver-suffixed path: the committed 3-pass
+    # full-catalog baseline must never be clobbered by a 1-pass
+    # contended driver run again (BENCH_r07; the _driver file is
+    # gitignored).
+    detail_name = (
+        f"bench_detail_{sf_name}.json" if FULL
+        else f"bench_detail_{sf_name}_driver.json"
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           f"bench_detail_{sf_name}.json"), "w") as fh:
+                           detail_name), "w") as fh:
         json.dump(
             {"metric": "total_runtime", "value": total, "unit": "sec",
+             "mode": "full" if FULL else "driver-subset",
              "queries": timings, "runs": all_runs, "runs_per_query": len(passes),
              "parity_probes": sorted(PARITY_PROBES),
              "sf": sf_name, "n_queries": len(timings)},
@@ -456,6 +597,16 @@ def main() -> None:
             ("event_transition", "timeseries"),
             ("drop_rate", "streaming"), ("arrival_delay", "streaming"),
             ("watermark_", "streaming"),
+            # round-8 names (first benched this round — no subtotal
+            # discontinuity vs any committed artifact)
+            ("perplexity_", "text"), ("ngram_novelty", "text"),
+            ("lang_confusion", "text"), ("bm25_", "text"),
+            ("template_prefix", "dedup"),
+            ("adc_rank", "embedding"), ("mmr_", "embedding"),
+            ("binseg_", "timeseries"), ("autocorrelation", "timeseries"),
+            ("weekday_adjusted", "timeseries"),
+            ("session_duration", "timeseries"),
+            ("late_arrival", "streaming"), ("reorder_depth", "streaming"),
         ):
             if name.startswith(prefix):
                 return f
@@ -477,11 +628,12 @@ def main() -> None:
 
     summary = json.dumps(
         {"metric": "total_runtime", "value": total, "unit": "sec",
+         "mode": "full" if FULL else "driver-subset",
          "prod_total": prod_total, "probe_total": probe_total,
          "queries": fams, "probe_queries": probe_fams, "spread": spread,
          "runs_per_query": len(passes),
          "sf": sf_name, "n_queries": len(timings),
-         "detail": f"bench_detail_{sf_name}.json"}
+         "detail": detail_name}
     )
     assert len(summary) < 1500, f"summary line too long: {len(summary)}"
     print(summary, flush=True)

@@ -79,7 +79,13 @@ def main() -> int:
             n: (q.fn, oracles[n]) for n, q in QUERIES.items() if n in oracles
         }
         if not args.all and not args.names:
-            names = list(QUERIES)[:50]  # the driver window
+            # the driver gate samples the first 50 of queries() — the
+            # FRONTED order (_DRIVER_WINDOW first), not registration
+            # order. list(QUERIES)[:50] silently replayed the 50
+            # earliest-registered queries instead (round-8 fix).
+            from dce_spark.queries import queries as _window
+
+            names = list(_window())[:50]
             pairs = {n: pairs[n] for n in names if n in pairs}
 
     if args.names:

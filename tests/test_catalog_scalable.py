@@ -136,3 +136,45 @@ def test_bench_parity_probe_labels_consistent():
     }
     for probe, twin in twins.items():
         assert twin in benched, (probe, twin)
+
+
+def test_driver_timed_subset_policy():
+    """Round-8 bench policy locks (VERDICT r7 asks #1/#3): the driver
+    sentinel subset must stay small enough for >=3 passes inside the
+    420 s driver budget under contention, contain no parity probes or
+    unregistered names, and represent EVERY bench family — a family
+    with no sentinel has no driver-visible regression signal."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    sub = bench.DRIVER_TIMED
+    assert len(sub) == len(set(sub))
+    assert 40 <= len(sub) <= 60, len(sub)
+    assert set(sub) <= set(bench.BENCH_QUERIES)
+    assert not (set(sub) & bench.PARITY_PROBES)
+    assert set(sub) <= set(QUERIES)
+    # every bench family keeps a sentinel (bench.py's fam() lives
+    # inside main(), so anchor one known member per family instead)
+    anchors = {
+        "tpch": "q1_pricing_summary",
+        "window": "window_moving_avg_events",
+        "analytics": "psi_total_lineitem",
+        "dedup": "dedup_minhash_lsh_capped",
+        "embedding": "embedding_ivf_topk",
+        "text": "text_stats_documents",
+        "sampling": "split_assign_documents",
+        "multimodal": "multimodal_payload_stats",
+        "timeseries": "sessionization_events",
+        "streaming": "heavy_hitters_batch_events",
+    }
+    for fam, name in anchors.items():
+        assert name in sub, f"family {fam} lost its sentinel ({name})"
+    # the newest round's additions are always sentinelled
+    for name in ("ks_weekday_weekend_events", "cvm_split_distance_events"):
+        assert name in sub
