@@ -175,9 +175,15 @@ def last_event_attribution(
     afterwards.
 
     (epoch_s, id) packs into ONE int64 (``es * id_radix + id`` —
-    exact integer order == lexicographic order while ``id <
+    exact integer order == lexicographic order while ``0 <= id <
     id_radix``), so the lookup is a single running window MAX: no
-    self-join, no range join, one shuffle on the entity.
+    self-join, no range join, one shuffle on the entity. The packing
+    precondition is ENFORCED at runtime (round-8 ADVICE fix): a
+    source row with ``id_col`` outside ``[0, id_radix)`` raises
+    instead of silently corrupting attributions — the guard is a
+    per-source-row integer compare folded into the packed expression
+    (``assert_true`` evaluates to NULL, so ``+ coalesce(guard, 0)``
+    is a no-op on the value while keeping Catalyst from pruning it).
     """
     es = F.unix_timestamp(F.col(ts_col))
     staged = df.withColumn("__es", es)
@@ -186,10 +192,20 @@ def last_event_attribution(
         .orderBy(ts_col, id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    guard = F.assert_true(
+        (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(id_radix)),
+        F.lit(
+            f"last_event_attribution: {id_col} outside [0, "
+            f"{id_radix}) breaks the (epoch_s, id) int64 packing — "
+            "raise id_radix"
+        ),
+    )
     packed = F.max(
         F.when(
             source_pred,
-            F.col("__es") * F.lit(id_radix) + F.col(id_col),
+            F.col("__es") * F.lit(id_radix)
+            + F.col(id_col)
+            + F.coalesce(guard.cast("long"), F.lit(0)),
         )
     ).over(w)
     staged = staged.withColumn("__packed", packed)

@@ -45,8 +45,16 @@ def fold_lww(
     state: Optional[State],
 ) -> tuple[State, bool]:
     """Fold (event-time-micros, id, value) versions into last-write-wins
-    state. Ordering is lexicographic on (es_us, id) — identical to the
-    batch operator's ``max(struct(ts, id, value))``. Returns
+    state. Ordering is full-tuple lexicographic on (es_us, id, value) —
+    identical to the batch operator's ``max(struct(ts, id, value))``,
+    INCLUDING the payload comparison on (ts, id) ties (round-8 ADVICE
+    fix: the old (es_us, id)-only compare kept the first-seen value
+    where batch keeps the max value when the order key is non-unique).
+    One residual divergence, documented not fixed: on an exact
+    (es_us, id) tie where a candidate value is NaN, JVM struct-max
+    ranks NaN above every double while Python comparisons with NaN are
+    always False — keep (ts, id) unique (the batch docstring's advice)
+    or NaN-free payloads for bit-equality. Returns
     ``(new_state, best_changed)``; ``n_versions`` always grows by
     ``len(records)``.
     """
@@ -55,7 +63,7 @@ def fold_lww(
     changed = False
     for es_us, rid, val in records:
         cand = (es_us, rid, val)
-        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+        if best is None or cand > best:
             best = cand
             changed = True
     n += len(records)

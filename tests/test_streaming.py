@@ -1105,6 +1105,13 @@ def test_fold_lww_pure_function():
     # same timestamp, higher id: wins the tiebreak
     st3, changed3 = fold_lww([(200, 9, 1.0)], st2)
     assert st3 == (200, 9, 1.0, 4) and changed3
+    # exact (ts, id) tie: the HIGHER payload wins — the batch
+    # max(struct(ts, id, value)) semantics (round-8 ADVICE fix; the
+    # old fold kept the first-seen value)
+    st4, changed4 = fold_lww([(200, 9, 3.5)], st3)
+    assert st4 == (200, 9, 3.5, 5) and changed4
+    st5, changed5 = fold_lww([(200, 9, 2.0)], st4)
+    assert st5 == (200, 9, 3.5, 6) and not changed5
 
 
 def test_streaming_scd2_matches_batch_history(spark, tmp_path):
@@ -1315,3 +1322,138 @@ def test_streaming_lww_with_ttl_runs_and_compacts(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_pit_features_adversarial_cross_batch_disorder(
+    spark, tmp_path
+):
+    """Round-8 (VERDICT r7 ask #5): late/out-of-order events ACROSS
+    micro-batch boundaries, within the horizon. The operator's
+    documented disorder contract is scd2-style: per key, rows at or
+    behind the fold point (the max (es, id) already folded) are
+    DROPPED — so under cross-batch lateness the streaming output must
+    equal a driver-side fold_pit replay over the same batch split
+    EXACTLY (state ser/de, quantization and pandas plumbing preserve
+    fold semantics), and it diverges from the offline backfill ONLY
+    on rows whose horizon window lost a dropped late row — the
+    watermark-style divergence statement, pinned here row for row."""
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.warehouse import pit_window_features
+    from dce_spark.streaming import fold_pit, streaming_pit_features
+
+    HORIZON = 604800
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    # adversarial split: batch-1 holds every third event — per key,
+    # many batch-1 rows precede batch-0's fold point (true cross-batch
+    # late arrivals, all inside the 7-day horizon)
+    srcdir = tmp_path / "pit_adv_src"
+    srcdir.mkdir()
+    ev.filter(F.col("event_id") % 3 != 0).coalesce(1).write.parquet(
+        str(srcdir / "b0")
+    )
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
+        str(srcdir / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "*"))
+    )
+    out = streaming_pit_features(
+        stream, ["user_id"], "ts", "event_id", "value", horizon_s=HORIZON
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_adv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit_adv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        int(r["event_id"]): (
+            int(r["pit_n_prior"]),
+            round(float(r["pit_sum_value"]), 6),
+            None if r["pit_last_gap_s"] is None else int(r["pit_last_gap_s"]),
+        )
+        for r in spark.sql("SELECT * FROM pit_adv_stream").collect()
+    }
+
+    # driver-side replay: same batches, same per-key (es, id) sort,
+    # same fold — the streaming plumbing must preserve this exactly
+    rows = [
+        (
+            int(r["user_id"]),
+            int(r["event_id"]),
+            int(r["es"]),
+            int(round(float(r["value"]) * 1e6)),
+        )
+        for r in ev.withColumn("es", F.unix_timestamp("ts")).collect()
+    ]
+    batches = [
+        sorted(
+            ((u, i, es, qv) for u, i, es, qv in rows if i % 3 != 0),
+            key=lambda r: (r[2], r[1]),
+        ),
+        sorted(
+            ((u, i, es, qv) for u, i, es, qv in rows if i % 3 == 0),
+            key=lambda r: (r[2], r[1]),
+        ),
+    ]
+    state: dict[int, tuple] = {}
+    expect: dict[int, tuple] = {}
+    dropped_rows: list[tuple[int, int]] = []  # (user, es) of dropped
+    for batch in batches:
+        by_key: dict[int, list] = {}
+        for u, i, es, qv in batch:
+            by_key.setdefault(u, []).append((es, i, qv))
+        for u, recs in by_key.items():
+            pre_emit = {i for _, i, _ in recs}
+            feats, st, n_dropped = fold_pit(
+                recs, state.get(u), HORIZON
+            )
+            state[u] = st
+            emitted_ids = set()
+            for i, n, qsum, gap in feats:
+                expect[int(i)] = (int(n), round(qsum / 1e6, 6), gap)
+                emitted_ids.add(i)
+            for es, i, _ in recs:
+                if i not in emitted_ids:
+                    dropped_rows.append((u, es))
+    assert got == expect  # exact fold-semantics equality
+    n_total = len(rows)
+    assert len(dropped_rows) > 0  # the split really was adversarial
+    assert len(got) == n_total - len(dropped_rows)
+
+    # divergence from the offline backfill is EXACTLY scoped to rows
+    # whose horizon window lost a dropped same-key late row
+    batch_feats = {
+        int(r["event_id"]): (
+            int(r["pit_n_prior"]),
+            round(float(r["pit_sum_value"]), 6),
+            None if r["pit_last_gap_s"] is None else int(r["pit_last_gap_s"]),
+        )
+        for r in pit_window_features(
+            ev.withColumn("es", F.unix_timestamp("ts")),
+            "user_id", "es", "value", horizon_s=HORIZON,
+        ).collect()
+    }
+    dropped_by_key: dict[int, list[int]] = {}
+    for u, es in dropped_rows:
+        dropped_by_key.setdefault(u, []).append(es)
+    es_of = {i: (u, es) for u, i, es, _ in rows}
+    diverging = {i for i in got if got[i] != batch_feats[i]}
+    allowed = set()
+    for i in got:
+        u, es = es_of[i]
+        if any(
+            es - HORIZON <= d <= es - 1 for d in dropped_by_key.get(u, [])
+        ):
+            allowed.add(i)
+    assert diverging <= allowed, sorted(diverging - allowed)[:5]

@@ -272,3 +272,36 @@ def test_attribution_equals_brute_force_randomized(spark):
                 cand = (es, r.i)
                 if last is None or cand > last:
                     by_key[r.k] = cand
+
+
+def test_attribution_id_radix_guard_fires(spark):
+    """A source row whose id breaches the packing radix must RAISE
+    (round-8 ADVICE fix), not silently corrupt attributions; trigger
+    rows with big ids stay un-guarded (they are never packed)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(0), i=15, et="click"),
+            Row(k=1, ts=_ts(5), i=2, et="purchase"),
+        ]
+    )
+    bad = last_event_attribution(
+        df, "k", "ts", "i", F.col("et") == "click", window_s=100, id_radix=10
+    )
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    assert "id_radix" in str(exc.value) or "breaks the" in str(exc.value)
+    # big id on a NON-source (trigger) row is fine: never packed
+    ok = last_event_attribution(
+        spark.createDataFrame(
+            [
+                Row(k=1, ts=_ts(0), i=3, et="click"),
+                Row(k=1, ts=_ts(5), i=99, et="purchase"),
+            ]
+        ),
+        "k", "ts", "i", F.col("et") == "click", window_s=100, id_radix=10,
+    )
+    row = {int(r["i"]): r for r in ok.collect()}
+    assert int(row[99]["attr_source_id"]) == 3
