@@ -75,6 +75,39 @@ def main() -> None:
         f"[burst] {r['n_users']} users; mean B {r['mean_burstiness']:.3f}; "
         f"{r['n_bursty']} bursty / {r['n_regular']} regular"
     )
+    spark.catalog.clearCache()
+
+    # 7. shape tests as LIBRARY ops (round 8, ext/stats): KS = worst
+    # localized ECDF gap, CvM = integrated gap (broad small shifts);
+    # the bucketed KS is the same formula at 100 TB scale — its ECDF
+    # table is bounded at n_buckets rows no matter the corpus size
+    from pyspark.sql import functions as F
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.stats import (
+        cvm_two_sample,
+        ks_two_sample,
+        ks_two_sample_bucketed,
+    )
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when((F.dayofweek("ts") - 1).isin(0, 6), 1)
+            .otherwise(0)
+            .alias("split"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    ks = ks_two_sample(v).collect()[0]
+    cvm = cvm_two_sample(v).collect()[0]
+    ksb = ks_two_sample_bucketed(v, n_buckets=256).collect()[0]
+    print(
+        f"[shape] weekday vs weekend value: KS {ks['ks_stat']:.6f} "
+        f"(bucketed {ksb['ks_stat']:.6f}), CvM {cvm['cvm_stat']:.6f} "
+        f"(n0 {ks['n0']}, n1 {ks['n1']})"
+    )
 
     spark.stop()
 
