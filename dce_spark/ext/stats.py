@@ -127,6 +127,14 @@ def cvm_two_sample(
     the closing scale factor is applied once, in the same op order the
     oracle uses, then rounded 9dp.
 
+    Capacity note: the quantized sum is bounded by N * 1e9 (each step
+    contributes w * d^2 <= w, and the w's sum to the pooled count N),
+    so int64 holds exactly up to N ~ 9e9 pooled rows — comfortably the
+    whole events table at any tested SF and ~40x a 100 TB corpus's
+    distinct-value step count after bucketing; for a raw-value run
+    beyond that, coarsen the quantum (the statistic is reported at 9dp
+    and per-step rounding error stays under steps * 0.5 / quantum).
+
     Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)``."""
     cells = _split_cells(df, split_col, value_col)
     steps = _ecdf(
