@@ -146,3 +146,45 @@ def test_library_ops_are_scalable(spark):
     assert_scalable(cvm_two_sample(v))
     assert_scalable(ks_two_sample_bucketed(v, n_buckets=64))
     spark.catalog.clearCache()
+
+
+def test_randomized_adversarial_multisets(spark):
+    """Fixed-seed randomized equivalence (the test_warehouse
+    convention — deterministic, no flake): heavy ties, negatives,
+    tiny and lopsided splits. The operators must match the exact
+    driver-side statistics on every frame."""
+    import random
+
+    from pyspark.sql import Row
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = rng.randint(8, 120)
+        # draw from a tiny value domain to force heavy ties, with a
+        # lopsided split probability
+        p1 = rng.choice((0.15, 0.5, 0.85))
+        rows = [
+            Row(
+                split=1 if rng.random() < p1 else 0,
+                value=float(rng.choice((-2.5, -1.0, 0.0, 0.25, 3.0))),
+            )
+            for _ in range(n)
+        ]
+        # ensure both splits are populated (the documented contract)
+        rows[0] = Row(split=0, value=rows[0].value)
+        rows[1] = Row(split=1, value=rows[1].value)
+        v = spark.createDataFrame(rows)
+        steps, n0, n1 = _pooled_steps([(r.split, r.value) for r in rows])
+        exp_ks = round(max(abs(a / n0 - b / n1) for _, a, b in steps), 9)
+        acc = 0
+        for w, a, b in steps:
+            d = a / n0 - b / n1
+            acc += round(w * d * d * 1e9)
+        nn = float(n0 + n1)
+        exp_cvm = round(acc / 1e9 * n0 / nn * n1 / nn, 9)
+        ks = ks_two_sample(v).collect()[0]
+        cvm = cvm_two_sample(v).collect()[0]
+        assert (ks["n0"], ks["n1"]) == (n0, n1), seed
+        assert ks["ks_stat"] == exp_ks, seed
+        assert cvm["cvm_stat"] == pytest.approx(exp_cvm, abs=2e-9), seed
+    spark.catalog.clearCache()
