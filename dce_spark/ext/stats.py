@@ -206,15 +206,21 @@ def ks_two_sample_bucketed(
     edges = v.agg(
         F.percentile_approx("value", probs, F.lit(accuracy)).alias("e")
     ).head()["e"]
+    if not edges:  # empty input (sketch returns NULL): match the
+        return ks_two_sample(v)  # exact twin's empty-result behavior
     # strictly-increasing splits (sketch can repeat an edge on skew)
     splits = [float("-inf")]
     for e in edges:
         if e > splits[-1]:
             splits.append(float(e))
     splits.append(float("inf"))
-    if len(splits) < 3:  # degenerate: constant column — KS is 0
-        return ks_two_sample(v)
+    if len(splits) < 3:  # n_buckets < 2 left no interior edge: the
+        return ks_two_sample(v)  # one-bucket form IS the exact form
+    # handleInvalid="keep" routes NaN to the extra trailing bucket —
+    # the same place the exact op's ordered window puts NaN (Spark
+    # sorts NaN above every double), so the twins agree on NaN rows
     bucketed = Bucketizer(
-        splits=splits, inputCol="value", outputCol="bucket"
+        splits=splits, inputCol="value", outputCol="bucket",
+        handleInvalid="keep",
     ).transform(v)
     return ks_two_sample(bucketed, split_col="split", value_col="bucket")

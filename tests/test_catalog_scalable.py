@@ -107,12 +107,9 @@ def test_no_unchecked_catalog_tail():
     )
 
 
-def test_bench_parity_probe_labels_consistent():
-    """bench.py's PARITY_PROBES must stay in sync with reality: every
-    benched NLJ-whitelisted query is labeled a probe, every labeled
-    probe is actually benched and registered, and each md5/exact probe
-    family ships its production twin in the same bench run (the twin
-    is what the prod subtotal tracks)."""
+def _load_bench():
+    """Load bench.py by file location (it is a repo-root script, not a
+    package module) — shared by every bench-policy test here."""
     import importlib.util
     import os
 
@@ -121,6 +118,16 @@ def test_bench_parity_probe_labels_consistent():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    return bench
+
+
+def test_bench_parity_probe_labels_consistent():
+    """bench.py's PARITY_PROBES must stay in sync with reality: every
+    benched NLJ-whitelisted query is labeled a probe, every labeled
+    probe is actually benched and registered, and each md5/exact probe
+    family ships its production twin in the same bench run (the twin
+    is what the prod subtotal tracks)."""
+    bench = _load_bench()
 
     benched = set(bench.BENCH_QUERIES)
     probes = set(bench.PARITY_PROBES)
@@ -144,14 +151,7 @@ def test_driver_timed_subset_policy():
     420 s driver budget under contention, contain no parity probes or
     unregistered names, and represent EVERY bench family — a family
     with no sentinel has no driver-visible regression signal."""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
-    )
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    bench = _load_bench()
 
     sub = bench.DRIVER_TIMED
     assert len(sub) == len(set(sub))

@@ -120,9 +120,10 @@ def test_bucketed_ks_tracks_exact(spark):
 
 
 def test_bucketed_ks_constant_column_degenerates(spark):
-    """A constant value column has one distinct value — every sketch
-    edge collapses and the operator must fall back to the exact form
-    (KS = 0) instead of crashing on non-increasing splits."""
+    """A constant value column collapses every sketch edge to one
+    value; after dedup the splits are [-inf, c, inf] and the
+    Bucketizer path must still produce KS = 0 (one populated bucket)
+    instead of crashing on non-increasing splits."""
     v = (
         load_table(spark, SF_DIR, "events")
         .select(
@@ -132,6 +133,37 @@ def test_bucketed_ks_constant_column_degenerates(spark):
     )
     row = ks_two_sample_bucketed(v, n_buckets=64).collect()[0]
     assert row["ks_stat"] == 0.0
+    spark.catalog.clearCache()
+
+
+def test_bucketed_ks_edge_cases_match_exact_twin(spark):
+    """Code-review r8 fixes, pinned: (a) NaN rows must not crash the
+    Bucketizer path — handleInvalid='keep' routes them to the trailing
+    bucket, where the exact op's NaN-sorts-last window also puts them,
+    so the twins agree; (b) empty input returns an empty frame like
+    the exact twin; (c) n_buckets=1 (no interior edges) falls back to
+    the exact form."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(split=i % 2, value=float(v))
+        for i, v in enumerate((1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    ] + [Row(split=0, value=float("nan")), Row(split=1, value=float("nan"))]
+    v = spark.createDataFrame(rows)
+    exact = ks_two_sample(v).collect()[0]
+    approx = ks_two_sample_bucketed(v, n_buckets=4).collect()[0]
+    assert (approx["n0"], approx["n1"]) == (exact["n0"], exact["n1"])
+    assert approx["ks_stat"] <= exact["ks_stat"] + 1e-9
+
+    empty = v.filter(F.col("split") == 2)
+    assert ks_two_sample_bucketed(empty, n_buckets=16).collect() == []
+    assert ks_two_sample(empty).collect() == []
+
+    one_bucket = ks_two_sample_bucketed(
+        v.filter(~F.isnan("value")), n_buckets=1
+    ).collect()[0]
+    exact_clean = ks_two_sample(v.filter(~F.isnan("value"))).collect()[0]
+    assert one_bucket["ks_stat"] == exact_clean["ks_stat"]
     spark.catalog.clearCache()
 
 

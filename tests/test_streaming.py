@@ -1414,10 +1414,7 @@ def test_streaming_pit_features_adversarial_cross_batch_disorder(
         for u, i, es, qv in batch:
             by_key.setdefault(u, []).append((es, i, qv))
         for u, recs in by_key.items():
-            pre_emit = {i for _, i, _ in recs}
-            feats, st, n_dropped = fold_pit(
-                recs, state.get(u), HORIZON
-            )
+            feats, st, _ = fold_pit(recs, state.get(u), HORIZON)
             state[u] = st
             emitted_ids = set()
             for i, n, qsum, gap in feats:

@@ -279,7 +279,6 @@ def test_attribution_id_radix_guard_fires(spark):
     (round-8 ADVICE fix), not silently corrupt attributions; trigger
     rows with big ids stay un-guarded (they are never packed)."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     df = spark.createDataFrame(
         [
