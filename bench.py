@@ -365,7 +365,15 @@ FAST_VARIANT_NAMES = [
     "corpus_survivors_fast",
     "dedup_simhash_fast",
 ]
-EXTRA_BENCH_ENTRIES = FAST_VARIANT_NAMES + ["contract_validate_events"]
+# the bucketed-KS scale twin (ext/stats.ks_two_sample_bucketed) is
+# benched like the fast variants: a non-catalog production path whose
+# trend line matters (it is not oracle-pairable — GK-sketch edges
+# legitimately differ from DuckDB's exact quantiles), timed in full
+# runs next to its exact catalog twin ks_weekday_weekend_events
+EXTRA_BENCH_ENTRIES = FAST_VARIANT_NAMES + [
+    "ks_bucketed_weekday_events",
+    "contract_validate_events",
+]
 
 
 def force(df):
@@ -489,11 +497,32 @@ def main() -> None:
     def _mk(fn):
         return lambda: fn(spark, SF_DIR)
 
+    # the bucketed-KS scale twin: same weekday/weekend split as the
+    # exact catalog entry ks_weekday_weekend_events, through the
+    # production 100 TB path (sketch edges + Bucketizer + bounded ECDF)
+    def _ks_bucketed_thunk():
+        from pyspark.sql import functions as F
+
+        from dce_spark.ext.stats import ks_two_sample_bucketed
+
+        v = (
+            load_table(spark, SF_DIR, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                F.when((F.dayofweek("ts") - 1).isin(0, 6), 1)
+                .otherwise(0)
+                .alias("split"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        return ks_two_sample_bucketed(v, n_buckets=1024)
+
     if FULL:
         items = (
             [(n, _mk(QUERIES[n].fn)) for n in BENCH_QUERIES]
             + list(fast_variants.items())
-            + [("contract_validate_events", _contract_thunk)]
+            + [("ks_bucketed_weekday_events", _ks_bucketed_thunk),
+               ("contract_validate_events", _contract_thunk)]
         )
     else:
         # driver mode: the sentinel subset + the flagship contract —
