@@ -2028,65 +2028,97 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   order_backlog_aging, vocab_growth_checkpoints — a FULL cohort of
 #   TWENTY, all oracle-verified at three SFs in round 7). Round 10
 #   promotes; rounds 8/9 only need their own per-round staging.
+#
+#   ROUND 8 WINDOW (rotated out in r9, all 50 green in
+#   CORRECTNESS_r08): the 20 promoted r8 stagings, round 8's 2 new
+#   queries (ks_weekday_weekend, cvm_split_distance), the 15 r2-stale
+#   rows, and the 13 TPC-H r3 rows q2..q17.
+#
+#   ROUND 9 WINDOW (this list) = the 20 promoted round-9 stagings
+#   (queries_staging_r9.py, registered from queries_more.py, fronted
+#   the same round — no unchecked tail) + 30 of the 34 r3-stale rows
+#   (recomputed from the committed CORRECTNESS_r0{1..5,7,8}.json
+#   ledger this round: r3 IS the stalest tier, 34 rows, zero reds),
+#   front-loading the 5 remaining TPC-H q-family rows q18..q22 per
+#   the round-8 plan. Round 9 registers NO new catalog queries (the
+#   r8 verdict's item 8: both staged cohorts are full; the round's
+#   non-catalog work is bench-baseline provenance, the EXACT_FORMS
+#   probe tier, cvm_two_sample_bucketed, and streaming disorder pins).
+#   The 4 r3 rows deferred to the round-10 window each have a DIRECT
+#   family twin re-proven green in the r8 window:
+#     ntile_bins_lineitem_approx   (exact twin ntile_bins_lineitem r8)
+#     quantiles_lineitem_approx    (exact twin quantiles_lineitem r8)
+#     funnel_events                (funnel_cohort_conversion_events r8)
+#     kmeans_embeddings_2iter      (kmeans_cell_balance_embeddings r8)
+#   CATALOG FROZEN for round 9 at this rotation (254 entries).
+#
+#   ROUND 10 PLAN — promote the TWENTY staged round-10 queries
+#   (queries_staging_r10.py, the cohort listed in the ROUND 10 SEED
+#   above — all oracle-verified at three SFs in round 7), register any
+#   new round-10 queries EARLY, then window: 20 promoted + round 10's
+#   own new queries + the 4 deferred r3 rows above FIRST + the
+#   next-stalest greens from the recomputed ledger (after this
+#   rotation the r3 tier holds only those 4; the next tier is the 50
+#   r4 rows — front-load the round-4 BPE/multimodal/text block) =
+#   exactly 50. Freeze at rotation. RECOMPUTE the ledger from the
+#   committed CORRECTNESS files first (r8 lesson: plan comments can
+#   mis-read it).
 _DRIVER_WINDOW = [
-    # promoted round-8 stagings (oracle-verified at 3 SFs in r7)
-    "perplexity_filter_decisions_documents",
-    "ngram_novelty_decay_documents",
-    "dedup_threshold_sweep_documents",
-    "template_prefix_clusters_documents",
-    "lang_confusion_documents",
-    "late_arrival_bias_events",
-    "bm25_top_terms_documents",
-    "kmeans_cell_balance_embeddings",
-    "adc_rank_correlation_embeddings",
-    "mmr_diversified_topk_embeddings",
-    "binseg_changepoint_events",
-    "autocorrelation_daily_events",
-    "weekday_adjusted_anomaly_events",
-    "session_duration_quantiles_events",
-    "reorder_depth_events",
-    "funnel_cohort_conversion_events",
-    "pack_bin_fill_documents",
-    "psi_value_drift_events",
-    "multimodal_duration_budget",
-    "split_balance_chi_square_documents",
-    # round 8's OWN new queries (queries_r8.py — registered and
-    # windowed the same round, per the plan)
-    "ks_weekday_weekend_events",
-    "cvm_split_distance_events",
-    # the 15 r2-stale rows (stalest tier — see the ROUND 8 DEVIATION
-    # NOTE above: their r6 re-check artifact never landed)
-    "corr_lineitem_qty_price",
-    "dedup_jaccard_documents",
-    "dedup_minhash_lsh_documents",
-    "dedup_simhash_documents",
-    "embedding_cosine_topk",
-    "embedding_knn_join",
-    "embedding_near_dup_pairs",
-    "json_extract_events",
-    "lang_stats_documents",
-    "multimodal_payload_stats",
-    "ntile_bins_lineitem",
-    "psi_bins_lineitem",
-    "quantiles_lineitem",
-    "text_stats_documents",
-    "top_words_documents",
-    # stalest r3-only greens: the TPC-H q-family block, front-loaded
-    # per the round-8 plan (q18..q22 and the rest of the r3 tier are
-    # next in line for round 9)
-    "q2_min_cost_supplier",
-    "q4_late_shipment_orders",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
+    # promoted round-9 stagings (oracle-verified at 3 SFs in r7)
+    "cdc_last_write_wins_events",
+    "scd2_intervals_events",
+    "robust_scaling_stats_events",
+    "pit_features_events",
+    "dup_ngram_span_documents",
+    "semdedup_prune_embeddings",
+    "hard_negative_mining_embeddings",
+    "contrastive_pair_mining_documents",
+    "attribution_windows_events",
+    "normalized_dup_ladder_documents",
+    "cluster_margin_embeddings",
+    "length_psi_by_source_documents",
+    "markov_entropy_rate_events",
+    "winsorized_stats_events",
+    "split_churn_documents",
+    "label_split_balance_embeddings",
+    "decay_weighted_activity_events",
+    "hourly_hhi_events",
+    "session_abandonment_events",
+    "rfm_segments_customers",
+    # stalest tier burn-down: the 5 remaining TPC-H r3 rows,
+    # front-loaded per the round-8 plan
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicate_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # the other 25 windowed r3-stale rows (34-row tier minus the 5
+    # TPC-H above and the 4 twin-covered deferrals in the note)
+    "corpus_survivors_documents",
+    "cube_orders_status_priority",
+    "decontamination_overlap_documents",
+    "dedup_containment_documents",
+    "dedup_incremental_documents",
+    "embedding_ivf_topk",
+    "embedding_quantize_int8",
+    "group_sample_documents",
+    "grouped_quantiles_lineitem_approx",
+    "pii_scan_documents",
+    "pivot_event_type_by_day",
+    "repetition_signals_documents",
+    "retention_cohorts_events",
+    "rollup_pricing_lineitem",
+    "split_assign_documents",
+    "split_leakage_documents",
+    "stratified_sample_documents",
+    "tfidf_top_terms_documents",
+    "tumbling_window_counts_events",
+    "weighted_sample_documents",
+    "window_distribution_customers",
+    "window_lag_delta_events",
+    "window_moving_avg_events",
+    "window_time_range_events",
+    "window_topn_customers_per_segment",
 ]
 
 

@@ -4626,3 +4626,35 @@ def _promote_staged_r8() -> None:
 _promote_staged_r8()
 
 from . import queries_r8  # noqa: E402,F401  (registers the round-8 additions)
+
+# =====================================================================
+# Round-9 promotion: the twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 7 enter the live catalog here —
+# same protocol and re-entrancy shape as the round-8 promotion above
+# (the staging module bootstraps the catalog chain before defining
+# STAGED_R9, so a staging-first import reaches this loop before any
+# entry exists; bail out and let the staging tail hook re-invoke once
+# all twenty are defined). Round 9 registers NO new catalog queries of
+# its own (the round-8 verdict's item 8: both remaining cohorts are
+# full and verified; the round's build time goes to bench provenance,
+# the EXACT_FORMS probe tier, cvm_two_sample_bucketed, and streaming
+# disorder pins — none of which are oracle-pairable catalog entries).
+# =====================================================================
+
+
+def _promote_staged_r9() -> None:
+    from . import queries_staging_r9 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R9", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r9()

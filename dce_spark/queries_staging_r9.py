@@ -1942,3 +1942,19 @@ def rfm_segments_customers(spark, sf_dir):
             "total_monetary",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Round-9 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R9, so importing THIS module first runs the whole
+# registration chain while STAGED_R9 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r9 as _promote  # noqa: E402
+
+_promote()
+del _promote

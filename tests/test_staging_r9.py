@@ -1,15 +1,19 @@
-"""Round-9 STAGED queries: same parity harness as the live catalog
-(exact column order, canonical dtypes, sorted-value compare) so
-promotion in round 9 is a registration move, not new verification.
-These are deliberately NOT in dce_spark.queries.QUERIES — the round-7
-catalog froze at the driver-window rotation (the r1-r3 unchecked-tail
-lesson, same protocol queries_staging_r5..r8 followed). Extra tests
-prove the cohort's trickiest semantics by independent brute force.
+"""Round-9 promotion regression: the twenty queries staged in round 7
+are now LIVE catalog entries (registered from queries_more.py). Their
+parity and plan-audit coverage moved to the catalog-wide suites
+(test_oracle_parity.py / test_catalog_scalable.py run over QUERIES);
+this file locks the promotion itself — the same shape
+test_staging_r5..r8.py took after their promotions — plus the staged
+cohort's extra determinism proofs (PIT/attribution/decay brute
+forces, SCD2 tiling, SemDeDup injected copies, ...), which stay valid
+against the promoted entries.
 """
 
 from __future__ import annotations
 
-import duckdb
+import subprocess
+import sys
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -17,51 +21,57 @@ from pyspark.sql import functions as F
 from dce_spark.queries_staging_r9 import STAGED_R9, staged_oracle
 
 from conftest import SF_DIR
-from test_oracle_parity import TABLES, compare
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R9))
-def test_staged_query_matches_oracle(spark, duck, name):
-    sdf = STAGED_R9[name].fn(spark, SF_DIR)
-    rel = duck.sql(staged_oracle(name))
-    compare(sdf, rel)
-    assert sdf.count() > 0  # non-vacuous
-    spark.catalog.clearCache()
-
-
-def test_staged_not_registered():
-    """The freeze: staged queries must stay OUT of the live catalog
-    until round 9 rotates them into the driver window."""
+def test_staged_queries_promoted():
     from dce_spark.queries import QUERIES
 
-    assert not (set(STAGED_R9) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R9))
-def test_staged_query_is_scalable(spark, name):
-    from dce_spark.planaudit import assert_scalable
-
-    assert_scalable(STAGED_R9[name].fn(spark, SF_DIR))
-    spark.catalog.clearCache()
-
-
-def test_staged_specs_well_formed():
+    assert len(STAGED_R9) == 20
     for name, spec in STAGED_R9.items():
-        assert callable(spec.fn), name
-        assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
-        assert staged_oracle(name) == spec.oracle
-        assert isinstance(spec.doc, str) and spec.doc.strip(), name
+        assert name in QUERIES, f"{name} lost from the live catalog"
+        assert QUERIES[name].fn is spec.fn
+        assert QUERIES[name].oracle == staged_oracle(name)
+        assert QUERIES[name].doc  # doc string survives registration
+
+
+def test_staged_queries_in_driver_window():
+    """Promotion without a driver row recreates the unchecked-tail
+    problem (r1-r3 lesson): every promoted query must sit in the
+    round-9 driver window."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in STAGED_R9:
+        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
+
+
+def test_staged_oracles_eager():
+    """Round-9 staged oracles are eager strings by construction; the
+    promotion loop asserts identity at import — re-assert here so a
+    staging-module refactor can't reintroduce lazy empties."""
+    from dce_spark import queries  # noqa: F401  (triggers registration)
+
+    for name, spec in STAGED_R9.items():
+        assert spec.oracle, f"{name}.oracle empty"
+        assert spec.oracle == staged_oracle(name)
+
+
+def test_promotion_survives_staging_first_import():
+    """The r9 staging module bootstraps the catalog chain BEFORE
+    defining STAGED_R9, so a staging-first import reaches the
+    promotion loop with no entries at all; the loop must bail and the
+    tail hook must complete the catalog. Module caching means the
+    in-suite import order is whatever conftest already produced
+    (round-8 ADVICE), so prove the staging-first order in a fresh
+    interpreter."""
+    code = (
+        "import dce_spark.queries_staging_r9\n"
+        "from dce_spark.queries import QUERIES\n"
+        "from dce_spark.queries_staging_r9 import STAGED_R9\n"
+        "missing = set(STAGED_R9) - set(QUERIES)\n"
+        "assert not missing, missing\n"
+        "assert len(STAGED_R9) == 20\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
 
 
 def test_pit_features_brute_force(spark):
