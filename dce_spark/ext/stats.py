@@ -4,11 +4,11 @@ round-7 verdict ask: ``ks_test_events``, the staged
 ``ks_acctbal_segments``, and the round-8 queries now CALL these
 instead of re-inlining the cells/ECDF machinery).
 
-The reference ships the binned/categorical drift rungs (PSI,
-chi-square style checks over distributions:
-``/root/reference/crates/contracts_core/src/checks.rs`` aggregation
-checks); KS and Cramer-von Mises extend that ladder with binning-free
-SHAPE tests (extension surface, SURVEY.md "beyond" families).
+The reference ships the binned/categorical drift rungs (PSI over
+reference/current split histograms:
+``/root/reference/crates/contracts_validator/src/ml.rs:436-452``);
+KS and Cramer-von Mises extend that ladder with binning-free SHAPE
+tests (extension surface, SURVEY.md "beyond" families).
 
 Shared protocol (the ``ks_test_events`` exactness conventions, locked
 since round 4):
@@ -23,28 +23,51 @@ since round 4):
 - CvM's per-step contributions are summed via the established
   quantized-exact convention (``round(x * 1e9)`` into int64 — exact
   addition commutes, so partial-aggregation order cannot matter).
+- ``split_col`` must be 0/1 and non-null: a row outside that contract
+  would land in neither ECDF and silently bias the statistic, so the
+  cell aggregation folds an ``assert_true`` guard over every row (the
+  ``last_event_attribution`` id_radix pattern) — a bad split column
+  raises instead of skewing.
+- An EMPTY split raises too (folded into the final select): a
+  two-sample statistic over one sample is undefined, and Spark's
+  non-ANSI divide would otherwise emit a silent NULL stat.
 
 Scale: the single ordered window over distinct values is a documented
 single-task parity probe when the value domain is unbounded (raw
-doubles). At 100 TB use :func:`ks_two_sample_bucketed` — identical
-formula over ``percentile_approx``-bucketed values, whose ECDF table
-is at most ``n_buckets`` rows (metadata at any corpus scale) and whose
-statistic differs from the exact one by at most the largest bucket's
-probability mass (~1/n_buckets; pinned by a unit test).
+doubles). At 100 TB use :func:`ks_two_sample_bucketed` /
+:func:`cvm_two_sample_bucketed` — identical formulas over
+``percentile_approx``-bucketed values, whose ECDF table is at most
+``n_buckets`` rows (metadata at any corpus scale) and whose statistic
+differs from the exact one by at most the largest bucket's probability
+mass (~1/n_buckets; pinned by unit tests against the exact twins).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ks_two_sample", "cvm_two_sample", "ks_two_sample_bucketed"]
+__all__ = [
+    "ks_two_sample",
+    "cvm_two_sample",
+    "ks_two_sample_bucketed",
+    "cvm_two_sample_bucketed",
+]
 
 
 def _split_cells(df: DataFrame, split_col: str, value_col: str) -> DataFrame:
     """Distinct-value cells with per-split counts: the shared first
-    stage of every two-sample test here. ``split_col`` must be 0/1
-    (callers build it; rows with other values would land in neither
-    count and silently bias both ECDFs, so keep the contract strict)."""
+    stage of every two-sample test here. The 0/1 split contract is
+    ENFORCED row-by-row — ``assert_true`` folded into the c0 count
+    (zero extra passes, zero plan-shape change) raises on the first
+    row whose split is not 0/1 or is NULL, instead of letting it land
+    in neither ECDF and bias both."""
+    split_guard = F.assert_true(
+        F.col("split").isin(0, 1),  # NULL isin -> NULL -> raises too
+        F.lit(
+            "ext.stats: split_col must be 0/1 and non-null — a row "
+            "outside the contract would silently bias both ECDFs"
+        ),
+    )
     return (
         df.select(
             F.col(split_col).alias("split"),
@@ -52,7 +75,14 @@ def _split_cells(df: DataFrame, split_col: str, value_col: str) -> DataFrame:
         )
         .groupBy("value")
         .agg(
-            F.sum((F.col("split") == 0).cast("long")).alias("c0"),
+            # assert_true returns NULL on success; coalesce makes the
+            # guard free while forcing its evaluation on every row
+            F.sum(
+                F.coalesce(
+                    split_guard.cast("long"),
+                    (F.col("split") == 0).cast("long"),
+                )
+            ).alias("c0"),
             F.sum((F.col("split") == 1).cast("long")).alias("c1"),
         )
     )
@@ -72,6 +102,27 @@ def _ecdf(cells: DataFrame, extra: list[str] | None = None) -> DataFrame:
     return cells.select(*cols)
 
 
+def _guarded_total(col: str):
+    """The split total as an ECDF divisor, guarded: raise when the
+    split is empty (n0=0 or n1=0) — the statistic is undefined over
+    one sample, and the divide would otherwise surface it as a silent
+    NULL (non-ANSI) or an opaque DIVIDE_BY_ZERO (ANSI). Wrapping the
+    DIVISOR makes the guard evaluate before the division under either
+    mode (data dependency); assert_true returns NULL on success, so
+    coalesce passes the total through untouched."""
+    return F.coalesce(
+        F.assert_true(
+            F.col(col) > 0,
+            F.lit(
+                "ext.stats: one split is empty — a two-sample "
+                "statistic over one sample is undefined (check "
+                "split_col)"
+            ),
+        ).cast("long"),
+        F.col(col),
+    )
+
+
 def ks_two_sample(
     df: DataFrame, split_col: str = "split", value_col: str = "value"
 ) -> DataFrame:
@@ -79,9 +130,10 @@ def ks_two_sample(
     ``split==0`` and ``split==1`` value distributions.
 
     Returns one row ``(ks_stat double 9dp, n0 long, n1 long)`` — the
-    max absolute ECDF gap. 1-row broadcast totals against the ECDF
-    steps, then one max-agg; nothing is ever collected into a single
-    array/row."""
+    max absolute ECDF gap — or zero rows on empty input; raises if
+    ``split_col`` breaks the 0/1 contract or one split is empty.
+    1-row broadcast totals against the ECDF steps, then one max-agg;
+    nothing is ever collected into a single array/row."""
     cells = _split_cells(df, split_col, value_col)
     ecdf = _ecdf(cells)
     totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
@@ -92,8 +144,8 @@ def ks_two_sample(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("cum0").cast("double") / F.col("n0")
-                        - F.col("cum1").cast("double") / F.col("n1")
+                        F.col("cum0").cast("double") / _guarded_total("n0")
+                        - F.col("cum1").cast("double") / _guarded_total("n1")
                     )
                 ),
                 9,
@@ -135,7 +187,9 @@ def cvm_two_sample(
     beyond that, coarsen the quantum (the statistic is reported at 9dp
     and per-step rounding error stays under steps * 0.5 / quantum).
 
-    Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)``."""
+    Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)`` — or
+    zero rows on empty input; raises if ``split_col`` breaks the 0/1
+    contract or one split is empty."""
     cells = _split_cells(df, split_col, value_col)
     steps = _ecdf(
         cells.withColumn("w", (F.col("c0") + F.col("c1")).cast("long")),
@@ -143,8 +197,8 @@ def cvm_two_sample(
     )
     totals = cells.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
     d = (
-        F.col("cum0").cast("double") / F.col("n0")
-        - F.col("cum1").cast("double") / F.col("n1")
+        F.col("cum0").cast("double") / _guarded_total("n0")
+        - F.col("cum1").cast("double") / _guarded_total("n1")
     )
     scaled = F.round(F.col("w") * d * d * F.lit(1e9)).cast("long")
     nn = (F.col("n0") + F.col("n1")).cast("double")
@@ -170,32 +224,25 @@ def cvm_two_sample(
     )
 
 
-def ks_two_sample_bucketed(
+def _bucketize(
     df: DataFrame,
-    split_col: str = "split",
-    value_col: str = "value",
-    n_buckets: int = 1024,
-    accuracy: int = 10000,
-) -> DataFrame:
-    """The 100 TB face of :func:`ks_two_sample`: identical ECDF-gap
-    formula over ``percentile_approx``-bucketed values.
+    split_col: str,
+    value_col: str,
+    n_buckets: int,
+    accuracy: int,
+) -> tuple[DataFrame, str]:
+    """Shared first stage of the bucketed scale twins: one
+    ``percentile_approx`` sketch pass collects at most ``n_buckets-1``
+    interior edges (driver-side metadata, like the IVF centroid
+    collect), then a JVM-side binary-search Bucketizer assigns bucket
+    ids map-side. Returns ``(frame, value_column)`` — the raw values
+    when no interior edge survives (empty input, a constant column, or
+    ``n_buckets < 2``: the one-bucket form IS the exact form).
 
-    One sketch pass collects at most ``n_buckets - 1`` interior edges
-    (driver-side metadata, like the IVF centroid collect); a JVM-side
-    binary-search Bucketizer assigns bucket ids map-side; the ordered
-    ECDF window then runs over at most ``n_buckets`` distinct ids —
-    bounded metadata at any corpus scale, which removes the
-    single-task caveat the exact form documents. The statistic
-    underestimates the exact KS by at most the largest bucket's
-    probability mass (~1/n_buckets for continuous data, plus the
-    sketch's rank error); ``tests/test_ext_stats.py`` pins the bound
-    against the exact operator.
-
-    Returns one row ``(ks_stat double 9dp, n0 long, n1 long)``. Not
-    oracle-paired: DuckDB's exact quantiles legitimately disagree with
-    the GK sketch's edges, so this op is equivalence-tested against
-    :func:`ks_two_sample` instead (the approx-twin protocol of
-    quantiles_lineitem_approx)."""
+    EAGER: the sketch collect runs one Spark job at CALL time, before
+    the returned DataFrame is ever executed (the IVF-centroids
+    convention — callers composing lazy pipelines should call this
+    last)."""
     from pyspark.ml.feature import Bucketizer
 
     v = df.select(
@@ -207,20 +254,83 @@ def ks_two_sample_bucketed(
         F.percentile_approx("value", probs, F.lit(accuracy)).alias("e")
     ).head()["e"]
     if not edges:  # empty input (sketch returns NULL): match the
-        return ks_two_sample(v)  # exact twin's empty-result behavior
+        return v, "value"  # exact twin's empty-result behavior
     # strictly-increasing splits (sketch can repeat an edge on skew)
     splits = [float("-inf")]
     for e in edges:
         if e > splits[-1]:
             splits.append(float(e))
     splits.append(float("inf"))
-    if len(splits) < 3:  # n_buckets < 2 left no interior edge: the
-        return ks_two_sample(v)  # one-bucket form IS the exact form
+    if len(splits) < 3:  # no interior edge left
+        return v, "value"
     # handleInvalid="keep" routes NaN to the extra trailing bucket —
-    # the same place the exact op's ordered window puts NaN (Spark
+    # the same place the exact ops' ordered window puts NaN (Spark
     # sorts NaN above every double), so the twins agree on NaN rows
     bucketed = Bucketizer(
         splits=splits, inputCol="value", outputCol="bucket",
         handleInvalid="keep",
     ).transform(v)
-    return ks_two_sample(bucketed, split_col="split", value_col="bucket")
+    return bucketed, "bucket"
+
+
+def ks_two_sample_bucketed(
+    df: DataFrame,
+    split_col: str = "split",
+    value_col: str = "value",
+    n_buckets: int = 1024,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB face of :func:`ks_two_sample`: identical ECDF-gap
+    formula over ``percentile_approx``-bucketed values.
+
+    The sketch pass bounds the ordered ECDF window at ``n_buckets``
+    distinct ids — bounded metadata at any corpus scale, which removes
+    the single-task caveat the exact form documents. The statistic
+    underestimates the exact KS by at most the largest bucket's
+    probability mass (~1/n_buckets for continuous data, plus the
+    sketch's rank error); ``tests/test_ext_stats.py`` pins the bound
+    against the exact operator.
+
+    EAGER: the edge-sketch collect (see :func:`_bucketize`) runs one
+    Spark job at call time even though the result is a lazy DataFrame.
+
+    Returns one row ``(ks_stat double 9dp, n0 long, n1 long)``; same
+    empty-input / bad-split / empty-split behavior as the exact twin.
+    Not oracle-paired: DuckDB's exact quantiles legitimately disagree
+    with the GK sketch's edges, so this op is equivalence-tested
+    against :func:`ks_two_sample` instead (the approx-twin protocol of
+    quantiles_lineitem_approx)."""
+    bucketed, col = _bucketize(df, split_col, value_col, n_buckets, accuracy)
+    return ks_two_sample(bucketed, split_col="split", value_col=col)
+
+
+def cvm_two_sample_bucketed(
+    df: DataFrame,
+    split_col: str = "split",
+    value_col: str = "value",
+    n_buckets: int = 1024,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB face of :func:`cvm_two_sample`: identical quantized
+    pooled-ECDF integral over ``percentile_approx``-bucketed values
+    (the round-8 verdict's "same construction applies" item — the
+    whole shape-test family now has a bucketed scale path).
+
+    Bucketing replaces each within-bucket ECDF excursion by its
+    value at the bucket edge, so the bucketed statistic differs from
+    the exact one by at most the largest bucket's probability mass
+    per unit of integrated gap — empirically within ~3/n_buckets of
+    the exact statistic on continuous data (CvM is bounded by 1 the
+    way KS is, and each of the ~n_buckets steps moves the integral by
+    at most its own mass); ``tests/test_ext_stats.py`` pins the bound
+    against the exact operator at two bucket widths.
+
+    EAGER: the edge-sketch collect (see :func:`_bucketize`) runs one
+    Spark job at call time even though the result is a lazy DataFrame.
+
+    Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)``; same
+    empty-input / bad-split / empty-split behavior as the exact twin.
+    Not oracle-paired, equivalence-tested against
+    :func:`cvm_two_sample` (the approx-twin protocol)."""
+    bucketed, col = _bucketize(df, split_col, value_col, n_buckets, accuracy)
+    return cvm_two_sample(bucketed, split_col="split", value_col=col)

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from dce_spark.data import load_table
 from dce_spark.ext.stats import (
     cvm_two_sample,
+    cvm_two_sample_bucketed,
     ks_two_sample,
     ks_two_sample_bucketed,
 )
@@ -167,6 +168,98 @@ def test_bucketed_ks_edge_cases_match_exact_twin(spark):
     spark.catalog.clearCache()
 
 
+def test_bucketed_cvm_tracks_exact(spark):
+    """The round-9 CvM scale twin (r8 verdict item 4): the bucketed
+    statistic must sit within the largest-bucket-mass bound of the
+    exact one, pinned at two bucket widths so the error genuinely
+    shrinks with n_buckets (the docstring's claim, not just a single
+    lucky width)."""
+    v = _split_values(spark)
+    exact = cvm_two_sample(v).collect()[0]["cvm_stat"]
+    errs = {}
+    for n_buckets in (64, 256):
+        row = cvm_two_sample_bucketed(v, n_buckets=n_buckets).collect()[0]
+        errs[n_buckets] = abs(exact - row["cvm_stat"])
+        # GK-sketch rank error (accuracy=10000 -> ~1e-4) + bucket mass
+        assert errs[n_buckets] <= 3.0 / n_buckets + 1e-3, n_buckets
+    assert errs[256] <= errs[64] + 1e-3
+    spark.catalog.clearCache()
+
+
+def test_bucketed_cvm_edge_cases_match_exact_twin(spark):
+    """The KS-twin edge matrix, replayed for the CvM face: NaN rows
+    route to the trailing bucket where the exact op's NaN-sorts-last
+    window also puts them; empty input returns an empty frame; a
+    single bucket falls back to the exact form."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(split=i % 2, value=float(v))
+        for i, v in enumerate((1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    ] + [Row(split=0, value=float("nan")), Row(split=1, value=float("nan"))]
+    v = spark.createDataFrame(rows)
+    exact = cvm_two_sample(v).collect()[0]
+    approx = cvm_two_sample_bucketed(v, n_buckets=4).collect()[0]
+    assert (approx["n0"], approx["n1"]) == (exact["n0"], exact["n1"])
+    assert abs(approx["cvm_stat"] - exact["cvm_stat"]) <= 3.0 / 4 + 1e-9
+
+    empty = v.filter(F.col("split") == 2)
+    assert cvm_two_sample_bucketed(empty, n_buckets=16).collect() == []
+
+    one_bucket = cvm_two_sample_bucketed(
+        v.filter(~F.isnan("value")), n_buckets=1
+    ).collect()[0]
+    exact_clean = cvm_two_sample(v.filter(~F.isnan("value"))).collect()[0]
+    assert one_bucket["cvm_stat"] == exact_clean["cvm_stat"]
+    spark.catalog.clearCache()
+
+
+def test_bad_split_raises(spark):
+    """Round-8 ADVICE: a split value outside {0, 1} (or NULL) must
+    RAISE — the old behavior dropped the row from both ECDFs and
+    silently biased the statistic."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("split", LongType(), True),
+        StructField("value", DoubleType(), True),
+    ])
+    for bad in (2, None):
+        rows = [Row(split=0, value=1.0), Row(split=1, value=2.0),
+                Row(split=bad, value=3.0)]
+        v = spark.createDataFrame(rows, schema)
+        for op in (ks_two_sample, cvm_two_sample):
+            with pytest.raises(
+                (Py4JJavaError, SparkRuntimeException), match="0/1"
+            ):
+                op(v).collect()
+    spark.catalog.clearCache()
+
+
+def test_empty_split_raises(spark):
+    """Round-8 ADVICE: one populated split used to flow through
+    Spark's non-ANSI divide into a silent NULL stat; now it raises."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import Row
+
+    errs = (Py4JJavaError, SparkRuntimeException)
+    v = spark.createDataFrame(
+        [Row(split=0, value=1.0), Row(split=0, value=2.0)]
+    )
+    for op in (ks_two_sample, cvm_two_sample):
+        with pytest.raises(errs, match="split is empty"):
+            op(v).collect()
+    with pytest.raises(errs, match="split is empty"):
+        ks_two_sample_bucketed(v, n_buckets=8).collect()
+    spark.catalog.clearCache()
+
+
 def test_library_ops_are_scalable(spark):
     """Plan lint on the library faces themselves (the catalog sweep
     covers the registered wrappers): no cartesian, no NLJ, no
@@ -177,6 +270,7 @@ def test_library_ops_are_scalable(spark):
     assert_scalable(ks_two_sample(v))
     assert_scalable(cvm_two_sample(v))
     assert_scalable(ks_two_sample_bucketed(v, n_buckets=64))
+    assert_scalable(cvm_two_sample_bucketed(v, n_buckets=64))
     spark.catalog.clearCache()
 
 
