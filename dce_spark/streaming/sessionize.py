@@ -32,28 +32,46 @@ def fold_sessions(
     sorted_ts: Iterable[float],
     state: Optional[tuple[float, float, int]],
     gap_seconds: float,
-) -> tuple[list[tuple[float, float, int]], Optional[tuple[float, float, int]]]:
+) -> tuple[
+    list[tuple[float, float, int]],
+    Optional[tuple[float, float, int]],
+    int,
+]:
     """Fold sorted event times (epoch seconds) into sessions.
 
     ``state`` is the open session (start, last, n) or None. Returns
-    (closed sessions, new open state). An event more than
-    ``gap_seconds`` after the previous one closes the open session and
-    starts a new one — identical semantics to the batch
+    ``(closed sessions, new open state, n_dropped)``. An event more
+    than ``gap_seconds`` after the previous one closes the open
+    session and starts a new one — identical semantics to the batch
     ``sessionization_events`` query's lag-window formulation.
+
+    Disorder contract (round 9, the fold_scd2/fold_pit convention):
+    an event STRICTLY BEHIND the open session's fold point (t < last)
+    is DROPPED and counted — folded session boundaries cannot be
+    spliced once later events extended them (before round 9 such a
+    row silently merged into the open session, inflating its count
+    even when it predated the session's start). Within a micro-batch
+    the input is sorted, so drops can only come from cross-batch
+    lateness; bound it upstream with a watermark, or widen batches.
+    Ties (t == last) still merge: equal-timestamp events are
+    in-order, not late.
     """
     closed: list[tuple[float, float, int]] = []
+    dropped = 0
     start_last_n = state
     for t in sorted_ts:
         if start_last_n is None:
             start_last_n = (t, t, 1)
+            continue
+        start, last, n = start_last_n
+        if t < last:
+            dropped += 1
+        elif t - last > gap_seconds:
+            closed.append((start, last, n))
+            start_last_n = (t, t, 1)
         else:
-            start, last, n = start_last_n
-            if t - last > gap_seconds:
-                closed.append((start, last, n))
-                start_last_n = (t, t, 1)
-            else:
-                start_last_n = (start, last if t < last else t, n + 1)
-    return closed, start_last_n
+            start_last_n = (start, t, n + 1)
+    return closed, start_last_n, dropped
 
 
 def stateful_sessionize(
@@ -69,6 +87,12 @@ def stateful_sessionize(
     than ``gap_seconds`` after the previous one, or when the user goes
     idle for ``gap_seconds`` of processing time (timeout flush). State
     per user is a single (start, last, n) triple.
+
+    Cross-batch late events strictly behind the open session's fold
+    point are dropped (the :func:`fold_sessions` disorder contract —
+    same watermark-style statement as streaming_scd2/_pit_features;
+    test_streaming_sessionize_adversarial_cross_batch_disorder pins
+    the streaming output against a driver-side fold replay).
     """
     import pandas as pd  # noqa: F401  (workers need it; import checked here)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -106,7 +130,9 @@ def stateful_sessionize(
             # datetime64[ns] -> epoch seconds, vectorized
             ts.extend(pdf[ts_col].astype("int64").floordiv(1_000_000_000).tolist())
         prev = tuple(state.get) if state.exists else None
-        closed, open_session = fold_sessions(sorted(ts), prev, gap_seconds)
+        closed, open_session, _dropped = fold_sessions(
+            sorted(ts), prev, gap_seconds
+        )
         if open_session is not None:
             state.update(
                 (float(open_session[0]), float(open_session[1]), int(open_session[2]))

@@ -107,19 +107,28 @@ def test_fold_sessions_pure():
     from dce_spark.streaming import fold_sessions
 
     # no state, one burst, no gap exceeded -> stays open
-    closed, open_s = fold_sessions([1.0, 2.0, 3.0], None, gap_seconds=5)
-    assert closed == [] and open_s == (1.0, 3.0, 3)
+    closed, open_s, d = fold_sessions([1.0, 2.0, 3.0], None, gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 3.0, 3) and d == 0
     # gap exceeded mid-stream -> closes first session
-    closed, open_s = fold_sessions([1.0, 2.0, 30.0, 31.0], None, gap_seconds=5)
-    assert closed == [(1.0, 2.0, 2)] and open_s == (30.0, 31.0, 2)
+    closed, open_s, d = fold_sessions(
+        [1.0, 2.0, 30.0, 31.0], None, gap_seconds=5
+    )
+    assert closed == [(1.0, 2.0, 2)] and open_s == (30.0, 31.0, 2) and d == 0
     # resumes from prior state across micro-batches
-    closed, open_s = fold_sessions([100.0], (1.0, 2.0, 2), gap_seconds=5)
+    closed, open_s, d = fold_sessions([100.0], (1.0, 2.0, 2), gap_seconds=5)
     assert closed == [(1.0, 2.0, 2)] and open_s == (100.0, 100.0, 1)
-    closed, open_s = fold_sessions([3.0], (1.0, 2.0, 2), gap_seconds=5)
-    assert closed == [] and open_s == (1.0, 3.0, 3)
+    closed, open_s, d = fold_sessions([3.0], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 3.0, 3) and d == 0
     # empty batch keeps state
-    closed, open_s = fold_sessions([], (1.0, 2.0, 2), gap_seconds=5)
-    assert closed == [] and open_s == (1.0, 2.0, 2)
+    closed, open_s, d = fold_sessions([], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 2.0, 2) and d == 0
+    # DISORDER CONTRACT (round 9): a cross-batch event strictly behind
+    # the open session's fold point drops and counts — it must neither
+    # inflate the open session nor splice history; ties still merge
+    closed, open_s, d = fold_sessions([0.5, 1.5], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 2.0, 2) and d == 2
+    closed, open_s, d = fold_sessions([2.0], (1.0, 2.0, 2), gap_seconds=5)
+    assert closed == [] and open_s == (1.0, 2.0, 3) and d == 0
 
 
 def test_fold_matches_batch_sessionization(spark, sf_dir):
@@ -143,7 +152,7 @@ def test_fold_matches_batch_sessionization(spark, sf_dir):
         by_user[r["user_id"]].append(float(r["t"]))
     fold_counts = {}
     for u, ts in by_user.items():
-        closed, open_s = fold_sessions(ts, None, GAP)
+        closed, open_s, _ = fold_sessions(ts, None, GAP)
         fold_counts[u] = len(closed) + (1 if open_s else 0)
     batch = QUERIES["sessionization_events"].fn(spark, sf_dir).collect()
     batch_counts = {r["user_id"]: r["n_sessions"] for r in batch}
@@ -209,7 +218,8 @@ def test_fold_sessions_properties():
     )
     def check(ts, gap):
         ts = sorted(ts)
-        closed, open_s = fold_sessions(ts, None, gap)
+        closed, open_s, dropped = fold_sessions(ts, None, gap)
+        assert dropped == 0  # sorted input never drops
         sessions = closed + ([open_s] if open_s else [])
         assert sum(n for _, _, n in sessions) == len(ts)
         for start, last, n in sessions:
@@ -218,9 +228,9 @@ def test_fold_sessions_properties():
             assert s2 - l1 > gap  # consecutive sessions separated by > gap
         # replaying in two chunks gives the same result as one pass
         for cut in (0, len(ts) // 2, len(ts)):
-            c1, o1 = fold_sessions(ts[:cut], None, gap)
-            c2, o2 = fold_sessions(ts[cut:], o1, gap)
-            assert (c1 + c2, o2) == (closed, open_s)
+            c1, o1, d1 = fold_sessions(ts[:cut], None, gap)
+            c2, o2, d2 = fold_sessions(ts[cut:], o1, gap)
+            assert (c1 + c2, o2, d1 + d2) == (closed, open_s, 0)
 
     check()
 
@@ -1454,3 +1464,215 @@ def test_streaming_pit_features_adversarial_cross_batch_disorder(
         ):
             allowed.add(i)
     assert diverging <= allowed, sorted(diverging - allowed)[:5]
+
+
+def test_streaming_scd2_adversarial_cross_batch_disorder(spark, tmp_path):
+    """Round-9 (VERDICT r8 ask #6): late/out-of-order rows ACROSS
+    micro-batch boundaries for the SCD2 face. fold_scd2's documented
+    disorder contract — rows at or behind the key's folded (es, id)
+    point are DROPPED, history is never spliced — must survive the
+    streaming plumbing exactly: the stream's closed intervals equal a
+    driver-side fold_scd2 replay over the same adversarial batch
+    split row for row, and keys the disorder never touched must match
+    the offline batch history exactly (the watermark-style divergence
+    statement: divergence is scoped to keys that dropped rows)."""
+    import datetime as dt
+
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.ext.warehouse import scd2_intervals
+    from dce_spark.streaming import fold_scd2, streaming_scd2
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # adversarial split: batch-1 holds every third event — per key,
+    # most batch-1 rows sit behind batch-0's fold point (true
+    # cross-batch late arrivals spanning the whole time range)
+    srcdir = tmp_path / "scd2_adv_src"
+    srcdir.mkdir()
+    ev.filter(F.col("event_id") % 3 != 0).coalesce(1).write.parquet(
+        str(srcdir / "b0")
+    )
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(
+        str(srcdir / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "*"))
+    )
+    out = streaming_scd2(stream, ["user_id"], "event_type", "ts", "event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_adv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2_adv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    epoch = dt.datetime(1970, 1, 1)
+    us = lambda t: (t - epoch) // dt.timedelta(microseconds=1)  # noqa: E731
+    got = {
+        (int(r["user_id"]), int(r["version_no"])): (
+            r["event_type"], us(r["valid_from"]), us(r["valid_to"]),
+            int(r["n_rows"]),
+        )
+        for r in spark.sql("SELECT * FROM scd2_adv_stream").collect()
+    }
+
+    # driver-side replay: same batches, same per-key (es_us, id) sort,
+    # same fold — the streaming plumbing must preserve this exactly
+    rows = [
+        (int(r["user_id"]), us(r["ts"]), int(r["event_id"]),
+         str(r["event_type"]))
+        for r in ev.collect()
+    ]
+    batches = [
+        [(u, es, i, a) for u, es, i, a in rows if i % 3 != 0],
+        [(u, es, i, a) for u, es, i, a in rows if i % 3 == 0],
+    ]
+    state: dict[int, tuple] = {}
+    expect: dict[tuple[int, int], tuple] = {}
+    dropped_keys: set[int] = set()
+    n_dropped = 0
+    for batch in batches:
+        by_key: dict[int, list] = {}
+        for u, es, i, a in batch:
+            by_key.setdefault(u, []).append((es, i, a))
+        for u, recs in by_key.items():
+            recs.sort(key=lambda r: (r[0], r[1]))
+            closed, st, dropped = fold_scd2(recs, state.get(u))
+            if st is not None:
+                state[u] = st
+            for version_no, attr, vf, vt, n in closed:
+                expect[(u, version_no)] = (attr, vf, vt, n)
+            if dropped:
+                dropped_keys.add(u)
+                n_dropped += dropped
+    assert n_dropped > 0  # the split really was adversarial
+    assert got == expect  # exact fold-semantics equality
+
+    # keys the disorder never touched must equal the offline history
+    batch_hist = {
+        (int(r["user_id"]), int(r["version_no"])): (
+            r["event_type"], us(r["valid_from"]), us(r["valid_to"]),
+            int(r["n_rows"]),
+        )
+        for r in scd2_intervals(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+        if r["valid_to"] is not None
+    }
+    clean = {k for k in got if k[0] not in dropped_keys} | {
+        k for k in batch_hist if k[0] not in dropped_keys
+    }
+    for k in clean:
+        assert got.get(k) == batch_hist.get(k), k
+
+
+def test_streaming_sessionize_adversarial_cross_batch_disorder(
+    spark, tmp_path
+):
+    """Round-9 (VERDICT r8 ask #6): cross-batch late events for the
+    sessionization face — the interesting case is an event landing in
+    the gap between already-folded session boundaries. fold_sessions'
+    round-9 disorder contract (strictly behind the open session's
+    fold point -> dropped and counted, never merged into a session it
+    predates) must survive the streaming plumbing: closed sessions
+    from the stream equal a driver-side fold replay over the same
+    adversarial batch split exactly, and users the disorder never
+    touched match the single-pass fold (the batch-equivalent) on
+    their closed sessions."""
+    import datetime as dt
+
+    from conftest import SF_DIR
+
+    from dce_spark.data import load_table
+    from dce_spark.streaming import fold_sessions, stateful_sessionize
+
+    GAP = 1800.0
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    srcdir = tmp_path / "sess_adv_src"
+    srcdir.mkdir()
+    ev.filter(F.col("event_id") % 3 != 0).select(
+        "user_id", "ts"
+    ).coalesce(1).write.parquet(str(srcdir / "b0"))
+    ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts"
+    ).coalesce(1).write.parquet(str(srcdir / "b1"))
+
+    schema = ev.select("user_id", "ts").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir / "*"))
+    )
+    out = stateful_sessionize(stream, gap_seconds=GAP)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_adv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_adv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    epoch = dt.datetime(1970, 1, 1)
+    # the operator floors ns -> whole epoch seconds; mirror that
+    secs = lambda t: float((t - epoch) // dt.timedelta(seconds=1))  # noqa: E731
+    got: dict[int, list] = {}
+    for r in spark.sql("SELECT * FROM sess_adv_stream").collect():
+        got.setdefault(int(r["user_id"]), []).append(
+            (secs(r["session_start"]), secs(r["session_end"]),
+             int(r["n_events"]))
+        )
+
+    rows = [
+        (int(r["user_id"]), secs(r["ts"]), int(r["event_id"]))
+        for r in ev.collect()
+    ]
+    batches = [
+        [(u, t) for u, t, i in rows if i % 3 != 0],
+        [(u, t) for u, t, i in rows if i % 3 == 0],
+    ]
+    state: dict[int, tuple] = {}
+    expect: dict[int, list] = {}
+    dropped_users: set[int] = set()
+    n_dropped = 0
+    for batch in batches:
+        by_user: dict[int, list] = {}
+        for u, t in batch:
+            by_user.setdefault(u, []).append(t)
+        for u, ts in by_user.items():
+            closed, st, dropped = fold_sessions(sorted(ts), state.get(u), GAP)
+            if st is not None:
+                state[u] = st
+            if closed:
+                expect.setdefault(u, []).extend(closed)
+            if dropped:
+                dropped_users.add(u)
+                n_dropped += dropped
+    assert n_dropped > 0  # the split really was adversarial
+    for d in (got, expect):
+        for u in d:
+            d[u].sort()
+    assert got == expect  # exact fold-semantics equality
+
+    # users the disorder never touched match the single-pass fold
+    by_user_all: dict[int, list] = {}
+    for u, t, _ in rows:
+        by_user_all.setdefault(u, []).append(t)
+    for u, ts in by_user_all.items():
+        if u in dropped_users:
+            continue
+        closed, _, d = fold_sessions(sorted(ts), None, GAP)
+        assert d == 0
+        assert sorted(closed) == got.get(u, []), u
