@@ -658,6 +658,16 @@ def main() -> None:
              "queries": timings, "runs": all_runs, "runs_per_query": len(passes),
              "parity_probes": sorted(PARITY_PROBES),
              "exact_forms": sorted(EXACT_FORMS),
+             # run-condition stamp (round-9 baseline provenance): a
+             # committed refresh must be judgeable for host contention
+             # without rerunning it — scripts/bench_baseline.py copies
+             # this into the merged baseline's _meta
+             "conditions": {
+                 "loadavg_1m_after": round(os.getloadavg()[0], 2),
+                 "cpus": int(CPUS),
+                 "budget_sec": BUDGET,
+                 "runs_requested": RUNS,
+             },
              "sf": sf_name, "n_queries": len(timings)},
             fh, indent=1,
         )
