@@ -242,7 +242,14 @@ def _bucketize(
     EAGER: the sketch collect runs one Spark job at CALL time, before
     the returned DataFrame is ever executed (the IVF-centroids
     convention — callers composing lazy pipelines should call this
-    last)."""
+    last).
+
+    NULL values are filtered here, BEFORE the twins' split guard runs
+    (a NULL carries no quantile position), so a contract-violating
+    split on a NULL-VALUE row is silently discarded where the exact
+    twin would raise — and the exact twin instead treats NULL as a
+    distinct lowest ECDF step. Filter NULL values upstream (every
+    catalog caller does) for twin-identical behavior."""
     from pyspark.ml.feature import Bucketizer
 
     v = df.select(
@@ -295,11 +302,12 @@ def ks_two_sample_bucketed(
     Spark job at call time even though the result is a lazy DataFrame.
 
     Returns one row ``(ks_stat double 9dp, n0 long, n1 long)``; same
-    empty-input / bad-split / empty-split behavior as the exact twin.
-    Not oracle-paired: DuckDB's exact quantiles legitimately disagree
-    with the GK sketch's edges, so this op is equivalence-tested
-    against :func:`ks_two_sample` instead (the approx-twin protocol of
-    quantiles_lineitem_approx)."""
+    empty-input / bad-split / empty-split behavior as the exact twin
+    EXCEPT on NULL-value rows, which are filtered before the guards
+    (see :func:`_bucketize`). Not oracle-paired: DuckDB's exact
+    quantiles legitimately disagree with the GK sketch's edges, so
+    this op is equivalence-tested against :func:`ks_two_sample`
+    instead (the approx-twin protocol of quantiles_lineitem_approx)."""
     bucketed, col = _bucketize(df, split_col, value_col, n_buckets, accuracy)
     return ks_two_sample(bucketed, split_col="split", value_col=col)
 
@@ -329,8 +337,9 @@ def cvm_two_sample_bucketed(
     Spark job at call time even though the result is a lazy DataFrame.
 
     Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)``; same
-    empty-input / bad-split / empty-split behavior as the exact twin.
-    Not oracle-paired, equivalence-tested against
-    :func:`cvm_two_sample` (the approx-twin protocol)."""
+    empty-input / bad-split / empty-split behavior as the exact twin
+    EXCEPT on NULL-value rows, which are filtered before the guards
+    (see :func:`_bucketize`). Not oracle-paired, equivalence-tested
+    against :func:`cvm_two_sample` (the approx-twin protocol)."""
     bucketed, col = _bucketize(df, split_col, value_col, n_buckets, accuracy)
     return cvm_two_sample(bucketed, split_col="split", value_col=col)

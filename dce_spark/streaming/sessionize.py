@@ -45,16 +45,19 @@ def fold_sessions(
     session and starts a new one — identical semantics to the batch
     ``sessionization_events`` query's lag-window formulation.
 
-    Disorder contract (round 9, the fold_scd2/fold_pit convention):
-    an event STRICTLY BEHIND the open session's fold point (t < last)
-    is DROPPED and counted — folded session boundaries cannot be
-    spliced once later events extended them (before round 9 such a
-    row silently merged into the open session, inflating its count
-    even when it predated the session's start). Within a micro-batch
-    the input is sorted, so drops can only come from cross-batch
-    lateness; bound it upstream with a watermark, or widen batches.
-    Ties (t == last) still merge: equal-timestamp events are
-    in-order, not late.
+    Disorder contract (round 9, the fold_scd2/fold_pit convention,
+    tightened after self-review): an event STRICTLY BEHIND the open
+    session's START (t < start) is DROPPED and counted — whether it
+    was a separate earlier session or bridged to one already emitted
+    is unknowable once the history left the state, so merging it
+    would silently corrupt boundaries (before round 9 such a row
+    merged into a session it predated, inflating its count). An event
+    INSIDE the open span (start <= t <= last) merges losslessly —
+    boundaries are unchanged and only the count grows, exactly what a
+    batch global sort would produce — as does any in-order event.
+    Within a micro-batch the input is sorted, so drops can only come
+    from cross-batch lateness; bound it upstream with a watermark, or
+    widen batches.
     """
     closed: list[tuple[float, float, int]] = []
     dropped = 0
@@ -64,13 +67,13 @@ def fold_sessions(
             start_last_n = (t, t, 1)
             continue
         start, last, n = start_last_n
-        if t < last:
+        if t < start:
             dropped += 1
-        elif t - last > gap_seconds:
+        elif t - last > gap_seconds:  # only reachable when t > last
             closed.append((start, last, n))
             start_last_n = (t, t, 1)
         else:
-            start_last_n = (start, t, n + 1)
+            start_last_n = (start, max(last, t), n + 1)
     return closed, start_last_n, dropped
 
 
@@ -86,13 +89,22 @@ def stateful_sessionize(
     A session closes when a later event of the same user arrives more
     than ``gap_seconds`` after the previous one, or when the user goes
     idle for ``gap_seconds`` of processing time (timeout flush). State
-    per user is a single (start, last, n) triple.
+    per user is one (start, last, n) triple plus the armed idle-flush
+    deadline (processing-time epoch seconds): Spark clears a group's
+    timeout on EVERY invocation that sees data for the key, so a
+    batch holding only DROPPED late events must re-arm with the
+    REMAINING time to the original deadline — re-arming the full gap
+    would let a stream of dropped events postpone the idle flush
+    forever (self-review round 9).
 
-    Cross-batch late events strictly behind the open session's fold
-    point are dropped (the :func:`fold_sessions` disorder contract —
-    same watermark-style statement as streaming_scd2/_pit_features;
+    Cross-batch late events strictly behind the open session's start
+    are dropped (the :func:`fold_sessions` disorder contract — same
+    watermark-style statement as streaming_scd2/_pit_features;
     test_streaming_sessionize_adversarial_cross_batch_disorder pins
-    the streaming output against a driver-side fold replay).
+    the streaming output against a driver-side fold replay). The
+    fold's drop COUNT is not surfaced by this face (matching the
+    upsert/PIT faces): monitor disorder upstream via watermark
+    metrics, or call fold_sessions directly.
     """
     import pandas as pd  # noqa: F401  (workers need it; import checked here)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -101,7 +113,7 @@ def stateful_sessionize(
         f"{user_col} bigint, session_start timestamp, "
         "session_end timestamp, n_events bigint"
     )
-    state_schema = "start double, last double, n bigint"
+    state_schema = "start double, last double, n bigint, deadline double"
 
     def _emit(user, sessions):
         import pandas as pd
@@ -118,10 +130,12 @@ def stateful_sessionize(
         )
 
     def per_user(key, pdf_iter, state):
+        import time as _time
+
         user = key[0]
         if state.hasTimedOut:
             # idle flush: close the open session and drop the state
-            open_session = tuple(state.get)
+            open_session = tuple(state.get)[:3]
             state.remove()
             yield _emit(user, [open_session])
             return
@@ -129,15 +143,33 @@ def stateful_sessionize(
         for pdf in pdf_iter:
             # datetime64[ns] -> epoch seconds, vectorized
             ts.extend(pdf[ts_col].astype("int64").floordiv(1_000_000_000).tolist())
-        prev = tuple(state.get) if state.exists else None
+        full = tuple(state.get) if state.exists else None
+        prev = full[:3] if full is not None else None
         closed, open_session, _dropped = fold_sessions(
             sorted(ts), prev, gap_seconds
         )
         if open_session is not None:
+            now = _time.time()
+            if open_session == prev:
+                # every event in this batch was dropped: the open
+                # session saw no activity, so keep the armed deadline
+                # instead of postponing the idle flush by a full gap
+                deadline = float(full[3]) if full is not None else (
+                    now + gap_seconds
+                )
+            else:
+                deadline = now + gap_seconds
             state.update(
-                (float(open_session[0]), float(open_session[1]), int(open_session[2]))
+                (
+                    float(open_session[0]),
+                    float(open_session[1]),
+                    int(open_session[2]),
+                    float(deadline),
+                )
             )
-            state.setTimeoutDuration(int(gap_seconds * 1000))
+            # Spark cleared the previous timeout when this invocation
+            # saw data — re-arm with the REMAINING time
+            state.setTimeoutDuration(max(int((deadline - now) * 1000), 1))
         if closed:
             yield _emit(user, closed)
 

@@ -123,10 +123,12 @@ def test_fold_sessions_pure():
     closed, open_s, d = fold_sessions([], (1.0, 2.0, 2), gap_seconds=5)
     assert closed == [] and open_s == (1.0, 2.0, 2) and d == 0
     # DISORDER CONTRACT (round 9): a cross-batch event strictly behind
-    # the open session's fold point drops and counts — it must neither
-    # inflate the open session nor splice history; ties still merge
+    # the open session's START drops and counts — whether it belonged
+    # to an earlier (possibly already-emitted) session is unknowable;
+    # an event INSIDE the open span merges losslessly (boundaries
+    # unchanged, count grows — exactly the batch global-sort answer)
     closed, open_s, d = fold_sessions([0.5, 1.5], (1.0, 2.0, 2), gap_seconds=5)
-    assert closed == [] and open_s == (1.0, 2.0, 2) and d == 2
+    assert closed == [] and open_s == (1.0, 2.0, 3) and d == 1
     closed, open_s, d = fold_sessions([2.0], (1.0, 2.0, 2), gap_seconds=5)
     assert closed == [] and open_s == (1.0, 2.0, 3) and d == 0
 
