@@ -2054,7 +2054,9 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #
 #   ROUND 10 PLAN — promote the TWENTY staged round-10 queries
 #   (queries_staging_r10.py, the cohort listed in the ROUND 10 SEED
-#   above — all oracle-verified at three SFs in round 7), register any
+#   above — oracle-verified at three SFs in round 7 AND re-verified at
+#   sf0.001 + sf0.01 + sf0.1 at round-9 HEAD, after the ext/stats
+#   split-guard changes that sit under ks_acctbal_segments), register any
 #   new round-10 queries EARLY, then window: 20 promoted + round 10's
 #   own new queries + the 4 deferred r3 rows above FIRST + the
 #   next-stalest greens from the recomputed ledger (after this
