@@ -40,6 +40,15 @@ doubles). At 100 TB use :func:`ks_two_sample_bucketed` /
 ``n_buckets`` rows (metadata at any corpus scale) and whose statistic
 differs from the exact one by at most the largest bucket's probability
 mass (~1/n_buckets; pinned by unit tests against the exact twins).
+
+The bucketed pair also takes EXPLICIT ``edges=[...]`` (round 10): with
+fixed boundaries the bucket ids are the deterministic boolean sum
+``sum_i (value >= edge_i)`` — no sketch job, no rank error, and a
+DuckDB oracle can mirror the binning bit-for-bit, so the fixed-edge
+face is oracle-pairable where the sketch face is only
+equivalence-bounded. Same bounded-ECDF scale shape (``len(edges)+1``
+steps, metadata at any corpus scale); the trade is that the caller
+picks the boundaries instead of the data.
 """
 
 from __future__ import annotations
@@ -230,32 +239,70 @@ def _bucketize(
     value_col: str,
     n_buckets: int,
     accuracy: int,
+    edges: list[float] | None = None,
 ) -> tuple[DataFrame, str]:
-    """Shared first stage of the bucketed scale twins: one
-    ``percentile_approx`` sketch pass collects at most ``n_buckets-1``
-    interior edges (driver-side metadata, like the IVF centroid
-    collect), then a JVM-side binary-search Bucketizer assigns bucket
-    ids map-side. Returns ``(frame, value_column)`` — the raw values
-    when no interior edge survives (empty input, a constant column, or
-    ``n_buckets < 2``: the one-bucket form IS the exact form).
+    """Shared first stage of the bucketed scale twins. Two faces:
 
-    EAGER: the sketch collect runs one Spark job at CALL time, before
-    the returned DataFrame is ever executed (the IVF-centroids
-    convention — callers composing lazy pipelines should call this
-    last).
+    - sketch (default): one ``percentile_approx`` pass collects at
+      most ``n_buckets-1`` interior edges (driver-side metadata, like
+      the IVF centroid collect), then a JVM-side binary-search
+      Bucketizer assigns bucket ids map-side. EAGER: the sketch
+      collect runs one Spark job at CALL time, before the returned
+      DataFrame is ever executed (the IVF-centroids convention —
+      callers composing lazy pipelines should call this last).
+    - fixed ``edges=[...]`` (round 10): bucket ids are the boolean sum
+      ``sum_i (value >= edge_i)`` — a pure map-side codegen
+      expression, no sketch job, and an oracle can mirror the binning
+      bit-for-bit. Edges must be finite and strictly increasing
+      (raises ``ValueError`` otherwise); ``n_buckets``/``accuracy``
+      are ignored on this face.
 
-    NULL values are filtered here, BEFORE the twins' split guard runs
-    (a NULL carries no quantile position), so a contract-violating
-    split on a NULL-VALUE row is silently discarded where the exact
-    twin would raise — and the exact twin instead treats NULL as a
-    distinct lowest ECDF step. Filter NULL values upstream (every
-    catalog caller does) for twin-identical behavior."""
-    from pyspark.ml.feature import Bucketizer
+    Returns ``(frame, value_column)`` — the raw values when no
+    interior edge survives on the sketch face (empty input, a constant
+    column, or ``n_buckets < 2``: the one-bucket form IS the exact
+    form).
 
+    NULL values are filtered here (a NULL carries no bucket), so the
+    bucketed twins collapse the exact twins' distinct lowest
+    NULL-value ECDF step — filter NULL values upstream (every catalog
+    caller does) for twin-identical statistics. The 0/1 SPLIT guard is
+    folded into the value expression BEFORE that filter (round-9
+    ADVICE): a contract-violating split on a NULL-value row raises
+    here exactly as the exact twin raises, instead of being silently
+    discarded with the value."""
+    split_guard = F.assert_true(
+        F.col(split_col).isin(0, 1),  # NULL isin -> NULL -> raises too
+        F.lit(
+            "ext.stats: split_col must be 0/1 and non-null — a row "
+            "outside the contract would silently bias both ECDFs"
+        ),
+    )
     v = df.select(
         F.col(split_col).alias("split"),
-        F.col(value_col).cast("double").alias("value"),
+        # assert_true returns NULL on success, so the coalesce yields
+        # the cast value untouched while forcing per-row guard
+        # evaluation ahead of the NULL filter below
+        F.coalesce(
+            split_guard.cast("double"), F.col(value_col).cast("double")
+        ).alias("value"),
     ).filter(F.col("value").isNotNull())
+    if edges is not None:
+        es = [float(e) for e in edges]
+        import math
+
+        if not es or any(not math.isfinite(e) for e in es):
+            raise ValueError("ext.stats: edges must be non-empty finite")
+        if any(b <= a for a, b in zip(es, es[1:])):
+            raise ValueError("ext.stats: edges must be strictly increasing")
+        bucket = None
+        for e in es:
+            t = (F.col("value") >= F.lit(e)).cast("int")
+            bucket = t if bucket is None else bucket + t
+        return (
+            v.select("split", bucket.cast("double").alias("bucket")),
+            "bucket",
+        )
+    from pyspark.ml.feature import Bucketizer
     probs = [i / n_buckets for i in range(1, n_buckets)]
     edges = v.agg(
         F.percentile_approx("value", probs, F.lit(accuracy)).alias("e")
@@ -286,6 +333,7 @@ def ks_two_sample_bucketed(
     value_col: str = "value",
     n_buckets: int = 1024,
     accuracy: int = 10000,
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """The 100 TB face of :func:`ks_two_sample`: identical ECDF-gap
     formula over ``percentile_approx``-bucketed values.
@@ -301,14 +349,24 @@ def ks_two_sample_bucketed(
     EAGER: the edge-sketch collect (see :func:`_bucketize`) runs one
     Spark job at call time even though the result is a lazy DataFrame.
 
+    With explicit ``edges=[...]`` (round 10) the sketch pass is
+    skipped and the bucket ids are the deterministic boolean sum
+    ``sum_i (value >= edge_i)`` — a DuckDB oracle mirrors the binning
+    bit-for-bit, so the fixed-edge face IS oracle-paired
+    (``ks_fixed_edges_events`` in the catalog); no eager job runs.
+
     Returns one row ``(ks_stat double 9dp, n0 long, n1 long)``; same
     empty-input / bad-split / empty-split behavior as the exact twin
-    EXCEPT on NULL-value rows, which are filtered before the guards
-    (see :func:`_bucketize`). Not oracle-paired: DuckDB's exact
-    quantiles legitimately disagree with the GK sketch's edges, so
-    this op is equivalence-tested against :func:`ks_two_sample`
-    instead (the approx-twin protocol of quantiles_lineitem_approx)."""
-    bucketed, col = _bucketize(df, split_col, value_col, n_buckets, accuracy)
+    (the split guard runs before the NULL-value filter since round
+    10); NULL VALUES are filtered rather than forming the exact
+    twin's lowest ECDF step (see :func:`_bucketize`). The sketch face
+    is not oracle-paired: DuckDB's exact quantiles legitimately
+    disagree with the GK sketch's edges, so it is equivalence-tested
+    against :func:`ks_two_sample` instead (the approx-twin protocol
+    of quantiles_lineitem_approx)."""
+    bucketed, col = _bucketize(
+        df, split_col, value_col, n_buckets, accuracy, edges
+    )
     return ks_two_sample(bucketed, split_col="split", value_col=col)
 
 
@@ -318,6 +376,7 @@ def cvm_two_sample_bucketed(
     value_col: str = "value",
     n_buckets: int = 1024,
     accuracy: int = 10000,
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """The 100 TB face of :func:`cvm_two_sample`: identical quantized
     pooled-ECDF integral over ``percentile_approx``-bucketed values
@@ -336,10 +395,19 @@ def cvm_two_sample_bucketed(
     EAGER: the edge-sketch collect (see :func:`_bucketize`) runs one
     Spark job at call time even though the result is a lazy DataFrame.
 
+    With explicit ``edges=[...]`` (round 10) the sketch pass is
+    skipped and the bucket ids are the deterministic boolean sum
+    ``sum_i (value >= edge_i)`` — oracle-paired bit-for-bit
+    (``cvm_fixed_edges_events`` in the catalog); no eager job runs.
+
     Returns one row ``(cvm_stat double 9dp, n0 long, n1 long)``; same
     empty-input / bad-split / empty-split behavior as the exact twin
-    EXCEPT on NULL-value rows, which are filtered before the guards
-    (see :func:`_bucketize`). Not oracle-paired, equivalence-tested
-    against :func:`cvm_two_sample` (the approx-twin protocol)."""
-    bucketed, col = _bucketize(df, split_col, value_col, n_buckets, accuracy)
+    (the split guard runs before the NULL-value filter since round
+    10); NULL VALUES are filtered rather than forming the exact
+    twin's lowest ECDF step (see :func:`_bucketize`). The sketch face
+    is not oracle-paired, equivalence-tested against
+    :func:`cvm_two_sample` (the approx-twin protocol)."""
+    bucketed, col = _bucketize(
+        df, split_col, value_col, n_buckets, accuracy, edges
+    )
     return cvm_two_sample(bucketed, split_col="split", value_col=col)

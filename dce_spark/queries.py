@@ -2052,75 +2052,107 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #     kmeans_embeddings_2iter      (kmeans_cell_balance_embeddings r8)
 #   CATALOG FROZEN for round 9 at this rotation (254 entries).
 #
-#   ROUND 10 PLAN — promote the TWENTY staged round-10 queries
-#   (queries_staging_r10.py, the cohort listed in the ROUND 10 SEED
-#   above — oracle-verified at three SFs in round 7 AND re-verified at
-#   sf0.001 + sf0.01 + sf0.1 at round-9 HEAD, after the ext/stats
-#   split-guard changes that sit under ks_acctbal_segments), register any
-#   new round-10 queries EARLY, then window: 20 promoted + round 10's
-#   own new queries + the 4 deferred r3 rows above FIRST + the
+#   ROUND 9 WINDOW (rotated out in r10, all 50 green in
+#   CORRECTNESS_r09): the 20 promoted r9 stagings, the 5 TPC-H r3
+#   rows q18..q22, and 25 more r3-stale rows.
+#
+#   ROUND 10 WINDOW (this list) = the 20 promoted round-10 stagings
+#   (queries_staging_r10.py, registered from queries_more.py, fronted
+#   the same round — no unchecked tail) + round 10's 2 new queries
+#   (ks/cvm_fixed_edges_events, queries_r10.py: the oracle-paired
+#   fixed-edge face of the bucketed shape tests, the r9 verdict's
+#   item 4) + the 4 r3 rows deferred from the round-9 window (each
+#   was twin-covered: ntile_bins_lineitem_approx /
+#   quantiles_lineitem_approx / funnel_events / kmeans_embeddings_2iter
+#   — after this window the r3 tier is EMPTY) + 24 of the 50 r4-stale
+#   rows (ledger RECOMPUTED this round from the committed
+#   CORRECTNESS_r0{1..5,7,8,9}.json files: tiers were r3=4, r4=50,
+#   zero reds), front-loading the round-4 BPE/multimodal/text block
+#   per the round-9 plan. The 26 r4 rows NOT windowed this round
+#   (approx_distinct_accuracy_events, best_order_per_customer,
+#   chi_square_drift_events, conditional_aggregates_lineitem,
+#   corr_matrix_lineitem, drift_events_weekly,
+#   grouped_quantiles_lineitem, histogram_lineitem_price,
+#   interarrival_gap_stats_events, key_skew_profile_events,
+#   ks_test_events, mode_median_by_segment,
+#   monthly_revenue_yoy_lineitem, null_safe_join_probe,
+#   outlier_counts_events, outlier_counts_events_approx,
+#   per_day_quality_events, priority_profile_per_customer,
+#   range_bucket_join_events, salted_group_counts_events,
+#   session_window_native_events, shipping_latency_buckets,
+#   skew_report_lineitem_suppkey, string_funcs_nation,
+#   trend_events_value, zorder_key_events) lead the round-11 window.
+#   CATALOG FROZEN for round 10 at this rotation (276 entries).
+#
+#   ROUND 11 PLAN — promote the TWENTY staged round-11 queries
+#   (queries_staging_r11.py — the mergeable-sketch / embedding-drift /
+#   snapshot-diff cohort staged this round, oracle-verified at
+#   sf0.001 + sf0.01 + sf0.1 before commit), register any new
+#   round-11 queries EARLY, then window: 20 promoted + round 11's own
+#   new queries + the 26 deferred r4 rows listed above FIRST + the
 #   next-stalest greens from the recomputed ledger (after this
-#   rotation the r3 tier holds only those 4; the next tier is the 50
-#   r4 rows — front-load the round-4 BPE/multimodal/text block) =
-#   exactly 50. Freeze at rotation. RECOMPUTE the ledger from the
-#   committed CORRECTNESS files first (r8 lesson: plan comments can
-#   mis-read it).
+#   rotation the r4 tier holds only those 26; the next tier is the
+#   r5 rows) = exactly 50. Freeze at rotation. RECOMPUTE the ledger
+#   from the committed CORRECTNESS files first (r8 lesson: plan
+#   comments can mis-read it). Also stage a round-12 cohort of 20 —
+#   the staging pipeline must stay a full round ahead.
 _DRIVER_WINDOW = [
-    # promoted round-9 stagings (oracle-verified at 3 SFs in r7)
-    "cdc_last_write_wins_events",
-    "scd2_intervals_events",
-    "robust_scaling_stats_events",
-    "pit_features_events",
-    "dup_ngram_span_documents",
-    "semdedup_prune_embeddings",
-    "hard_negative_mining_embeddings",
-    "contrastive_pair_mining_documents",
-    "attribution_windows_events",
-    "normalized_dup_ladder_documents",
-    "cluster_margin_embeddings",
-    "length_psi_by_source_documents",
-    "markov_entropy_rate_events",
-    "winsorized_stats_events",
-    "split_churn_documents",
-    "label_split_balance_embeddings",
-    "decay_weighted_activity_events",
-    "hourly_hhi_events",
-    "session_abandonment_events",
-    "rfm_segments_customers",
-    # stalest tier burn-down: the 5 remaining TPC-H r3 rows,
-    # front-loaded per the round-8 plan
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicate_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    # the other 25 windowed r3-stale rows (34-row tier minus the 5
-    # TPC-H above and the 4 twin-covered deferrals in the note)
-    "corpus_survivors_documents",
-    "cube_orders_status_priority",
-    "decontamination_overlap_documents",
-    "dedup_containment_documents",
-    "dedup_incremental_documents",
-    "embedding_ivf_topk",
-    "embedding_quantize_int8",
-    "group_sample_documents",
-    "grouped_quantiles_lineitem_approx",
-    "pii_scan_documents",
-    "pivot_event_type_by_day",
-    "repetition_signals_documents",
-    "retention_cohorts_events",
-    "rollup_pricing_lineitem",
-    "split_assign_documents",
-    "split_leakage_documents",
-    "stratified_sample_documents",
-    "tfidf_top_terms_documents",
-    "tumbling_window_counts_events",
-    "weighted_sample_documents",
-    "window_distribution_customers",
-    "window_lag_delta_events",
-    "window_moving_avg_events",
-    "window_time_range_events",
-    "window_topn_customers_per_segment",
+    # promoted round-10 stagings (oracle-verified at 3 SFs in r7,
+    # re-verified at three SFs at round-9 HEAD)
+    "scd2_change_rate_events",
+    "attribution_gap_quantiles_events",
+    "pit_feature_drift_events",
+    "semdedup_threshold_sweep_embeddings",
+    "triplet_margin_embeddings",
+    "dup_span_by_source_documents",
+    "session_stage_transition_events",
+    "rfm_migration_customers",
+    "lww_compaction_ratio_events",
+    "hubness_indegree_embeddings",
+    "anomaly_run_lengths_events",
+    "supplier_redundancy_lineitem",
+    "behavior_profile_outliers_events",
+    "reciprocal_neighbor_rate_embeddings",
+    "return_rate_by_supplier",
+    "qty_price_corr_by_brand",
+    "format_mix_drift_multimodal",
+    "ks_acctbal_segments",
+    "order_backlog_aging",
+    "vocab_growth_checkpoints_documents",
+    # round 10's own new queries (fronted the round they land)
+    "ks_fixed_edges_events",
+    "cvm_fixed_edges_events",
+    # the 4 r3 rows deferred from the round-9 window (r3 tier -> empty)
+    "ntile_bins_lineitem_approx",
+    "quantiles_lineitem_approx",
+    "funnel_events",
+    "kmeans_embeddings_2iter",
+    # stalest-tier burn-down: 24 of the 50 r4 rows, BPE/multimodal/
+    # text block front-loaded per the round-9 plan
+    "bpe_pair_counts_documents",
+    "bpe_merges_documents",
+    "bpe_apply_documents",
+    "multimodal_header_meta",
+    "multimodal_resize_dims",
+    "chunk_documents",
+    "ngram_diversity_documents",
+    "script_detect_documents",
+    "token_hist_by_lang_documents",
+    "unigram_logprob_documents",
+    "profile_documents",
+    "passage_dedup_documents",
+    "curation_decisions_documents",
+    "dedup_minhash_lsh_capped",
+    "dedup_simhash_pairs_documents",
+    "lsh_verified_pairs_documents",
+    "minhash_jaccard_estimate_documents",
+    "source_mix_resample_documents",
+    "array_norms_embeddings",
+    "embedding_dup_clusters",
+    "embedding_ivf_knn_join",
+    "activity_matrix_events",
+    "affinity_supplier_brand_lineitem",
+    "anomaly_days_events",
 ]
 
 

@@ -4658,3 +4658,37 @@ def _promote_staged_r9() -> None:
 
 
 _promote_staged_r9()
+
+
+# =====================================================================
+# Round-10 additions + promotion. The fixed-edge bucketed shape tests
+# (queries_r10.py — the r9 verdict's item 4) register first so the
+# bucketed ECDF path gets its oracle rows; then the twenty queries
+# staged (and oracle-verified at sf0.001 + sf0.01 + sf0.1) in round 7
+# and re-verified at round-9 HEAD enter the live catalog — same
+# protocol and re-entrancy shape as the r8/r9 promotions above (the
+# staging module bootstraps the catalog chain before defining
+# STAGED_R10, so a staging-first import reaches this loop before any
+# entry exists; bail out and let the staging tail hook re-invoke once
+# all twenty are defined).
+# =====================================================================
+
+from . import queries_r10  # noqa: E402,F401  (registers the round-10 additions)
+
+
+def _promote_staged_r10() -> None:
+    from . import queries_staging_r10 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R10", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r10()

@@ -1881,3 +1881,19 @@ def vocab_growth_checkpoints_documents(spark, sf_dir):
     return agg.select(F.explode(F.array(*rows)).alias("s")).select(
         "s.pct", "s.cum_tokens", "s.distinct_words", "s.novelty_share"
     )
+
+
+# ---------------------------------------------------------------------
+# Round-10 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R10, so importing THIS module first runs the whole
+# registration chain while STAGED_R10 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8/r9 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r10 as _promote  # noqa: E402
+
+_promote()
+del _promote

@@ -271,6 +271,92 @@ def test_library_ops_are_scalable(spark):
     assert_scalable(cvm_two_sample(v))
     assert_scalable(ks_two_sample_bucketed(v, n_buckets=64))
     assert_scalable(cvm_two_sample_bucketed(v, n_buckets=64))
+    assert_scalable(ks_two_sample_bucketed(v, edges=[10.0, 50.0, 200.0]))
+    assert_scalable(cvm_two_sample_bucketed(v, edges=[10.0, 50.0, 200.0]))
+    spark.catalog.clearCache()
+
+
+def test_fixed_edges_match_driver_bruteforce(spark):
+    """The round-10 fixed-edge face: with explicit boundaries the
+    bucket id is the deterministic boolean sum over `value >= edge`,
+    so a driver-side replay must match BIT-FOR-BIT (not just within a
+    bound — this face is what the catalog oracle-pairs)."""
+    edges = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+    v = _split_values(spark)
+    rows = [
+        (int(r["split"]), float(sum(r["value"] >= e for e in edges)))
+        for r in v.collect()
+    ]
+    steps, n0, n1 = _pooled_steps(rows)
+    exp_ks = round(max(abs(a / n0 - b / n1) for _, a, b in steps), 9)
+    acc = 0
+    for w, a, b in steps:
+        d = a / n0 - b / n1
+        acc += round(w * d * d * 1e9)
+    nn = float(n0 + n1)
+    exp_cvm = round(acc / 1e9 * n0 / nn * n1 / nn, 9)
+    ks = ks_two_sample_bucketed(v, edges=edges).collect()[0]
+    cvm = cvm_two_sample_bucketed(v, edges=edges).collect()[0]
+    assert (ks["n0"], ks["n1"]) == (n0, n1)
+    assert ks["ks_stat"] == exp_ks
+    assert cvm["cvm_stat"] == pytest.approx(exp_cvm, abs=2e-9)
+    # and the fixed-edge KS can never exceed the exact KS (coarsening)
+    exact = ks_two_sample(v).collect()[0]["ks_stat"]
+    assert ks["ks_stat"] <= exact + 1e-9
+    spark.catalog.clearCache()
+
+
+def test_fixed_edges_validation_raises(spark):
+    """Edges must be non-empty, finite, strictly increasing — a
+    repeated or descending boundary silently merging buckets would
+    bias the statistic, so it raises at CALL time (ValueError, no
+    Spark job)."""
+    v = _split_values(spark)
+    for bad in ([], [1.0, 1.0], [2.0, 1.0], [0.0, float("inf")],
+                [float("nan")]):
+        with pytest.raises(ValueError, match="edges"):
+            ks_two_sample_bucketed(v, edges=bad)
+        with pytest.raises(ValueError, match="edges"):
+            cvm_two_sample_bucketed(v, edges=bad)
+
+
+def test_bucketed_guard_runs_before_null_filter(spark):
+    """Round-9 ADVICE pin: a contract-violating split on a NULL-value
+    row used to be silently discarded by the bucketed twins (the NULL
+    filter ran first) where the exact twins raise. The guard now sits
+    inside the value expression ahead of the filter, so BOTH bucketed
+    faces raise exactly like the exact twin — on the sketch face the
+    eager edge-collect job surfaces it at call time."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    errs = (Py4JJavaError, SparkRuntimeException)
+    schema = StructType([
+        StructField("split", LongType(), True),
+        StructField("value", DoubleType(), True),
+    ])
+    for bad in (2, None):
+        rows = [Row(split=0, value=1.0), Row(split=1, value=2.0),
+                Row(split=bad, value=None)]
+        v = spark.createDataFrame(rows, schema)
+        with pytest.raises(errs, match="0/1"):
+            ks_two_sample_bucketed(v, edges=[1.5]).collect()
+        with pytest.raises(errs, match="0/1"):
+            cvm_two_sample_bucketed(v, edges=[1.5]).collect()
+        with pytest.raises(errs, match="0/1"):
+            ks_two_sample_bucketed(v, n_buckets=8).collect()
+    # sanity: with a VALID split the NULL-value row is still just
+    # filtered (the documented twin divergence on null VALUES stays)
+    ok = spark.createDataFrame(
+        [Row(split=0, value=1.0), Row(split=1, value=2.0),
+         Row(split=1, value=None)], schema,
+    )
+    row = ks_two_sample_bucketed(ok, edges=[1.5]).collect()[0]
+    assert (row["n0"], row["n1"]) == (1, 1)
     spark.catalog.clearCache()
 
 

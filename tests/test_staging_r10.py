@@ -1,61 +1,84 @@
-"""Round-10 STAGED queries (seeded in round 7 — the staging pipeline
-runs a full round ahead): same parity harness as the live catalog.
-These are deliberately NOT in dce_spark.queries.QUERIES (the freeze
-protocol of queries_staging_r5..r9)."""
+"""Round-10 promotion regression: the twenty queries staged in round 7
+(and extended through rounds 8/9) are now LIVE catalog entries
+(registered from queries_more.py). Their parity and plan-audit
+coverage moved to the catalog-wide suites (test_oracle_parity.py /
+test_catalog_scalable.py run over QUERIES); this file locks the
+promotion itself — the same shape test_staging_r5..r9.py took after
+their promotions — plus the staged cohort's extra determinism proofs
+(SemDeDup threshold-sweep anchoring, triplet-margin consistency with
+the round-9 hard-negative miner), which stay valid against the
+promoted entries.
+"""
 
 from __future__ import annotations
 
-import duckdb
-import pytest
-
-from pyspark.sql import functions as F
+import subprocess
+import sys
 
 from dce_spark.queries_staging_r10 import STAGED_R10, staged_oracle
 
 from conftest import SF_DIR
-from test_oracle_parity import TABLES, compare
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R10))
-def test_staged_query_matches_oracle(spark, duck, name):
-    sdf = STAGED_R10[name].fn(spark, SF_DIR)
-    rel = duck.sql(staged_oracle(name))
-    compare(sdf, rel)
-    assert sdf.count() > 0  # non-vacuous
-    spark.catalog.clearCache()
-
-
-def test_staged_not_registered():
+def test_staged_queries_promoted():
     from dce_spark.queries import QUERIES
 
-    assert not (set(STAGED_R10) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R10))
-def test_staged_query_is_scalable(spark, name):
-    from dce_spark.planaudit import assert_scalable
-
-    assert_scalable(STAGED_R10[name].fn(spark, SF_DIR))
-    spark.catalog.clearCache()
-
-
-def test_staged_specs_well_formed():
+    assert len(STAGED_R10) == 20
     for name, spec in STAGED_R10.items():
-        assert callable(spec.fn), name
-        assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
-        assert staged_oracle(name) == spec.oracle
+        assert name in QUERIES, f"{name} lost from the live catalog"
+        assert QUERIES[name].fn is spec.fn
+        assert QUERIES[name].oracle == staged_oracle(name)
+        assert QUERIES[name].doc  # doc string survives registration
+
+
+def test_staged_queries_in_driver_window():
+    """Promotion without a driver row recreates the unchecked-tail
+    problem (r1-r3 lesson): every promoted query must sit in the
+    round-10 driver window."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in STAGED_R10:
+        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
+
+
+def test_round10_new_queries_in_driver_window():
+    """Round 10's own additions (the fixed-edge shape tests) must be
+    fronted the round they land, same rule."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in ("ks_fixed_edges_events", "cvm_fixed_edges_events"):
+        assert name in _DRIVER_WINDOW, f"{name} registered but not windowed"
+
+
+def test_staged_oracles_eager():
+    """Round-10 staged oracles are eager strings by construction; the
+    promotion loop asserts identity at import — re-assert here so a
+    staging-module refactor can't reintroduce lazy empties."""
+    from dce_spark import queries  # noqa: F401  (triggers registration)
+
+    for name, spec in STAGED_R10.items():
+        assert spec.oracle, f"{name}.oracle empty"
+        assert spec.oracle == staged_oracle(name)
         assert isinstance(spec.doc, str) and spec.doc.strip(), name
+
+
+def test_promotion_survives_staging_first_import():
+    """The r10 staging module bootstraps the catalog chain BEFORE
+    defining STAGED_R10, so a staging-first import reaches the
+    promotion loop with no entries at all; the loop must bail and the
+    tail hook must complete the catalog. Module caching means the
+    in-suite import order is whatever conftest already produced
+    (round-8 ADVICE), so prove the staging-first order in a fresh
+    interpreter."""
+    code = (
+        "import dce_spark.queries_staging_r10\n"
+        "from dce_spark.queries import QUERIES\n"
+        "from dce_spark.queries_staging_r10 import STAGED_R10\n"
+        "missing = set(STAGED_R10) - set(QUERIES)\n"
+        "assert not missing, missing\n"
+        "assert len(STAGED_R10) == 20\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
 
 
 def test_semdedup_sweep_monotone_and_anchored(spark):
