@@ -263,6 +263,32 @@ BENCH_QUERIES = [
     "hourly_hhi_events",
     "session_abandonment_events",
     "rfm_segments_customers",
+    # round-10 promotions (staged in round 7, oracle-verified at
+    # three SFs, promoted this round)
+    "scd2_change_rate_events",
+    "attribution_gap_quantiles_events",
+    "pit_feature_drift_events",
+    "semdedup_threshold_sweep_embeddings",
+    "triplet_margin_embeddings",
+    "dup_span_by_source_documents",
+    "session_stage_transition_events",
+    "rfm_migration_customers",
+    "lww_compaction_ratio_events",
+    "hubness_indegree_embeddings",
+    "anomaly_run_lengths_events",
+    "supplier_redundancy_lineitem",
+    "behavior_profile_outliers_events",
+    "reciprocal_neighbor_rate_embeddings",
+    "return_rate_by_supplier",
+    "qty_price_corr_by_brand",
+    "format_mix_drift_multimodal",
+    "ks_acctbal_segments",
+    "order_backlog_aging",
+    "vocab_growth_checkpoints_documents",
+    # round-10 additions: the oracle-paired fixed-edge faces of the
+    # bucketed shape tests (production drift-monitor forms)
+    "ks_fixed_edges_events",
+    "cvm_fixed_edges_events",
     # round-9 exact-form admissions: benched (full runs only) so the
     # EXACT_FORMS tier below has their trend lines — the r8 verdict's
     # What's-wrong #2 named both as twinned exact forms with no label
@@ -301,14 +327,11 @@ DRIVER_TIMED = [
     "q1_pricing_summary",
     "q5_nation_revenue",
     "q9_product_type_profit",
-    "q18_large_volume_orders",
     # window
     "window_topn_customers_per_segment",
-    "window_moving_avg_events",
     # analytics / drift
     "corr_matrix_lineitem",
     "psi_total_lineitem",
-    "chi_square_drift_events",
     "approx_distinct_accuracy_events",
     "quantiles_lineitem_approx",
     # dedup
@@ -337,7 +360,6 @@ DRIVER_TIMED = [
     # multimodal
     "multimodal_payload_stats",
     "multimodal_header_meta",
-    "multimodal_aspect_hist",
     # timeseries
     "sessionization_events",
     "asof_join_events",
@@ -356,15 +378,30 @@ DRIVER_TIMED = [
     "mmr_diversified_topk_embeddings",
     "psi_value_drift_events",
     "weekday_adjusted_anomaly_events",
-    # round-9 additions (newest round always sentinelled): one
-    # mid-weight representative per new family — warehouse CDC/SCD2/
-    # PIT, SemDeDup, substring-dedup, RFM
-    "cdc_last_write_wins_events",
+    # round-9 additions (rotation r10: cdc_last_write_wins /
+    # rfm_segments / semdedup_prune / dup_ngram_span rotated out for
+    # their round-10 same-family derivatives below)
     "scd2_intervals_events",
     "pit_features_events",
-    "semdedup_prune_embeddings",
-    "dup_ngram_span_documents",
-    "rfm_segments_customers",
+    # round-10 additions (newest round always sentinelled): one
+    # mid-weight representative per promoted family — SCD2 churn,
+    # SemDeDup tuning sweep, per-source dup spans, RFM migration,
+    # attribution latency, multimodal drift — plus the two new
+    # oracle-paired fixed-edge shape tests (production drift-monitor
+    # forms, NOT exact forms; their exact twins sit in EXACT_FORMS).
+    # Rotated out same-family: q18 (tpch 4->3), window_moving_avg
+    # (window 2->1), chi_square_drift (drift, replaced by the
+    # fixed-edge pair), multimodal_aspect_hist (3->2),
+    # cdc_last_write_wins, rfm_segments, semdedup_prune,
+    # dup_ngram_span (replaced by r10 derivatives).
+    "scd2_change_rate_events",
+    "semdedup_threshold_sweep_embeddings",
+    "dup_span_by_source_documents",
+    "rfm_migration_customers",
+    "attribution_gap_quantiles_events",
+    "format_mix_drift_multimodal",
+    "ks_fixed_edges_events",
+    "cvm_fixed_edges_events",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but
@@ -741,6 +778,15 @@ def main() -> None:
             ("markov_", "timeseries"), ("decay_weighted", "timeseries"),
             ("session_abandonment", "timeseries"),
             ("hourly_hhi", "timeseries"),
+            # round-10 names (first benched this round — no subtotal
+            # discontinuity vs any committed artifact)
+            ("lww_", "warehouse"),
+            ("triplet_", "embedding"), ("hubness", "embedding"),
+            ("reciprocal_", "embedding"),
+            ("dup_span", "dedup"),
+            ("session_stage", "timeseries"),
+            ("format_mix", "multimodal"),
+            ("vocab_growth", "text"),
         ):
             if name.startswith(prefix):
                 return f

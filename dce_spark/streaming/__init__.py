@@ -23,7 +23,7 @@ from .enrich import (
     windowed_value_quantiles,
 )
 from .heavyhitters import lossy_count_fold, streaming_heavy_hitters
-from .sessionize import fold_sessions, stateful_sessionize
+from .sessionize import fold_sessions, next_deadline, stateful_sessionize
 from .upsert import (
     fold_lww,
     fold_pit,
@@ -40,6 +40,7 @@ __all__ = [
     "streaming_near_dup_filter",
     "stateful_sessionize",
     "fold_sessions",
+    "next_deadline",
     "enrich_stream",
     "streaming_anomaly_flags",
     "windowed_anomaly_counts",

@@ -25,7 +25,30 @@ from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame
 
-__all__ = ["fold_sessions", "stateful_sessionize"]
+__all__ = ["fold_sessions", "next_deadline", "stateful_sessionize"]
+
+
+def next_deadline(
+    prev: Optional[tuple[float, float, int]],
+    open_session: tuple[float, float, int],
+    armed: Optional[float],
+    now: float,
+    gap_seconds: float,
+) -> float:
+    """The idle-flush deadline decision, extracted pure so the
+    processing-time logic is unit-testable without a streaming query.
+
+    Re-arm the FULL gap only when the open session's END advanced
+    (new activity). When the end did not move — a batch of
+    dropped-late events (self-review round 9) or of in-span
+    late/duplicate merges that grow ``n`` but not the boundaries
+    (round-9 ADVICE) — keep the previously armed deadline: Spark
+    clears a key's timeout on every data invocation, and re-arming
+    the full gap on no-activity batches would let a steady trickle of
+    late events postpone the idle flush indefinitely."""
+    if prev is not None and armed is not None and open_session[1] <= prev[1]:
+        return armed
+    return now + gap_seconds
 
 
 def fold_sessions(
@@ -91,11 +114,20 @@ def stateful_sessionize(
     idle for ``gap_seconds`` of processing time (timeout flush). State
     per user is one (start, last, n) triple plus the armed idle-flush
     deadline (processing-time epoch seconds): Spark clears a group's
-    timeout on EVERY invocation that sees data for the key, so a
-    batch holding only DROPPED late events must re-arm with the
-    REMAINING time to the original deadline — re-arming the full gap
-    would let a stream of dropped events postpone the idle flush
-    forever (self-review round 9).
+    timeout on EVERY invocation that sees data for the key, so the
+    full gap re-arms ONLY when the open session's END advanced — a
+    batch of dropped-late events (self-review round 9) or of in-span
+    late/duplicate merges (round-9 ADVICE: those change n but not the
+    end) re-arms with the REMAINING time to the original deadline;
+    re-arming the full gap on either would let a steady trickle of
+    late events postpone the idle flush indefinitely even though the
+    session never saw new activity.
+
+    CHECKPOINT COMPATIBILITY: the state schema gained a fourth field
+    (the armed ``deadline``) in round 9 — a restart from a
+    checkpointLocation written by the earlier 3-field version will
+    fail state deserialization; use a FRESH checkpointLocation when
+    upgrading across that boundary.
 
     Cross-batch late events strictly behind the open session's start
     are dropped (the :func:`fold_sessions` disorder contract — same
@@ -150,15 +182,13 @@ def stateful_sessionize(
         )
         if open_session is not None:
             now = _time.time()
-            if open_session == prev:
-                # every event in this batch was dropped: the open
-                # session saw no activity, so keep the armed deadline
-                # instead of postponing the idle flush by a full gap
-                deadline = float(full[3]) if full is not None else (
-                    now + gap_seconds
-                )
-            else:
-                deadline = now + gap_seconds
+            deadline = next_deadline(
+                prev,
+                open_session,
+                float(full[3]) if full is not None else None,
+                now,
+                gap_seconds,
+            )
             state.update(
                 (
                     float(open_session[0]),

@@ -189,7 +189,7 @@ def test_driver_timed_subset_policy():
     # inside main(), so anchor one known member per family instead)
     anchors = {
         "tpch": "q1_pricing_summary",
-        "window": "window_moving_avg_events",
+        "window": "window_topn_customers_per_segment",
         "analytics": "psi_total_lineitem",
         "dedup": "dedup_minhash_lsh_capped",
         "embedding": "embedding_ivf_topk",
@@ -198,16 +198,22 @@ def test_driver_timed_subset_policy():
         "multimodal": "multimodal_payload_stats",
         "timeseries": "sessionization_events",
         "streaming": "heavy_hitters_batch_events",
+        "warehouse": "scd2_intervals_events",
     }
     for fam, name in anchors.items():
         assert name in sub, f"family {fam} lost its sentinel ({name})"
-    # the newest round's additions are always sentinelled (round 9
-    # promoted the warehouse family — its anchor is the new-family
-    # sentinel; the r8 shape tests rotated to the EXACT_FORMS tier)
+    # the newest round's additions are always sentinelled (round-10
+    # rotation: the r9 reps cdc_last_write_wins / semdedup_prune /
+    # dup_ngram_span / rfm_segments rotated out for their round-10
+    # same-family derivatives; the fixed-edge shape tests are
+    # production forms, so they sentinel — their exact twins are the
+    # EXACT_FORMS entries)
     for name in (
-        "cdc_last_write_wins_events",
-        "pit_features_events",
-        "semdedup_prune_embeddings",
-        "rfm_segments_customers",
+        "scd2_change_rate_events",
+        "semdedup_threshold_sweep_embeddings",
+        "dup_span_by_source_documents",
+        "rfm_migration_customers",
+        "ks_fixed_edges_events",
+        "cvm_fixed_edges_events",
     ):
         assert name in sub
