@@ -34,14 +34,22 @@ def test_staged_queries_promoted():
         assert QUERIES[name].doc  # doc string survives registration
 
 
-def test_staged_queries_in_driver_window():
-    """Promotion without a driver row recreates the unchecked-tail
-    problem (r1-r3 lesson): every promoted query must sit in the
-    round-9 driver window."""
-    from dce_spark.queries import _DRIVER_WINDOW
+def test_staged_queries_driver_checked():
+    """These twenty sat in the ROUND-9 driver window (the
+    promotion-round invariant) and earned green CORRECTNESS_r09 rows;
+    the round-10 rotation then moved them out to make room for the
+    next cohort. Lock the historical proof instead of the window slot
+    (the test_staging_r5..r8 pattern)."""
+    import json
+    import os
 
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r09.json"
+    )
+    rows = json.load(open(path))
     for name in STAGED_R9:
-        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
+        assert name in rows, f"{name} never driver-checked in r9"
+        assert rows[name]["hash_match"], f"{name} r9 driver row not green"
 
 
 def test_staged_oracles_eager():
