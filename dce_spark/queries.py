@@ -2094,8 +2094,23 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   rotation the r4 tier holds only those 26; the next tier is the
 #   r5 rows) = exactly 50. Freeze at rotation. RECOMPUTE the ledger
 #   from the committed CORRECTNESS files first (r8 lesson: plan
-#   comments can mis-read it). Also stage a round-12 cohort of 20 —
-#   the staging pipeline must stay a full round ahead.
+#   comments can mis-read it).
+#
+#   ROUND 12 SEED — a FULL cohort of TWENTY already staged and
+#   oracle-verified at three SFs in round 10
+#   (queries_staging_r12.py: the mergeable-state derivatives
+#   validation_state_regression / histogram_merge_invariance /
+#   quantile_state_drift / moments_running_merge / zone_map_adjacency;
+#   the embedding-drift derivatives ivf_reassignment_churn /
+#   cell_label_purity / coord_drift_sweep / residual_quantile_drift /
+#   label_share_drift; the warehouse derivatives
+#   scd2_attr_transition_matrix / pit_horizon_sweep /
+#   attribution_model_compare / snapshot_reconciliation /
+#   merge_skew_profile; the governance block l_diversity /
+#   vocab_overlap_sources / bucket_calibration /
+#   rare_combo_suppression / value_lorenz_curve). Round 12 promotes;
+#   round 11 only needs its own promotion + window rotation + a
+#   round-13 staging cohort (the pipeline stays a full round ahead).
 _DRIVER_WINDOW = [
     # promoted round-10 stagings (oracle-verified at 3 SFs in r7,
     # re-verified at three SFs at round-9 HEAD)
