@@ -362,8 +362,10 @@ FROM both_levels"""
     _MOMENTS_ORACLE,
     "mergeable moment state: quantized-exact (n, Σx, Σx²) per "
     "event_type — value sits on the 0.01 grid, so Σx at 1e2 and Σx² "
-    "at 1e4 are lossless int64 (Σx² capacity ~3.8e12 rows of this "
-    "domain before overflow; re-quantize per shard beyond that) — "
+    "at 1e4 are lossless int64 (Σx² capacity ~3.8e9 rows of this "
+    "value domain per aggregation cell before overflow — per-GROUP "
+    "here, so far beyond any per-type volume; re-quantize or "
+    "tree-merge in two tiers beyond that) — "
     "with the '__all__' row MERGED from the states by addition, never "
     "recomputed. Mean and population variance derive from the merged "
     "sums in one documented double-op order (s2/q2/n - (s1/q1/n)^2, "

@@ -1091,13 +1091,25 @@ FROM feat"""
     "subqueries.",
 )
 def attribution_model_compare_events(spark, sf_dir):
+    # the packing precondition is ENFORCED like last_event_attribution
+    # (round-8 ADVICE lesson): an event_id outside [0, radix) would
+    # silently corrupt the min/max ordering, so it raises instead
+    radix = 10_000_000
+    guard = F.assert_true(
+        (F.col("event_id") >= 0) & (F.col("event_id") < F.lit(radix)),
+        F.lit(
+            "attribution_model_compare: event_id outside [0, 1e7) "
+            "breaks the (epoch_s, id) int64 packing — raise the radix"
+        ),
+    )
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.unix_timestamp("ts").alias("es"),
         (
-            F.unix_timestamp("ts") * F.lit(10000000).cast("long")
+            F.unix_timestamp("ts") * F.lit(radix).cast("long")
             + F.col("event_id")
+            + F.coalesce(guard.cast("long"), F.lit(0))
         ).alias("packed"),
     )
     click_packed = F.when(
