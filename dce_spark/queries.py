@@ -2111,6 +2111,16 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   rare_combo_suppression / value_lorenz_curve). Round 12 promotes;
 #   round 11 only needs its own promotion + window rotation + a
 #   round-13 staging cohort (the pipeline stays a full round ahead).
+#   Round-13 candidate themes with 100 TB pull: (a) graph ops over
+#   the dedup candidate graph — fixed-iteration hash-min connected
+#   components / label propagation (deterministic, oracle-able per
+#   iteration; completes the pagerank_dedup_graph family), (b)
+#   streaming-batch mirrors for the remaining warehouse faces
+#   (streaming attribution, streaming PIT horizon sweep — the
+#   upsert.py equivalence-test protocol), (c) deterministic source-
+#   mix planning — greedy token-budget allocation across sources
+#   under quality floors (exact integer arithmetic, the sampling
+#   family's optimizer face).
 _DRIVER_WINDOW = [
     # promoted round-10 stagings (oracle-verified at 3 SFs in r7,
     # re-verified at three SFs at round-9 HEAD)
