@@ -2108,7 +2108,10 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   attribution_model_compare / snapshot_reconciliation /
 #   merge_skew_profile; the governance block l_diversity /
 #   vocab_overlap_sources / bucket_calibration /
-#   rare_combo_suppression / value_lorenz_curve). Round 12 promotes;
+#   rare_combo_suppression / value_lorenz_curve). BOTH staged
+#   cohorts (r11 + r12, 40 queries) re-verified at sf0.001 + sf0.01 +
+#   sf0.1 at round-10 END HEAD (after the attribution id_radix guard)
+#   — 40/40 exact at each SF. Round 12 promotes;
 #   round 11 only needs its own promotion + window rotation + a
 #   round-13 staging cohort (the pipeline stays a full round ahead).
 #   Round-13 candidate themes with 100 TB pull: (a) graph ops over
