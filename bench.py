@@ -289,6 +289,30 @@ BENCH_QUERIES = [
     # bucketed shape tests (production drift-monitor forms)
     "ks_fixed_edges_events",
     "cvm_fixed_edges_events",
+    # round-11 promotions (staged + oracle-verified at three SFs in
+    # round 10, promoted this round): mergeable validation state,
+    # embedding drift over the IVF index, SCD2 snapshot diff,
+    # training governance
+    "mergeable_profile_lineitem",
+    "incremental_validation_orders",
+    "histogram_quantile_merge_lineitem",
+    "moments_merge_events",
+    "zone_map_prune_lineitem",
+    "centroid_shift_embeddings",
+    "cell_occupancy_psi_embeddings",
+    "coord_drift_bucketed_embeddings",
+    "index_staleness_embeddings",
+    "assignment_margin_drift_embeddings",
+    "scd2_snapshot_diff_events",
+    "scd2_asof_snapshot_events",
+    "contract_violation_diff_events",
+    "scd2_version_lifetime_events",
+    "upsert_batch_sizing_events",
+    "k_anonymity_profile_events",
+    "pmi_lift_bigrams_documents",
+    "doclen_histogram_by_source_documents",
+    "value_gini_by_type_events",
+    "time_split_leakage_events",
     # round-9 exact-form admissions: benched (full runs only) so the
     # EXACT_FORMS tier below has their trend lines — the r8 verdict's
     # What's-wrong #2 named both as twinned exact forms with no label
@@ -329,10 +353,11 @@ DRIVER_TIMED = [
     "q9_product_type_profit",
     # window
     "window_topn_customers_per_segment",
-    # analytics / drift
+    # analytics / drift (rotation r11: psi_total_lineitem out — PSI
+    # trend now carried by psi_value_drift_events and the r11
+    # cell-occupancy PSI; approx_distinct_accuracy out — sketch-
+    # accuracy trend lives in the committed full-run medians)
     "corr_matrix_lineitem",
-    "psi_total_lineitem",
-    "approx_distinct_accuracy_events",
     "quantiles_lineitem_approx",
     # dedup
     "dedup_minhash_lsh_capped",
@@ -340,18 +365,21 @@ DRIVER_TIMED = [
     "dedup_survivor_selection_documents",
     "source_shingle_containment_documents",
     # embedding
+    # (rotation r11: kmeans_embeddings_2iter out — the centroid
+    # machinery's sentinel is now the r11 centroid-shift derivative)
     "embedding_ivf_topk",
     "embedding_ivf_knn_join",
     "pq_recall_at_k_embeddings",
     "pq_codebook_balance_embeddings",
-    "kmeans_embeddings_2iter",
     # text
     "text_stats_documents",
     "tfidf_top_terms_documents",
     "token_hist_by_lang_documents",
     "zipf_slope_documents",
     "tokenizer_fertility_documents",
-    "bigram_logprob_documents",
+    # (rotation r11: bigram_logprob out — the LM-logprob family keeps
+    # its trend lines in the committed full-run medians; the document
+    # family's new sentinels are the r11 governance pair below)
     # sampling
     "split_assign_documents",
     "stratified_sample_documents",
@@ -380,9 +408,10 @@ DRIVER_TIMED = [
     "weekday_adjusted_anomaly_events",
     # round-9 additions (rotation r10: cdc_last_write_wins /
     # rfm_segments / semdedup_prune / dup_ngram_span rotated out for
-    # their round-10 same-family derivatives below)
-    "scd2_intervals_events",
-    "pit_features_events",
+    # their round-10 same-family derivatives below; rotation r11:
+    # scd2_intervals / pit_features out for the r11 SCD2-snapshot-diff
+    # derivatives — the warehouse family's sentinels are now the
+    # newest round's faces)
     # round-10 additions (newest round always sentinelled): one
     # mid-weight representative per promoted family — SCD2 churn,
     # SemDeDup tuning sweep, per-source dup spans, RFM migration,
@@ -402,6 +431,23 @@ DRIVER_TIMED = [
     "format_mix_drift_multimodal",
     "ks_fixed_edges_events",
     "cvm_fixed_edges_events",
+    # round-11 additions (newest round always sentinelled): two
+    # mergeable-state representatives (the profile ledger and the
+    # violation-count ledger — the validate_partitions incremental
+    # path), two embedding-drift representatives (centroid shift and
+    # the staleness/occupancy face), the SCD2 snapshot diff, and one
+    # governance representative. Rotated out same-family:
+    # scd2_intervals + pit_features (r9 warehouse, replaced by the
+    # r11 SCD2 derivatives), kmeans_embeddings_2iter (centroid
+    # machinery now sentinelled via centroid_shift), psi_total +
+    # approx_distinct (analytics/drift, PSI carried by
+    # psi_value_drift + the occupancy PSI), bigram_logprob (text).
+    "mergeable_profile_lineitem",
+    "incremental_validation_orders",
+    "centroid_shift_embeddings",
+    "index_staleness_embeddings",
+    "scd2_snapshot_diff_events",
+    "k_anonymity_profile_events",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but

@@ -2124,63 +2124,116 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   mix planning — greedy token-budget allocation across sources
 #   under quality floors (exact integer arithmetic, the sampling
 #   family's optimizer face).
+#
+#   ROUND 10 WINDOW (rotated out in r11, all 50 green in
+#   CORRECTNESS_r10): the 20 promoted r10 stagings, round 10's 2 new
+#   fixed-edge shape tests, the 4 deferred r3 rows, and 24 of the 50
+#   r4-stale rows (BPE/multimodal/text block).
+#
+#   ROUND 11 WINDOW (this list) = the 20 promoted round-11 stagings
+#   (queries_staging_r11.py, registered from queries_more.py, fronted
+#   the same round — no unchecked tail; round 11 registers no other
+#   new catalog queries: the round's non-catalog work is the
+#   validate_partitions state-ledger API, the ADVICE fixed-edge
+#   NaN/oracle-guard closes, and the round-13 staging cohort) + the
+#   26 r4 rows deferred from the round-10 window FIRST (ledger
+#   RECOMPUTED this round from the committed
+#   CORRECTNESS_r0{1..5,7,8,9}+r10.json files: tiers were r4=26,
+#   r5=50, zero reds — after this window the r4 tier is EMPTY) + 4 of
+#   the 50 r5-stale rows, front-loading the contract-check core
+#   (schema_columns/null_counts/completeness/allowed_values — the
+#   product's flagship check family should be freshest). The 46 r5
+#   rows NOT windowed this round (asof_join_events,
+#   bigram_logprob_documents, bpe_encode_documents,
+#   class_balance_events, custom_sql_events, dedup_clusters_documents,
+#   dedup_exact_documents, distinct_users_events,
+#   embedding_centroids_by_label, embedding_near_dup_lsh,
+#   fingerprint_documents, freshness_events, heavy_hitters_batch_events,
+#   inmemory_batch_validation, inmemory_nested_validation,
+#   interp_logprob_documents, lang_guess_documents,
+#   late_data_windows_events, multimodal_frame_sample,
+#   null_rate_by_group_events, overlap_users_events,
+#   pattern_violations_events, pq_adc_topk_embeddings,
+#   pq_recall_at_k_embeddings, pq_reconstruction_error_embeddings,
+#   profile_customer, psi_total_lineitem, q1_pricing_summary,
+#   q3_top_revenue_orders, q5_nation_revenue, q6_revenue_delta,
+#   range_violations_lineitem, row_count_lineitem,
+#   semantic_decontamination_embeddings, semi_anti_join_customers,
+#   sessionization_events, set_ops_orders_customers,
+#   skew_salted_join_events, temporal_bounds_events,
+#   text_quality_documents, topk_orders_by_price,
+#   uniqueness_dupes_lineitem, uniqueness_per_day_orders,
+#   window_running_total_orders, windowed_quantiles_events,
+#   winnow_fingerprint_documents) lead the round-12 window.
+#   CATALOG FROZEN for round 11 at this rotation (296 entries).
+#
+#   ROUND 12 PLAN — promote the TWENTY staged round-12 queries
+#   (queries_staging_r12.py — verified at three SFs in round 10 AND
+#   re-verified at round-10 END HEAD, 20/20 exact at each SF),
+#   register any new round-12 queries EARLY, then window: 20 promoted
+#   + round 12's own new queries + the 46 deferred r5 rows listed
+#   above FIRST (after that rotation the r5 tier is EMPTY; 20+46 > 50,
+#   so 16 r5 rows carry to round 13 — defer the 16 LAST names in the
+#   alphabetical list above and say so in the ROUND 13 PLAN) = exactly
+#   50. Freeze at rotation. RECOMPUTE the ledger from the committed
+#   CORRECTNESS files first (r8 lesson: plan comments can mis-read
+#   it).
 _DRIVER_WINDOW = [
-    # promoted round-10 stagings (oracle-verified at 3 SFs in r7,
-    # re-verified at three SFs at round-9 HEAD)
-    "scd2_change_rate_events",
-    "attribution_gap_quantiles_events",
-    "pit_feature_drift_events",
-    "semdedup_threshold_sweep_embeddings",
-    "triplet_margin_embeddings",
-    "dup_span_by_source_documents",
-    "session_stage_transition_events",
-    "rfm_migration_customers",
-    "lww_compaction_ratio_events",
-    "hubness_indegree_embeddings",
-    "anomaly_run_lengths_events",
-    "supplier_redundancy_lineitem",
-    "behavior_profile_outliers_events",
-    "reciprocal_neighbor_rate_embeddings",
-    "return_rate_by_supplier",
-    "qty_price_corr_by_brand",
-    "format_mix_drift_multimodal",
-    "ks_acctbal_segments",
-    "order_backlog_aging",
-    "vocab_growth_checkpoints_documents",
-    # round 10's own new queries (fronted the round they land)
-    "ks_fixed_edges_events",
-    "cvm_fixed_edges_events",
-    # the 4 r3 rows deferred from the round-9 window (r3 tier -> empty)
-    "ntile_bins_lineitem_approx",
-    "quantiles_lineitem_approx",
-    "funnel_events",
-    "kmeans_embeddings_2iter",
-    # stalest-tier burn-down: 24 of the 50 r4 rows, BPE/multimodal/
-    # text block front-loaded per the round-9 plan
-    "bpe_pair_counts_documents",
-    "bpe_merges_documents",
-    "bpe_apply_documents",
-    "multimodal_header_meta",
-    "multimodal_resize_dims",
-    "chunk_documents",
-    "ngram_diversity_documents",
-    "script_detect_documents",
-    "token_hist_by_lang_documents",
-    "unigram_logprob_documents",
-    "profile_documents",
-    "passage_dedup_documents",
-    "curation_decisions_documents",
-    "dedup_minhash_lsh_capped",
-    "dedup_simhash_pairs_documents",
-    "lsh_verified_pairs_documents",
-    "minhash_jaccard_estimate_documents",
-    "source_mix_resample_documents",
-    "array_norms_embeddings",
-    "embedding_dup_clusters",
-    "embedding_ivf_knn_join",
-    "activity_matrix_events",
-    "affinity_supplier_brand_lineitem",
-    "anomaly_days_events",
+    # promoted round-11 stagings (oracle-verified at 3 SFs in r10,
+    # re-verified at three SFs at round-10 END HEAD)
+    "mergeable_profile_lineitem",
+    "incremental_validation_orders",
+    "histogram_quantile_merge_lineitem",
+    "moments_merge_events",
+    "zone_map_prune_lineitem",
+    "centroid_shift_embeddings",
+    "cell_occupancy_psi_embeddings",
+    "coord_drift_bucketed_embeddings",
+    "index_staleness_embeddings",
+    "assignment_margin_drift_embeddings",
+    "scd2_snapshot_diff_events",
+    "scd2_asof_snapshot_events",
+    "contract_violation_diff_events",
+    "scd2_version_lifetime_events",
+    "upsert_batch_sizing_events",
+    "k_anonymity_profile_events",
+    "pmi_lift_bigrams_documents",
+    "doclen_histogram_by_source_documents",
+    "value_gini_by_type_events",
+    "time_split_leakage_events",
+    # stalest-tier burn-down: the 26 r4 rows deferred from the
+    # round-10 window (r4 tier -> empty after this window)
+    "approx_distinct_accuracy_events",
+    "best_order_per_customer",
+    "chi_square_drift_events",
+    "conditional_aggregates_lineitem",
+    "corr_matrix_lineitem",
+    "drift_events_weekly",
+    "grouped_quantiles_lineitem",
+    "histogram_lineitem_price",
+    "interarrival_gap_stats_events",
+    "key_skew_profile_events",
+    "ks_test_events",
+    "mode_median_by_segment",
+    "monthly_revenue_yoy_lineitem",
+    "null_safe_join_probe",
+    "outlier_counts_events",
+    "outlier_counts_events_approx",
+    "per_day_quality_events",
+    "priority_profile_per_customer",
+    "range_bucket_join_events",
+    "salted_group_counts_events",
+    "session_window_native_events",
+    "shipping_latency_buckets",
+    "skew_report_lineitem_suppkey",
+    "string_funcs_nation",
+    "trend_events_value",
+    "zorder_key_events",
+    # next-stalest (r5) front: the contract-check core family
+    "schema_columns_events",
+    "null_counts_events",
+    "completeness_events",
+    "allowed_values_violations_orders",
 ]
 
 

@@ -4692,3 +4692,34 @@ def _promote_staged_r10() -> None:
 
 
 _promote_staged_r10()
+
+
+# =====================================================================
+# Round-11 promotion. The twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 10 — mergeable validation state,
+# embedding drift over the IVF index, SCD2 snapshot diff, and the
+# training-governance block — enter the live catalog. Same protocol
+# and re-entrancy shape as the r8/r9/r10 promotions above (the staging
+# module bootstraps the catalog chain before defining STAGED_R11, so a
+# staging-first import reaches this loop before any entry exists; bail
+# out and let the staging tail hook re-invoke once all twenty are
+# defined).
+# =====================================================================
+
+
+def _promote_staged_r11() -> None:
+    from . import queries_staging_r11 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R11", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r11()

@@ -1656,3 +1656,19 @@ def time_split_leakage_events(spark, sf_dir):
             6,
         ).alias("eval_share_overlap_users"),
     )
+
+
+# ---------------------------------------------------------------------
+# Round-11 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R11, so importing THIS module first runs the whole
+# registration chain while STAGED_R11 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8/r9/r10 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r11 as _promote  # noqa: E402
+
+_promote()
+del _promote

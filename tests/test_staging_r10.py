@@ -31,23 +31,38 @@ def test_staged_queries_promoted():
         assert QUERIES[name].doc  # doc string survives registration
 
 
-def test_staged_queries_in_driver_window():
-    """Promotion without a driver row recreates the unchecked-tail
-    problem (r1-r3 lesson): every promoted query must sit in the
-    round-10 driver window."""
-    from dce_spark.queries import _DRIVER_WINDOW
+def test_staged_queries_driver_checked():
+    """These twenty sat in the ROUND-10 driver window (the
+    promotion-round invariant) and earned green CORRECTNESS_r10 rows;
+    the round-11 rotation then moved them out to make room for the
+    next cohort. Lock the historical proof instead of the window slot
+    (the test_staging_r5..r9 pattern)."""
+    import json
+    import os
 
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"
+    )
+    rows = json.load(open(path))
     for name in STAGED_R10:
-        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
+        assert name in rows, f"{name} never driver-checked in r10"
+        assert rows[name]["hash_match"], f"{name} r10 driver row not green"
 
 
-def test_round10_new_queries_in_driver_window():
-    """Round 10's own additions (the fixed-edge shape tests) must be
-    fronted the round they land, same rule."""
-    from dce_spark.queries import _DRIVER_WINDOW
+def test_round10_new_queries_driver_checked():
+    """Round 10's own additions (the fixed-edge shape tests) were
+    fronted the round they landed and earned green r10 rows; same
+    historical-proof lock as the cohort."""
+    import json
+    import os
 
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r10.json"
+    )
+    rows = json.load(open(path))
     for name in ("ks_fixed_edges_events", "cvm_fixed_edges_events"):
-        assert name in _DRIVER_WINDOW, f"{name} registered but not windowed"
+        assert name in rows, f"{name} never driver-checked in r10"
+        assert rows[name]["hash_match"], f"{name} r10 driver row not green"
 
 
 def test_staged_oracles_eager():

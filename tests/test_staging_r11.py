@@ -1,15 +1,20 @@
-"""Round-11 STAGED queries (seeded in round 10 — the staging pipeline
-runs a full round ahead): same parity harness as the live catalog.
-These are deliberately NOT in dce_spark.queries.QUERIES (the freeze
-protocol of queries_staging_r5..r10), plus cohort-specific determinism
-proofs: merged-state == recomputed-state for the mergeable family,
-snapshot classification replayed row-by-row in Python, the quantile
-read-off bracketed by the exact quantile, and the centroid shift
-against a driver-side quantized replay."""
+"""Round-11 promotion regression: the twenty queries staged in round
+10 are now LIVE catalog entries (registered from queries_more.py).
+Their parity and plan-audit coverage moved to the catalog-wide suites
+(test_oracle_parity.py / test_catalog_scalable.py run over QUERIES);
+this file locks the promotion itself — the same shape
+test_staging_r5..r10.py took after their promotions — plus the staged
+cohort's extra determinism proofs (merged-state == recomputed-state
+for the mergeable family, snapshot classification replayed row-by-row
+in Python, the quantile read-off bracketed by the exact quantile, the
+centroid shift against a driver-side quantized replay), which stay
+valid against the promoted entries."""
 
 from __future__ import annotations
 
-import duckdb
+import subprocess
+import sys
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -17,50 +22,58 @@ from pyspark.sql import functions as F
 from dce_spark.queries_staging_r11 import STAGED_R11, staged_oracle
 
 from conftest import SF_DIR
-from test_oracle_parity import TABLES, compare
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R11))
-def test_staged_query_matches_oracle(spark, duck, name):
-    sdf = STAGED_R11[name].fn(spark, SF_DIR)
-    rel = duck.sql(staged_oracle(name))
-    compare(sdf, rel)
-    assert sdf.count() > 0  # non-vacuous
-    spark.catalog.clearCache()
-
-
-def test_staged_not_registered():
+def test_staged_queries_promoted():
     from dce_spark.queries import QUERIES
 
     assert len(STAGED_R11) == 20
-    assert not (set(STAGED_R11) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED_R11))
-def test_staged_query_is_scalable(spark, name):
-    from dce_spark.planaudit import assert_scalable
-
-    assert_scalable(STAGED_R11[name].fn(spark, SF_DIR))
-    spark.catalog.clearCache()
-
-
-def test_staged_specs_well_formed():
     for name, spec in STAGED_R11.items():
-        assert callable(spec.fn), name
-        assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
-        assert staged_oracle(name) == spec.oracle
+        assert name in QUERIES, f"{name} lost from the live catalog"
+        assert QUERIES[name].fn is spec.fn
+        assert QUERIES[name].oracle == staged_oracle(name)
+        assert QUERIES[name].doc  # doc string survives registration
+
+
+def test_staged_queries_in_driver_window():
+    """Promotion-round invariant: every promoted query sits in the
+    ROUND-11 driver window, so each earns a driver-checked
+    CORRECTNESS row the round it goes live (no unchecked tail)."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in STAGED_R11:
+        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
+
+
+def test_staged_oracles_eager():
+    """Round-11 staged oracles are eager strings by construction; the
+    promotion loop asserts identity at import — re-assert here so a
+    staging-module refactor can't reintroduce lazy empties."""
+    from dce_spark import queries  # noqa: F401  (triggers registration)
+
+    for name, spec in STAGED_R11.items():
+        assert spec.oracle, f"{name}.oracle empty"
+        assert spec.oracle == staged_oracle(name)
         assert isinstance(spec.doc, str) and spec.doc.strip(), name
+
+
+def test_promotion_survives_staging_first_import():
+    """The r11 staging module bootstraps the catalog chain BEFORE
+    defining STAGED_R11, so a staging-first import reaches the
+    promotion loop with no entries at all; the loop must bail and the
+    tail hook must complete the catalog. Module caching means the
+    in-suite import order is whatever conftest already produced
+    (round-8 ADVICE), so prove the staging-first order in a fresh
+    interpreter."""
+    code = (
+        "import dce_spark.queries_staging_r11\n"
+        "from dce_spark.queries import QUERIES\n"
+        "from dce_spark.queries_staging_r11 import STAGED_R11\n"
+        "missing = set(STAGED_R11) - set(QUERIES)\n"
+        "assert not missing, missing\n"
+        "assert len(STAGED_R11) == 20\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=120)
 
 
 def test_merged_state_equals_recompute(spark):
