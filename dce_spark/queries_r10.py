@@ -72,7 +72,19 @@ _FIXED_CELLS_SQL = f"""WITH v AS (
          sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS c1
   FROM v GROUP BY bucket
 ), tot AS (
-  SELECT sum(c0) AS n0, sum(c1) AS n1 FROM cells
+  -- guarded divisors, mirroring ext.stats._guarded_total: the Spark
+  -- side raises a named assert_true error when one split is empty
+  -- (the statistic is undefined over one sample); without this CASE
+  -- the oracle would instead emit NULL/inf on degenerate data and the
+  -- driver would surface an opaque hash mismatch rather than the
+  -- documented contract violation (round-10 ADVICE #1)
+  SELECT CASE WHEN sum(c0) = 0 OR sum(c1) = 0
+              THEN CAST(error('ext.stats: one split is empty') AS BIGINT)
+              ELSE CAST(sum(c0) AS BIGINT) END AS n0,
+         CASE WHEN sum(c0) = 0 OR sum(c1) = 0
+              THEN CAST(error('ext.stats: one split is empty') AS BIGINT)
+              ELSE CAST(sum(c1) AS BIGINT) END AS n1
+  FROM cells
 )"""
 
 _KS_FIXED_ORACLE = (

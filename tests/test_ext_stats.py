@@ -400,3 +400,103 @@ def test_randomized_adversarial_multisets(spark):
         assert ks["ks_stat"] == exp_ks, seed
         assert cvm["cvm_stat"] == pytest.approx(exp_cvm, abs=2e-9), seed
     spark.catalog.clearCache()
+
+
+def test_fixed_edge_nan_top_bucket(spark):
+    """Round-10 ADVICE #2 pin: on the FIXED-EDGE face a NaN value
+    passes the isNotNull filter and every `value >= edge` comparison
+    (Spark's NaN-greatest ordering; DuckDB agrees, so oracle parity
+    holds) — it lands in the TOP bucket, merged with large reals.
+    Replacing each NaN by a finite value above the last edge must
+    therefore leave the statistic bit-identical."""
+    from pyspark.sql import Row
+
+    edges = [1.0, 2.0, 4.0]
+    with_nan = spark.createDataFrame(
+        [Row(split=0, value=0.5), Row(split=0, value=3.0),
+         Row(split=1, value=1.5), Row(split=1, value=float("nan"))]
+    )
+    imputed = spark.createDataFrame(
+        [Row(split=0, value=0.5), Row(split=0, value=3.0),
+         Row(split=1, value=1.5), Row(split=1, value=99.0)]
+    )
+    for op in (ks_two_sample_bucketed, cvm_two_sample_bucketed):
+        a = op(with_nan, edges=edges).collect()[0]
+        b = op(imputed, edges=edges).collect()[0]
+        assert a == b, op.__name__
+    # and the sketch face gives NaN its own TRAILING bucket — still
+    # above everything (the documented faces-differ-on-the-last-step
+    # divergence): the statistic must match the exact operator's
+    # NaN-sorts-highest treatment here because no large real shares
+    # the top step in this fixture
+    s = ks_two_sample_bucketed(with_nan, n_buckets=4).collect()[0]
+    e = ks_two_sample(with_nan).collect()[0]
+    assert (s["n0"], s["n1"]) == (e["n0"], e["n1"]) == (2, 2)
+    spark.catalog.clearCache()
+
+
+def test_bucketed_on_null_raise_mode(spark):
+    """Round-10 verdict item 7 (the compiler-boundary guard): with
+    on_null='raise' a NULL value fails loudly with a named error on
+    BOTH bucketed faces, instead of being silently filtered into the
+    documented twin divergence; valid frames are unaffected
+    (bit-identical to the default mode)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    errs = (Py4JJavaError, SparkRuntimeException)
+    schema = StructType([
+        StructField("split", LongType(), True),
+        StructField("value", DoubleType(), True),
+    ])
+    dirty = spark.createDataFrame(
+        [Row(split=0, value=1.0), Row(split=1, value=2.0),
+         Row(split=1, value=None)], schema,
+    )
+    with pytest.raises(errs, match="on_null"):
+        ks_two_sample_bucketed(dirty, edges=[1.5], on_null="raise").collect()
+    with pytest.raises(errs, match="on_null"):
+        cvm_two_sample_bucketed(
+            dirty, edges=[1.5], on_null="raise"
+        ).collect()
+    with pytest.raises(errs, match="on_null"):
+        ks_two_sample_bucketed(dirty, n_buckets=8, on_null="raise").collect()
+    clean = spark.createDataFrame(
+        [Row(split=0, value=1.0), Row(split=0, value=3.0),
+         Row(split=1, value=2.0)], schema,
+    )
+    for op in (ks_two_sample_bucketed, cvm_two_sample_bucketed):
+        assert (
+            op(clean, edges=[1.5], on_null="raise").collect()
+            == op(clean, edges=[1.5]).collect()
+        ), op.__name__
+    with pytest.raises(ValueError, match="on_null"):
+        ks_two_sample_bucketed(clean, edges=[1.5], on_null="drop")
+    spark.catalog.clearCache()
+
+
+def test_fixed_edge_oracle_raises_on_empty_split():
+    """Round-10 ADVICE #1 pin: the fixed-edge KS/CvM DuckDB oracles
+    now mirror ext.stats._guarded_total — on degenerate data where one
+    split is empty they RAISE a named error (as the Spark side does)
+    instead of emitting NULL/inf, so the driver would surface the
+    documented contract violation, not an opaque hash mismatch."""
+    import duckdb
+
+    from dce_spark.queries_r10 import _CVM_FIXED_ORACLE, _KS_FIXED_ORACLE
+
+    con = duckdb.connect()
+    # weekday-only timestamps -> the weekend split is empty
+    con.execute(
+        "CREATE VIEW events AS SELECT TIMESTAMP '2024-01-01 00:00:00' "
+        "+ INTERVAL (i) HOUR AS ts, CAST(1 + i AS DOUBLE) AS value "
+        "FROM range(12) t(i)"
+    )
+    for sql in (_KS_FIXED_ORACLE, _CVM_FIXED_ORACLE):
+        with pytest.raises(duckdb.Error, match="one split is empty"):
+            con.sql(sql).fetchall()
+    con.close()
