@@ -38,6 +38,7 @@ __all__ = [
     "validate_quality_only",
     "validate_ml_only",
     "validate_partitions",
+    "partition_states",
     "profile_df",
 ]
 
@@ -214,6 +215,7 @@ def validate_partitions(
     partition_col: str,
     since: Any = None,
     values: Optional[Iterable[Any]] = None,
+    state_ledger: Optional[DataFrame] = None,
     **kwargs: Any,
 ) -> dict[Any, ValidationReport]:
     """Incremental validation: one ValidationReport PER PARTITION VALUE
@@ -231,6 +233,19 @@ def validate_partitions(
     Partition values are discovered with a distinct on the partition
     column — metadata-cheap under hive partitioning, where the value
     comes from the directory name.
+
+    ``state_ledger`` (round 11 — the mergeable-state family surfaced
+    as an API): a DataFrame of committed per-partition validation
+    states, as produced by :func:`partition_states`. Partitions with a
+    committed state row are reported FROM THE STATE — zero data scan —
+    and only partitions missing from the ledger are computed from
+    rows (one grouped job covering all of them, not one scan each).
+    Because every state aggregate merges exactly (sum/max of exact
+    ints), the state-path report equals the row-path report
+    bit-for-bit (test-locked in tests/test_state_ledger.py). Only
+    mergeable contracts qualify — uniqueness / target-leakage /
+    grouped-ML / custom-SQL checks raise unless
+    ``allow_partial=True`` is passed through.
     """
     from pyspark.sql import functions as F
 
@@ -246,8 +261,85 @@ def validate_partitions(
         values = sorted(r[0] for r in rows if r[0] is not None)
     elif since is not None:
         values = [v for v in values if v > since]
+    values = list(values)
+
+    if state_ledger is not None:
+        return _validate_partitions_from_ledger(
+            spark, df, contract, partition_col, values, state_ledger,
+            **kwargs,
+        )
+
     out: dict[Any, ValidationReport] = {}
     for v in values:
         part = df.filter(F.col(partition_col) == F.lit(v))
         out[v] = validate_df(spark, part, contract, **kwargs)
     return out
+
+
+def _validate_partitions_from_ledger(
+    spark: SparkSession,
+    df: DataFrame,
+    contract: Contract | str,
+    partition_col: str,
+    values: list,
+    state_ledger: DataFrame,
+    strict: bool = False,
+    now: Any = None,
+    allow_partial: bool = False,
+) -> dict[Any, ValidationReport]:
+    """The merge path of :func:`validate_partitions`: per-partition
+    reports evaluated from committed state rows; missing partitions
+    computed from rows with ONE grouped job, then evaluated the same
+    way — so both paths produce identical reports by construction."""
+    from pyspark.sql import functions as F
+
+    from .state import compute_partition_states, report_from_states
+
+    have = {
+        r[partition_col]: r
+        for r in state_ledger.collect()
+        if r[partition_col] in set(values)
+    }
+    missing = [v for v in values if v not in have]
+    if missing:
+        fresh = compute_partition_states(
+            spark,
+            df.filter(F.col(partition_col).isin(missing)),
+            contract,
+            partition_col,
+            now=now,
+            allow_partial=allow_partial,
+        )
+        for r in fresh.collect():
+            have[r[partition_col]] = r
+    out: dict[Any, ValidationReport] = {}
+    for v in values:
+        out[v] = report_from_states(
+            spark,
+            [have[v]],
+            contract,
+            df,
+            strict=strict,
+            now=now,
+            allow_partial=allow_partial,
+        )
+    return out
+
+
+def partition_states(
+    spark: SparkSession,
+    df: DataFrame,
+    contract: Contract | str,
+    partition_col: str,
+    now: Any = None,
+    allow_partial: bool = False,
+) -> DataFrame:
+    """Compute the mergeable per-partition validation states for
+    ``contract`` — the ledger rows :func:`validate_partitions` consumes
+    via ``state_ledger=``. See :mod:`dce_spark.state`."""
+    from .state import compute_partition_states
+
+    return compute_partition_states(
+        spark, df, contract, partition_col,
+        now=now, allow_partial=allow_partial,
+    )

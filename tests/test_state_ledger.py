@@ -1,0 +1,206 @@
+"""The mergeable-state ledger API (round 11, verdict item 4): the
+merge-path report — evaluated from committed per-partition states —
+must equal the row-path report bit-for-bit, on the events table, for
+every partition and for the merged table-level report. Plus the refusal
+contract for checks that have no mergeable state."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dce_spark.api import partition_states, validate_df, validate_partitions
+from dce_spark.data import load_table
+from dce_spark.state import merge_state_rows, report_from_states
+
+from conftest import SF_DIR
+
+# a fully MERGEABLE contract over events: nullability, allowed-values,
+# range, completeness, freshness — no uniqueness/leakage/custom
+MERGEABLE_CONTRACT = """
+version: "1.0.0"
+name: events-mergeable
+owner: data-eng
+description: mergeable-state ledger test contract
+
+schema:
+  format: parquet
+  location: /dev/null
+  fields:
+    - name: event_id
+      type: int64
+      nullable: false
+    - name: user_id
+      type: int64
+      nullable: false
+    - name: event_type
+      type: string
+      nullable: false
+      constraints:
+        - type: allowedvalues
+          values: [view, click, purchase, signup, error]
+    - name: value
+      type: float64
+      constraints:
+        - type: range
+          min: -1000000
+          max: 1000000
+    - name: ts
+      type: timestamp
+
+quality_checks:
+  completeness:
+    threshold: 0.99
+    fields: [event_id, user_id, event_type]
+  freshness:
+    metric: ts
+    max_delay: 36500d
+"""
+
+NOW = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _events_by_day(spark):
+    return load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+
+def _report_key(rep):
+    """Everything that defines a report apart from wall-clock
+    duration: checks (all fields), errors, warnings, stats."""
+    return (
+        rep.passed,
+        tuple(rep.errors),
+        tuple(rep.warnings),
+        tuple(
+            (c.name, c.category, c.passed, c.severity, c.field,
+             tuple(sorted(c.observed.items())), c.threshold, c.message)
+            for c in rep.checks
+        ),
+        (rep.stats.records_validated, rep.stats.fields_checked,
+         rep.stats.constraints_evaluated),
+    )
+
+
+def test_merge_path_equals_row_path_per_partition(spark):
+    """validate_partitions(state_ledger=...) must return, for every
+    partition, a report identical to the row path's."""
+    ev = _events_by_day(spark)
+    ledger = partition_states(spark, ev, MERGEABLE_CONTRACT, "day", now=NOW)
+    by_rows = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", now=NOW
+    )
+    by_state = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", state_ledger=ledger, now=NOW
+    )
+    assert sorted(by_rows) == sorted(by_state)
+    assert len(by_rows) > 1  # non-vacuous: multiple partitions
+    for v in by_rows:
+        assert _report_key(by_rows[v]) == _report_key(by_state[v]), v
+    spark.catalog.clearCache()
+
+
+def test_merged_states_equal_full_table_report(spark):
+    """Merging ALL partition states must reproduce validate_df on the
+    whole table — the merged == recomputed contract of SCALING.md §8c,
+    now at the API level."""
+    ev = _events_by_day(spark)
+    states = partition_states(spark, ev, MERGEABLE_CONTRACT, "day", now=NOW)
+    merged_rep = report_from_states(
+        spark, states, MERGEABLE_CONTRACT, ev, now=NOW
+    )
+    row_rep = validate_df(spark, ev, MERGEABLE_CONTRACT, now=NOW)
+    assert _report_key(merged_rep) == _report_key(row_rep)
+    assert merged_rep.stats.records_validated == ev.count()
+    spark.catalog.clearCache()
+
+
+def test_ledger_covers_known_partitions_without_rescan(spark):
+    """Partitions present in the ledger are served from it: corrupt
+    the underlying frame for those partitions and the state-path
+    report must NOT notice (proof no row scan happened), while a
+    partition missing from the ledger is computed from rows."""
+    ev = _events_by_day(spark)
+    days = sorted(
+        r["day"] for r in ev.select("day").distinct().collect()
+    )
+    committed_days = days[:-1]
+    ledger = partition_states(
+        spark,
+        ev.filter(F.col("day").isin(committed_days)),
+        MERGEABLE_CONTRACT,
+        "day",
+        now=NOW,
+    )
+    # poison event_type outside the allowed set for EVERY row; only the
+    # uncommitted day should see violations
+    poisoned = ev.withColumn("event_type", F.lit("poisoned"))
+    by_state = validate_partitions(
+        spark, poisoned, MERGEABLE_CONTRACT, "day",
+        state_ledger=ledger, now=NOW,
+    )
+    for d in committed_days:
+        allowed = [
+            c for c in by_state[d].checks
+            if c.name.startswith("constraints.allowedvalues")
+        ]
+        assert allowed and all(c.passed for c in allowed), d
+    fresh_day = days[-1]
+    allowed = [
+        c for c in by_state[fresh_day].checks
+        if c.name.startswith("constraints.allowedvalues")
+    ]
+    assert allowed and not any(c.passed for c in allowed)
+    spark.catalog.clearCache()
+
+
+def test_non_mergeable_checks_refused_loudly(spark):
+    """uniqueness has no mergeable state: both the state computation
+    and the report evaluation must raise unless allow_partial=True,
+    and the partial report must record the skip in warnings."""
+    ev = _events_by_day(spark)
+    with_uniq = MERGEABLE_CONTRACT + """
+  uniqueness:
+    fields: [event_id]
+"""
+    with pytest.raises(ValueError, match="uniqueness"):
+        partition_states(spark, ev, with_uniq, "day", now=NOW)
+    states = partition_states(
+        spark, ev, with_uniq, "day", now=NOW, allow_partial=True
+    )
+    rep = report_from_states(
+        spark, states, with_uniq, ev, now=NOW, allow_partial=True
+    )
+    assert any("uniqueness" in w for w in rep.warnings)
+    assert not any("uniqueness" in c.name for c in rep.checks)
+    spark.catalog.clearCache()
+
+
+def test_merge_state_rows_exact_arithmetic():
+    """Pure merge semantics: sums are exact int addition with NULL as
+    identity; freshness is a NULL-skipping max; the partition column
+    is dropped."""
+    rows = [
+        {"day": "a", "__total__": 2, "__null__x": 1, "__fresh__ts": 10},
+        {"day": "b", "__total__": 3, "__null__x": None, "__fresh__ts": None},
+        {"day": "c", "__total__": 5, "__null__x": 4, "__fresh__ts": 7},
+    ]
+    m = merge_state_rows(rows)
+    assert m == {"__total__": 10, "__null__x": 5, "__fresh__ts": 10}
+
+
+def test_state_plan_is_scalable(spark):
+    """The ledger computation itself must hold the catalog bar: no
+    cartesian, no row-at-a-time Python, bounded exchanges (one grouped
+    aggregate = one shuffle)."""
+    from dce_spark.planaudit import assert_scalable, audit
+
+    ev = _events_by_day(spark)
+    states = partition_states(spark, ev, MERGEABLE_CONTRACT, "day", now=NOW)
+    assert_scalable(states)
+    assert audit(states).shuffle_exchanges <= 1
+    spark.catalog.clearCache()
