@@ -2178,6 +2178,30 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   50. Freeze at rotation. RECOMPUTE the ledger from the committed
 #   CORRECTNESS files first (r8 lesson: plan comments can mis-read
 #   it).
+#
+#   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
+#   oracle-verified at three SFs in round 11
+#   (queries_staging_r13.py: the graph family over the hash-free
+#   shingle-overlap candidate graph — cc_hashmin_labels /
+#   cc_convergence_curve / label_propagation_round /
+#   graph_degree_profile / triangle_closure / common_neighbors_topk /
+#   cross_source_edge_mix; the streaming-batch mirror family over 5
+#   exact-integer epoch micro-batches — attribution_stream_cuts /
+#   pit_stream_cut_consistency / lww_stream_convergence /
+#   watermark_drop_matrix / session_open_state / topk_stream_stability
+#   / cdc_disorder_rate; the source-mix planning family —
+#   token_budget_allocation / length_floor_sweep /
+#   epoch_repetition_schedule / sample_slots_largest_remainder /
+#   dedup_adjusted_budget / mix_shift_under_caps). Round 13 promotes;
+#   round 12 only needs its own promotion + window rotation + a
+#   round-14 staging cohort. Round-14 candidate themes with 100 TB
+#   pull: (a) multi-round graph ops as CONVERGED fixpoints with the
+#   driver-side round loop (the cc_convergence_curve machinery run to
+#   n_changed = 0, oracle = recursive CTE), (b) the mergeable-state
+#   ledger's TIME dimension — state-row diffs across committed ledger
+#   snapshots (reuses dce_spark/state.py, the r11 API), (c) curriculum
+#   / data-ordering plans — deterministic difficulty scoring and
+#   epoch-bucketed ordering over the mix-planner's allocations.
 _DRIVER_WINDOW = [
     # promoted round-11 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 END HEAD)
