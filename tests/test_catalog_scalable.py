@@ -190,7 +190,9 @@ def test_driver_timed_subset_policy():
     anchors = {
         "tpch": "q1_pricing_summary",
         "window": "window_topn_customers_per_segment",
-        "analytics": "psi_total_lineitem",
+        # analytics/drift: psi_total rotated out in r11 — the PSI
+        # trend sentinels are psi_value_drift + the r11 occupancy PSI
+        "analytics": "corr_matrix_lineitem",
         "dedup": "dedup_minhash_lsh_capped",
         "embedding": "embedding_ivf_topk",
         "text": "text_stats_documents",
@@ -198,22 +200,22 @@ def test_driver_timed_subset_policy():
         "multimodal": "multimodal_payload_stats",
         "timeseries": "sessionization_events",
         "streaming": "heavy_hitters_batch_events",
-        "warehouse": "scd2_intervals_events",
+        # warehouse: scd2_intervals rotated out in r11 for its
+        # snapshot-diff derivative
+        "warehouse": "scd2_snapshot_diff_events",
     }
     for fam, name in anchors.items():
         assert name in sub, f"family {fam} lost its sentinel ({name})"
-    # the newest round's additions are always sentinelled (round-10
-    # rotation: the r9 reps cdc_last_write_wins / semdedup_prune /
-    # dup_ngram_span / rfm_segments rotated out for their round-10
-    # same-family derivatives; the fixed-edge shape tests are
-    # production forms, so they sentinel — their exact twins are the
-    # EXACT_FORMS entries)
+    # the newest round's additions are always sentinelled (round-11
+    # rotation: scd2_intervals / pit_features / kmeans_2iter /
+    # psi_total / approx_distinct / bigram_logprob rotated out for
+    # the r11 family representatives)
     for name in (
-        "scd2_change_rate_events",
-        "semdedup_threshold_sweep_embeddings",
-        "dup_span_by_source_documents",
-        "rfm_migration_customers",
-        "ks_fixed_edges_events",
-        "cvm_fixed_edges_events",
+        "mergeable_profile_lineitem",
+        "incremental_validation_orders",
+        "centroid_shift_embeddings",
+        "index_staleness_embeddings",
+        "scd2_snapshot_diff_events",
+        "k_anonymity_profile_events",
     ):
         assert name in sub
