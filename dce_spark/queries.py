@@ -2202,6 +2202,9 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   snapshots (reuses dce_spark/state.py, the r11 API), (c) curriculum
 #   / data-ordering plans — deterministic difficulty scoring and
 #   epoch-bucketed ordering over the mix-planner's allocations.
+#   BOTH staged cohorts (r12 + r13, 40 queries) re-verified at
+#   sf0.001 + sf0.01 + sf0.1 at round-11 END HEAD — 20/20 exact per
+#   cohort at each SF.
 _DRIVER_WINDOW = [
     # promoted round-11 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 END HEAD)
