@@ -2193,18 +2193,35 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   token_budget_allocation / length_floor_sweep /
 #   epoch_repetition_schedule / sample_slots_largest_remainder /
 #   dedup_adjusted_budget / mix_shift_under_caps). Round 13 promotes;
-#   round 12 only needs its own promotion + window rotation + a
-#   round-14 staging cohort. Round-14 candidate themes with 100 TB
-#   pull: (a) multi-round graph ops as CONVERGED fixpoints with the
-#   driver-side round loop (the cc_convergence_curve machinery run to
-#   n_changed = 0, oracle = recursive CTE), (b) the mergeable-state
-#   ledger's TIME dimension — state-row diffs across committed ledger
-#   snapshots (reuses dce_spark/state.py, the r11 API), (c) curriculum
-#   / data-ordering plans — deterministic difficulty scoring and
-#   epoch-bucketed ordering over the mix-planner's allocations.
-#   BOTH staged cohorts (r12 + r13, 40 queries) re-verified at
+#   round 12 only needs its own promotion + window rotation (the
+#   round-14 cohort it would otherwise have staged is ALREADY staged,
+#   see ROUND 14 SEED below — round 12's staging slot should go to a
+#   round-15 cohort to keep the pipeline two ahead).
+#
+#   ROUND 14 SEED — a FULL cohort of TWENTY already staged and
+#   oracle-verified at three SFs in round 11, on exactly the
+#   candidate themes seeded above (queries_staging_r14.py): the
+#   CONVERGED-fixpoint graph family — the hash-min loop run
+#   driver-side to n_changed = 0, oracle = DuckDB RECURSIVE
+#   reachability closure (cc_converged_components / cc_size_histogram
+#   / cc_cross_source_components / cc_component_density /
+#   cc_survivor_savings / cc_truncation_error /
+#   cc_exact_group_fusion); the ledger TIME-dimension family — state
+#   arithmetic across the 5 exact-integer snapshot commits, zero
+#   row-rescan (ledger_snapshot_diff / ledger_growth_curve /
+#   ledger_merge_recompute_equality / ledger_partition_arrivals /
+#   ledger_compaction_histogram / ledger_freshness_lag /
+#   ledger_rate_drift); the curriculum/data-ordering family —
+#   exact-integer difficulty scores, fixed-edge buckets (NO global
+#   sort), token-balanced epoch assignment, pacing, interleave, and
+#   the two PSI interaction checks (curriculum_difficulty_histogram /
+#   curriculum_epoch_assignment / curriculum_epoch_mix /
+#   curriculum_pacing_curve / curriculum_interleave_order /
+#   curriculum_source_difficulty_psi). Round 14 promotes them.
+#   BOTH prior staged cohorts (r12 + r13, 40 queries) re-verified at
 #   sf0.001 + sf0.01 + sf0.1 at round-11 END HEAD — 20/20 exact per
-#   cohort at each SF.
+#   cohort at each SF; the r14 cohort verified the same way at the
+#   same HEAD (52/52 staging tests green per SF).
 _DRIVER_WINDOW = [
     # promoted round-11 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 END HEAD)
