@@ -2222,6 +2222,21 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   sf0.001 + sf0.01 + sf0.1 at round-11 END HEAD — 20/20 exact per
 #   cohort at each SF; the r14 cohort verified the same way at the
 #   same HEAD (52/52 staging tests green per SF).
+#
+#   ROUND 15 candidate themes (for round 12's staging slot), each a
+#   continuation of proven machinery with 100 TB pull: (a)
+#   INCREMENTAL graph maintenance — a batch of new documents arrives,
+#   only edge-touched components re-converge (delta edges via the
+#   same inverted-index join against the persisted gram index,
+#   re-convergence seeded from committed labels; oracle = closure on
+#   the unioned graph) — the fixpoint family's ledger face; (b) the
+#   zone-map/ledger PRUNING ECONOMICS — which (partition, commit)
+#   state rows prove a predicate can skip them, and the scan bytes
+#   that buys, as exact state arithmetic (extends zone_map_prune
+#   along the time axis); (c) the JOINT curriculum x mix allocation —
+#   slots per (epoch, source) under BOTH the difficulty ordering and
+#   the anti-dominance caps, largest-remainder rounded (exact ints;
+#   composes queries_staging_r13's planner with r14's epoch map).
 _DRIVER_WINDOW = [
     # promoted round-11 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 END HEAD)
