@@ -378,8 +378,10 @@ DRIVER_TIMED = [
     "zipf_slope_documents",
     "tokenizer_fertility_documents",
     # (rotation r11: bigram_logprob out — the LM-logprob family keeps
-    # its trend lines in the committed full-run medians; the document
-    # family's new sentinels are the r11 governance pair below)
+    # its trend lines in the committed full-run medians; its sentinel
+    # slot went to the r11 governance rep k_anonymity_profile_events
+    # below — the documents-table governance pair pmi_lift_bigrams /
+    # doclen_histogram_by_source is benched in FULL runs only)
     # sampling
     "split_assign_documents",
     "stratified_sample_documents",

@@ -264,11 +264,24 @@ def validate_partitions(
     values = list(values)
 
     if state_ledger is not None:
+        unsupported = sorted(set(kwargs) - {"strict", "now", "allow_partial"})
+        if unsupported:
+            raise ValueError(
+                "state-ledger path supports only strict/now/allow_partial "
+                f"(got row-path-only options {unsupported}); drop "
+                "state_ledger= to validate from rows with them"
+            )
         return _validate_partitions_from_ledger(
             spark, df, contract, partition_col, values, state_ledger,
             **kwargs,
         )
 
+    if "allow_partial" in kwargs:
+        raise ValueError(
+            "allow_partial applies only to the state-ledger path (the row "
+            "path runs every check from rows); drop the flag or pass "
+            "state_ledger="
+        )
     out: dict[Any, ValidationReport] = {}
     for v in values:
         part = df.filter(F.col(partition_col) == F.lit(v))
@@ -295,10 +308,11 @@ def _validate_partitions_from_ledger(
 
     from .state import compute_partition_states, report_from_states
 
+    wanted = set(values)
     have = {
         r[partition_col]: r
         for r in state_ledger.collect()
-        if r[partition_col] in set(values)
+        if r[partition_col] in wanted
     }
     missing = [v for v in values if v not in have]
     if missing:
@@ -314,9 +328,13 @@ def _validate_partitions_from_ledger(
             have[r[partition_col]] = r
     out: dict[Any, ValidationReport] = {}
     for v in values:
+        # a value absent from both the ledger and the data has no state
+        # row (the grouped job emits nothing for an empty partition):
+        # evaluate from zero states — the identity state — which equals
+        # the row path's validate_df over the empty filter
         out[v] = report_from_states(
             spark,
-            [have[v]],
+            [have[v]] if v in have else [],
             contract,
             df,
             strict=strict,

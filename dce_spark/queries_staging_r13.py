@@ -173,6 +173,15 @@ def _hashmin_round(lbls, edges):
     )
 
 
+
+def _local_result(spark, df):
+    """Materialize a small final frame so the caller can unpersist its
+    inputs (the convention for queries that manage persisted
+    intermediate frames; reused by queries_staging_r14)."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
+
+
 _CC_LABELS_ORACLE = (
     _GRAPH_CTE
     + """, nodes AS (
@@ -226,10 +235,9 @@ def cc_hashmin_labels_documents(spark, sf_dir):
         .orderBy(F.desc("n_nodes"), "component")
         .limit(20)
     )
-    rows = out.collect()
-    schema = out.schema
+    res = _local_result(spark, out)
     edges.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 _CC_CURVE_ORACLE = (
@@ -527,10 +535,9 @@ def triangle_closure_documents(spark, sf_dir):
             .alias("closure"),
         )
     )
-    rows = out.collect()
-    schema = out.schema
+    res = _local_result(spark, out)
     pairs.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 _COMMON_NB_ORACLE = (
@@ -590,10 +597,9 @@ def common_neighbors_topk_documents(spark, sf_dir):
         ),
     )
     out = flagged.orderBy(F.desc("n_common"), "doc_a", "doc_b").limit(10)
-    rows = out.collect()
-    schema = out.schema
+    res = _local_result(spark, out)
     pairs.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return res
 
 
 _CROSS_SOURCE_ORACLE = (
@@ -757,7 +763,10 @@ def attribution_stream_cuts_events(spark, sf_dir):
     staged = ev.withColumn("packed", packed).filter(
         F.col("event_type") == "purchase"
     )
-    src_es = F.floor(F.col("packed") / _ID_RADIX)
+    # exact integer unpack: packed ~ 1.7e16 exceeds double's 2^53
+    # mantissa, so a float `/` could flip floor() at radix boundaries —
+    # `div` matches the oracle's `//` bit-for-bit
+    src_es = F.expr(f"packed div {_ID_RADIX}")
     attributed = F.col("packed").isNotNull() & (
         F.col("es") - src_es <= 3600
     )
@@ -1040,7 +1049,7 @@ _SESS_GAP = 1800  # the sessionization_events 30-min gap rule
 _SESS_OPEN_ORACLE = (
     _EV_BATCH_CTE
     + f""", marked AS (
-  SELECT user_id, es, mn, mx,
+  SELECT user_id, es, event_id, mn, mx,
          CASE WHEN lag(es) OVER (PARTITION BY user_id
                                  ORDER BY es, event_id) IS NULL
                    OR es - lag(es) OVER (PARTITION BY user_id
@@ -1050,7 +1059,7 @@ _SESS_OPEN_ORACLE = (
   FROM ev
 ), sid AS (
   SELECT user_id, es, mn, mx,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY es
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
                           ROWS UNBOUNDED PRECEDING) AS s
   FROM marked
 ), sess AS (
@@ -1106,9 +1115,13 @@ def session_open_state_events(spark, sf_dir):
             | ((F.col("es") - F.lag("es").over(wlag)) > _SESS_GAP)
         ).cast("int"),
     )
+    # the running sum must use the SAME total order as the lag that
+    # computed new_s — ordering by es alone leaves same-second rows
+    # free to permute, which can move a tied row across a session
+    # boundary differently per engine/partitioning
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("es")
+        .orderBy("es", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sid = marked.withColumn("s", F.sum("new_s").over(wrun))

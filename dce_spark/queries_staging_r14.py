@@ -91,6 +91,7 @@ from .queries_staging_r13 import (  # noqa: F401
     _gram_edges,
     _gram_pairs,
     _hashmin_round,
+    _local_result,
 )
 
 STAGED_R14: dict[str, "StagedSpec"] = {}
@@ -175,13 +176,6 @@ def _converged_labels(spark, sf_dir):
         if n_changed == 0:
             break
     return lbls, edges, rounds
-
-
-def _local_result(spark, df):
-    """Materialize a small final frame so the caller can unpersist its
-    inputs (the r13 cc_hashmin_labels convention for loop queries)."""
-    rows = df.collect()
-    return spark.createDataFrame(rows, df.schema)
 
 
 _CC_CONVERGED_ORACLE = (

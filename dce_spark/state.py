@@ -255,6 +255,9 @@ def report_from_states(
         report.add(r, strict=strict)
     for r in schema_checks.type_checks(c, df):
         report.add(r, strict=strict)
+    # the compiler's stage-0 signal: presence/type failures only (the
+    # nullability probes have not evaluated yet)
+    stage0_failed = not all(ck.passed for ck in report.checks)
 
     probes, skipped = mergeable_probes(c, df, now=now)
     if skipped and not allow_partial:
@@ -264,6 +267,13 @@ def report_from_states(
         )
     rows = states.collect() if isinstance(states, DataFrame) else list(states)
     vals = merge_state_rows(rows)
+    # zero state rows (an empty partition) must evaluate like the row
+    # path's fused agg over zero rows: count 0, every sum/max NULL —
+    # pad the alias universe so probe evaluate() never KeyErrors
+    for p in probes:
+        for alias in _expr_aliases(p):
+            vals.setdefault(alias, None)
+    vals.setdefault("__total__", 0)
     records = vals.get("__total__", 0) or 0
 
     # the compiler's stage-1 assembly, verbatim: schema probes first,
@@ -279,11 +289,21 @@ def report_from_states(
     for s in skipped:
         report.warnings.append(f"state-ledger path skipped: {s}")
 
-    fields_checked = {f for p in probes for f in p.fields}
+    # stats mirror the probes the compiler would have BUILT: in strict
+    # mode a stage-0 schema failure stops it from building anything
+    # beyond the schema-category probes (compiler.py, the
+    # `ctx.strict and schema_stage_errors` guard), so count the same
+    # truncated set here or the two paths' stats diverge
+    built = (
+        [p for p in probes if p.category == "schema"]
+        if strict and stage0_failed
+        else probes
+    )
+    fields_checked = {f for p in built for f in p.fields}
     report.stats = ValidationStats(
         records_validated=records,
-        fields_checked=len(fields_checked) if probes else 0,
-        constraints_evaluated=sum(p.constraints for p in probes),
+        fields_checked=len(fields_checked) if built else 0,
+        constraints_evaluated=sum(p.constraints for p in built),
         duration_ms=int((time.monotonic() - t0) * 1000),
     )
     return report

@@ -204,3 +204,64 @@ def test_state_plan_is_scalable(spark):
     assert_scalable(states)
     assert audit(states).shuffle_exchanges <= 1
     spark.catalog.clearCache()
+
+
+def test_absent_partition_equals_row_path(spark):
+    """A requested partition value absent from BOTH the ledger and the
+    data must produce the same report as the row path's validate_df
+    over the empty filter (round-11 review fix: this used to
+    KeyError on the ledger path)."""
+    ev = _events_by_day(spark)
+    ghost = "1970-01-01"
+    ledger = partition_states(spark, ev, MERGEABLE_CONTRACT, "day", now=NOW)
+    by_rows = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", values=[ghost], now=NOW
+    )
+    by_state = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", values=[ghost],
+        state_ledger=ledger, now=NOW,
+    )
+    assert list(by_rows) == [ghost] and list(by_state) == [ghost]
+    assert by_state[ghost].stats.records_validated == 0
+    assert _report_key(by_rows[ghost]) == _report_key(by_state[ghost])
+    spark.catalog.clearCache()
+
+
+def test_kwarg_routing_raises_named_errors(spark):
+    """Row-path-only options with state_ledger=, and allow_partial
+    without it, must raise a ValueError naming the problem — not a
+    TypeError from an inner signature."""
+    ev = _events_by_day(spark)
+    ledger = partition_states(spark, ev, MERGEABLE_CONTRACT, "day", now=NOW)
+    with pytest.raises(ValueError, match="row-path-only"):
+        validate_partitions(
+            spark, ev, MERGEABLE_CONTRACT, "day",
+            state_ledger=ledger, sample_size=10, now=NOW,
+        )
+    with pytest.raises(ValueError, match="allow_partial"):
+        validate_partitions(
+            spark, ev, MERGEABLE_CONTRACT, "day",
+            allow_partial=True, now=NOW,
+        )
+    spark.catalog.clearCache()
+
+
+def test_strict_stage0_failure_stats_match_row_path(spark):
+    """Strict mode + a stage-0 presence failure: the compiler builds
+    only the schema-category probes, so the merge path's stats must
+    count the same truncated set (round-11 review fix)."""
+    ev = _events_by_day(spark)
+    with_ghost = MERGEABLE_CONTRACT.replace(
+        "    - name: ts\n      type: timestamp",
+        "    - name: ts\n      type: timestamp\n"
+        "    - name: ghost_col\n      type: int64\n      nullable: false",
+    )
+    assert "ghost_col" in with_ghost  # the replace anchored
+    states = partition_states(spark, ev, with_ghost, "day", now=NOW)
+    merged_rep = report_from_states(
+        spark, states, with_ghost, ev, strict=True, now=NOW
+    )
+    row_rep = validate_df(spark, ev, with_ghost, strict=True, now=NOW)
+    assert not row_rep.passed  # stage-0 presence failure fired
+    assert _report_key(merged_rep) == _report_key(row_rep)
+    spark.catalog.clearCache()
