@@ -249,6 +249,23 @@ def validate_partitions(
     """
     from pyspark.sql import functions as F
 
+    # kwarg routing fails fast — BEFORE the partition-value discovery
+    # pays a distinct() job on a possibly non-hive source
+    if state_ledger is not None:
+        unsupported = sorted(set(kwargs) - {"strict", "now", "allow_partial"})
+        if unsupported:
+            raise ValueError(
+                "state-ledger path supports only strict/now/allow_partial "
+                f"(got row-path-only options {unsupported}); drop "
+                "state_ledger= to validate from rows with them"
+            )
+    elif "allow_partial" in kwargs:
+        raise ValueError(
+            "allow_partial applies only to the state-ledger path (the row "
+            "path runs every check from rows); drop the flag or pass "
+            "state_ledger="
+        )
+
     if values is None:
         # frontier filter runs IN SPARK (col > lit(since)) so Spark's
         # analyzer coerces types — the CLI passes --since as a string,
@@ -264,24 +281,11 @@ def validate_partitions(
     values = list(values)
 
     if state_ledger is not None:
-        unsupported = sorted(set(kwargs) - {"strict", "now", "allow_partial"})
-        if unsupported:
-            raise ValueError(
-                "state-ledger path supports only strict/now/allow_partial "
-                f"(got row-path-only options {unsupported}); drop "
-                "state_ledger= to validate from rows with them"
-            )
         return _validate_partitions_from_ledger(
             spark, df, contract, partition_col, values, state_ledger,
             **kwargs,
         )
 
-    if "allow_partial" in kwargs:
-        raise ValueError(
-            "allow_partial applies only to the state-ledger path (the row "
-            "path runs every check from rows); drop the flag or pass "
-            "state_ledger="
-        )
     out: dict[Any, ValidationReport] = {}
     for v in values:
         part = df.filter(F.col(partition_col) == F.lit(v))

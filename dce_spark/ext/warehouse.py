@@ -209,7 +209,11 @@ def last_event_attribution(
         )
     ).over(w)
     staged = staged.withColumn("__packed", packed)
-    src_es = F.floor(F.col("__packed") / id_radix)
+    # exact integer unpack: packed ~ es * 1e7 exceeds double's 2^53
+    # mantissa, so a float `/` + floor can flip at radix boundaries
+    # (id near 0 or radix-1) — `div` stays in int64 like the oracles'
+    # `//`
+    src_es = F.expr(f"__packed div {int(id_radix)}")
     ok = F.col("__packed").isNotNull() & (
         F.col("__es") - src_es <= F.lit(int(window_s))
     )

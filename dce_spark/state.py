@@ -257,7 +257,7 @@ def report_from_states(
         report.add(r, strict=strict)
     # the compiler's stage-0 signal: presence/type failures only (the
     # nullability probes have not evaluated yet)
-    stage0_failed = not all(ck.passed for ck in report.checks)
+    stage0_failed = _schema_failed(report)
 
     probes, skipped = mergeable_probes(c, df, now=now)
     if skipped and not allow_partial:
@@ -267,13 +267,37 @@ def report_from_states(
         )
     rows = states.collect() if isinstance(states, DataFrame) else list(states)
     vals = merge_state_rows(rows)
-    # zero state rows (an empty partition) must evaluate like the row
-    # path's fused agg over zero rows: count 0, every sum/max NULL —
-    # pad the alias universe so probe evaluate() never KeyErrors
-    for p in probes:
-        for alias in _expr_aliases(p):
-            vals.setdefault(alias, None)
-    vals.setdefault("__total__", 0)
+    if rows:
+        # a POPULATED ledger missing an alias the contract's probes
+        # need means the states were committed under a different
+        # contract — fail loudly (padding it would report checks as
+        # passed over rows that were never checked)
+        missing = sorted(
+            {
+                alias
+                for p in probes
+                for alias in _expr_aliases(p)
+                if alias not in vals
+            }
+        )
+        if "__total__" not in vals:
+            missing.insert(0, "__total__")
+        if missing:
+            raise ValueError(
+                "state ledger is missing aliases the contract needs "
+                f"({', '.join(missing[:5])}{'...' if len(missing) > 5 else ''}) "
+                "— committed under a different contract version? "
+                "Recompute the states with partition_states()."
+            )
+    else:
+        # zero state rows (an empty partition) must evaluate like the
+        # row path's fused agg over zero rows: count 0, every sum/max
+        # NULL — pad the alias universe so probe evaluate() never
+        # KeyErrors
+        for p in probes:
+            for alias in _expr_aliases(p):
+                vals.setdefault(alias, None)
+        vals.setdefault("__total__", 0)
     records = vals.get("__total__", 0) or 0
 
     # the compiler's stage-1 assembly, verbatim: schema probes first,

@@ -265,3 +265,31 @@ def test_strict_stage0_failure_stats_match_row_path(spark):
     assert not row_rep.passed  # stage-0 presence failure fired
     assert _report_key(merged_rep) == _report_key(row_rep)
     spark.catalog.clearCache()
+
+
+def test_stale_ledger_fails_loudly(spark):
+    """A POPULATED ledger committed under contract v1 must raise a
+    named error when evaluated under a v2 contract that needs aliases
+    the states never computed — silent padding would report checks as
+    passed over rows that were never checked (round-11 second-pass
+    review fix)."""
+    ev = _events_by_day(spark)
+    v1_ledger = partition_states(
+        spark, ev, MERGEABLE_CONTRACT, "day", now=NOW
+    )
+    v2 = MERGEABLE_CONTRACT.replace(
+        "    - name: ts\n      type: timestamp",
+        "    - name: ts\n      type: timestamp\n"
+        "      constraints:\n"
+        "        - type: range\n"
+        "          min: 0\n"
+        "          max: 99999999999",
+    )
+    assert v2 != MERGEABLE_CONTRACT  # the replace anchored
+    with pytest.raises(ValueError, match="missing aliases"):
+        report_from_states(spark, v1_ledger, v2, ev, now=NOW)
+    with pytest.raises(ValueError, match="missing aliases"):
+        validate_partitions(
+            spark, ev, v2, "day", state_ledger=v1_ledger, now=NOW
+        )
+    spark.catalog.clearCache()
