@@ -2165,6 +2165,10 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   uniqueness_dupes_lineitem, uniqueness_per_day_orders,
 #   window_running_total_orders, windowed_quantiles_events,
 #   winnow_fingerprint_documents) lead the round-12 window.
+#   (This 46-name list RE-VERIFIED at round-11 end by recomputing the
+#   ledger from the committed CORRECTNESS files with the r11 window
+#   counted green: tiers r5=46 (exactly these names), r7..r11=50
+#   each, zero never-checked, 296 total.)
 #   CATALOG FROZEN for round 11 at this rotation (296 entries).
 #
 #   ROUND 12 PLAN — promote the TWENTY staged round-12 queries
