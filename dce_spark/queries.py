@@ -2171,17 +2171,43 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   each, zero never-checked, 296 total.)
 #   CATALOG FROZEN for round 11 at this rotation (296 entries).
 #
-#   ROUND 12 PLAN — promote the TWENTY staged round-12 queries
-#   (queries_staging_r12.py — verified at three SFs in round 10 AND
-#   re-verified at round-10 END HEAD, 20/20 exact at each SF),
-#   register any new round-12 queries EARLY, then window: 20 promoted
-#   + round 12's own new queries + the 46 deferred r5 rows listed
-#   above FIRST (after that rotation the r5 tier is EMPTY; 20+46 > 50,
-#   so 16 r5 rows carry to round 13 — defer the 16 LAST names in the
-#   alphabetical list above and say so in the ROUND 13 PLAN) = exactly
-#   50. Freeze at rotation. RECOMPUTE the ledger from the committed
-#   CORRECTNESS files first (r8 lesson: plan comments can mis-read
-#   it).
+#   ROUND 12 WINDOW (this list) — the round-12 plan, EXECUTED: the 20
+#   promoted round-12 stagings (queries_staging_r12.py, registered via
+#   queries_more._promote_staged_r12, fronted the same round — no
+#   unchecked tail; round 12 registers no other new catalog queries:
+#   the round's non-catalog work is the CLI state-ledger face
+#   (--state-ledger/--emit-states), the ADVICE r11 closes, the
+#   value_gini EXACT_FORMS tiering, and the round-15 staging cohort)
+#   + the FIRST 30 (alphabetical) of the 46 r5 rows deferred from the
+#   round-11 window (asof_join_events .. q5_nation_revenue). Ledger
+#   RECOMPUTED this round from the committed
+#   CORRECTNESS_r0{1..5,7,8,9}+r1{0,1}.json files BEFORE rotating:
+#   tiers were r5=46 (exactly the names listed above), r7..r11=50
+#   each, zero reds, zero never-checked, 296 entries — matching the
+#   round-11 plan comment exactly. After this window the r5 tier is
+#   the 16 alphabetically-LAST names (q6_revenue_delta,
+#   range_violations_lineitem, row_count_lineitem,
+#   semantic_decontamination_embeddings, semi_anti_join_customers,
+#   sessionization_events, set_ops_orders_customers,
+#   skew_salted_join_events, temporal_bounds_events,
+#   text_quality_documents, topk_orders_by_price,
+#   uniqueness_dupes_lineitem, uniqueness_per_day_orders,
+#   window_running_total_orders, windowed_quantiles_events,
+#   winnow_fingerprint_documents) — they lead the round-13 window.
+#   CATALOG FROZEN for round 12 at this rotation (316 entries).
+#
+#   ROUND 13 PLAN — promote the TWENTY staged round-13 queries
+#   (queries_staging_r13.py — verified at three SFs in round 11 AND
+#   re-verified at round-11 END HEAD, 20/20 exact at each SF; see
+#   ROUND 13 SEED below for the cohort map), register any new
+#   round-13 queries EARLY, then window: 20 promoted + round 13's own
+#   new queries + the 16 r5 carryovers named above FIRST (r5 tier ->
+#   EMPTY) + the stalest r7 rows to fill to exactly 50 (14 r7 rows if
+#   nothing else registers). Freeze at rotation. RECOMPUTE the ledger
+#   from the committed CORRECTNESS files first (r8 lesson: plan
+#   comments can mis-read it). Round 13's staging slot should go to a
+#   round-16 cohort (the r14 AND r15 cohorts are already staged, so
+#   staging one cohort keeps the pipeline two ahead).
 #
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
@@ -2242,61 +2268,62 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   the anti-dominance caps, largest-remainder rounded (exact ints;
 #   composes queries_staging_r13's planner with r14's epoch map).
 _DRIVER_WINDOW = [
-    # promoted round-11 stagings (oracle-verified at 3 SFs in r10,
-    # re-verified at three SFs at round-10 END HEAD)
-    "mergeable_profile_lineitem",
-    "incremental_validation_orders",
-    "histogram_quantile_merge_lineitem",
-    "moments_merge_events",
-    "zone_map_prune_lineitem",
-    "centroid_shift_embeddings",
-    "cell_occupancy_psi_embeddings",
-    "coord_drift_bucketed_embeddings",
-    "index_staleness_embeddings",
-    "assignment_margin_drift_embeddings",
-    "scd2_snapshot_diff_events",
-    "scd2_asof_snapshot_events",
-    "contract_violation_diff_events",
-    "scd2_version_lifetime_events",
-    "upsert_batch_sizing_events",
-    "k_anonymity_profile_events",
-    "pmi_lift_bigrams_documents",
-    "doclen_histogram_by_source_documents",
-    "value_gini_by_type_events",
-    "time_split_leakage_events",
-    # stalest-tier burn-down: the 26 r4 rows deferred from the
-    # round-10 window (r4 tier -> empty after this window)
-    "approx_distinct_accuracy_events",
-    "best_order_per_customer",
-    "chi_square_drift_events",
-    "conditional_aggregates_lineitem",
-    "corr_matrix_lineitem",
-    "drift_events_weekly",
-    "grouped_quantiles_lineitem",
-    "histogram_lineitem_price",
-    "interarrival_gap_stats_events",
-    "key_skew_profile_events",
-    "ks_test_events",
-    "mode_median_by_segment",
-    "monthly_revenue_yoy_lineitem",
-    "null_safe_join_probe",
-    "outlier_counts_events",
-    "outlier_counts_events_approx",
-    "per_day_quality_events",
-    "priority_profile_per_customer",
-    "range_bucket_join_events",
-    "salted_group_counts_events",
-    "session_window_native_events",
-    "shipping_latency_buckets",
-    "skew_report_lineitem_suppkey",
-    "string_funcs_nation",
-    "trend_events_value",
-    "zorder_key_events",
-    # next-stalest (r5) front: the contract-check core family
-    "schema_columns_events",
-    "null_counts_events",
-    "completeness_events",
-    "allowed_values_violations_orders",
+    # promoted round-12 stagings (oracle-verified at 3 SFs in r10,
+    # re-verified at three SFs at round-10 AND round-11 END HEADs)
+    "validation_state_regression_orders",
+    "histogram_merge_invariance_lineitem",
+    "quantile_state_drift_lineitem",
+    "moments_running_merge_events",
+    "zone_map_adjacency_lineitem",
+    "ivf_reassignment_churn_embeddings",
+    "cell_label_purity_embeddings",
+    "coord_drift_sweep_embeddings",
+    "residual_quantile_drift_embeddings",
+    "label_share_drift_embeddings",
+    "scd2_attr_transition_matrix_events",
+    "pit_horizon_sweep_events",
+    "attribution_model_compare_events",
+    "snapshot_reconciliation_events",
+    "merge_skew_profile_events",
+    "l_diversity_profile_events",
+    "vocab_overlap_sources_documents",
+    "bucket_calibration_events",
+    "rare_combo_suppression_events",
+    "value_lorenz_curve_events",
+    # stalest-tier burn-down: the first 30 (alphabetical) of the 46
+    # r5 rows deferred from the round-11 window; the 16 remaining
+    # (q6_revenue_delta .. winnow_fingerprint_documents, named in the
+    # ROUND 12 WINDOW note above) lead the round-13 window
+    "asof_join_events",
+    "bigram_logprob_documents",
+    "bpe_encode_documents",
+    "class_balance_events",
+    "custom_sql_events",
+    "dedup_clusters_documents",
+    "dedup_exact_documents",
+    "distinct_users_events",
+    "embedding_centroids_by_label",
+    "embedding_near_dup_lsh",
+    "fingerprint_documents",
+    "freshness_events",
+    "heavy_hitters_batch_events",
+    "inmemory_batch_validation",
+    "inmemory_nested_validation",
+    "interp_logprob_documents",
+    "lang_guess_documents",
+    "late_data_windows_events",
+    "multimodal_frame_sample",
+    "null_rate_by_group_events",
+    "overlap_users_events",
+    "pattern_violations_events",
+    "pq_adc_topk_embeddings",
+    "pq_recall_at_k_embeddings",
+    "pq_reconstruction_error_embeddings",
+    "profile_customer",
+    "psi_total_lineitem",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
 ]
 
 

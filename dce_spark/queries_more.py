@@ -4723,3 +4723,41 @@ def _promote_staged_r11() -> None:
 
 
 _promote_staged_r11()
+
+
+# =====================================================================
+# Round-12 promotion. The twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 10, re-verified at round-10 END
+# HEAD and again at round-11 END HEAD — the mergeable-state
+# derivatives (regression diff, merge invariance, quantile/moments
+# ledgers, zone-map adjacency), the embedding-drift derivatives
+# (reassignment churn, cell purity, coord-drift sweep, residual
+# quantiles, label-share drift), the warehouse derivatives (SCD2
+# transition matrix, PIT horizon sweep, attribution model compare,
+# snapshot reconciliation, merge skew), and the governance block
+# (l-diversity, vocab overlap, bucket calibration, rare-combo
+# suppression, Lorenz curve) — enter the live catalog. Same protocol
+# and re-entrancy shape as the r8..r11 promotions above (the staging
+# module bootstraps the catalog chain before defining STAGED_R12, so a
+# staging-first import reaches this loop before any entry exists; bail
+# out and let the staging tail hook re-invoke once all twenty are
+# defined).
+# =====================================================================
+
+
+def _promote_staged_r12() -> None:
+    from . import queries_staging_r12 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R12", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r12()

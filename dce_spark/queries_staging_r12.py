@@ -1612,3 +1612,19 @@ def value_lorenz_curve_events(spark, sf_dir):
             ).alias("cum_value_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Round-12 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R12, so importing THIS module first runs the whole
+# registration chain while STAGED_R12 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8..r11 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r12 as _promote  # noqa: E402
+
+_promote()
+del _promote
