@@ -313,6 +313,30 @@ BENCH_QUERIES = [
     "doclen_histogram_by_source_documents",
     "value_gini_by_type_events",
     "time_split_leakage_events",
+    # round-12 promotions (staged + oracle-verified at three SFs in
+    # round 10, re-verified at r10 and r11 END HEADs, promoted this
+    # round): mergeable-state derivatives, embedding-drift
+    # derivatives, warehouse derivatives, governance block
+    "validation_state_regression_orders",
+    "histogram_merge_invariance_lineitem",
+    "quantile_state_drift_lineitem",
+    "moments_running_merge_events",
+    "zone_map_adjacency_lineitem",
+    "ivf_reassignment_churn_embeddings",
+    "cell_label_purity_embeddings",
+    "coord_drift_sweep_embeddings",
+    "residual_quantile_drift_embeddings",
+    "label_share_drift_embeddings",
+    "scd2_attr_transition_matrix_events",
+    "pit_horizon_sweep_events",
+    "attribution_model_compare_events",
+    "snapshot_reconciliation_events",
+    "merge_skew_profile_events",
+    "l_diversity_profile_events",
+    "vocab_overlap_sources_documents",
+    "bucket_calibration_events",
+    "rare_combo_suppression_events",
+    "value_lorenz_curve_events",
     # round-9 exact-form admissions: benched (full runs only) so the
     # EXACT_FORMS tier below has their trend lines — the r8 verdict's
     # What's-wrong #2 named both as twinned exact forms with no label
@@ -429,7 +453,8 @@ DRIVER_TIMED = [
     "semdedup_threshold_sweep_embeddings",
     "dup_span_by_source_documents",
     "rfm_migration_customers",
-    "attribution_gap_quantiles_events",
+    # (rotation r12: attribution_gap_quantiles out — the attribution
+    # family's sentinel is now the r12 model-compare derivative below)
     "format_mix_drift_multimodal",
     "ks_fixed_edges_events",
     "cvm_fixed_edges_events",
@@ -444,12 +469,25 @@ DRIVER_TIMED = [
     # machinery now sentinelled via centroid_shift), psi_total +
     # approx_distinct (analytics/drift, PSI carried by
     # psi_value_drift + the occupancy PSI), bigram_logprob (text).
-    "mergeable_profile_lineitem",
+    # (rotation r12: mergeable_profile out — the mergeable-state
+    # family's second sentinel is now the r12 cross-run regression
+    # diff; incremental_validation stays, it's the CLI --state-ledger
+    # product path; index_staleness out — the embedding-drift trend is
+    # carried by centroid_shift plus the r12 coord-drift sweep;
+    # k_anonymity out — governance sentinel is now its r12
+    # l-diversity derivative)
     "incremental_validation_orders",
     "centroid_shift_embeddings",
-    "index_staleness_embeddings",
     "scd2_snapshot_diff_events",
-    "k_anonymity_profile_events",
+    # round-12 additions (newest round always sentinelled): one
+    # mid-weight representative per promoted family — the cross-run
+    # validation regression diff (mergeable state), the per-dimension
+    # coord-drift sweep (embedding drift), the attribution model
+    # compare (warehouse), and the l-diversity profile (governance).
+    "validation_state_regression_orders",
+    "coord_drift_sweep_embeddings",
+    "attribution_model_compare_events",
+    "l_diversity_profile_events",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but
@@ -489,6 +527,12 @@ EXACT_FORMS = {
     "cvm_split_distance_events",    # twin cvm_two_sample_bucketed (cvm_bucketed_split_events)
     "ntile_bins_lineitem",          # twin ntile_bins_lineitem_approx
     "grouped_quantiles_lineitem",   # twin grouped_quantiles_lineitem_approx
+    # round-12 admission (the r11 verdict's What's-wrong #1): the
+    # per-type Gini ranks every user of a type inside one ordered
+    # window task — same hazard class as grouped_quantiles. Its
+    # fixed-edge decile twin value_lorenz_curve_events promoted with
+    # the r12 cohort, so the exact form folds into the probe subtotal.
+    "value_gini_by_type_events",    # twin value_lorenz_curve_events
 }
 
 # Non-catalog bench entries constructed inside main(): the xxhash64

@@ -162,6 +162,9 @@ def test_bench_exact_form_labels_consistent():
     catalog_twins = {
         "ntile_bins_lineitem": "ntile_bins_lineitem_approx",
         "grouped_quantiles_lineitem": "grouped_quantiles_lineitem_approx",
+        # r12 admission: the per-type Gini's single-ordered-window
+        # exact form, twinned by its fixed-edge decile Lorenz curve
+        "value_gini_by_type_events": "value_lorenz_curve_events",
     }
     for form, twin in catalog_twins.items():
         assert form in exact, form
@@ -206,16 +209,18 @@ def test_driver_timed_subset_policy():
     }
     for fam, name in anchors.items():
         assert name in sub, f"family {fam} lost its sentinel ({name})"
-    # the newest round's additions are always sentinelled (round-11
-    # rotation: scd2_intervals / pit_features / kmeans_2iter /
-    # psi_total / approx_distinct / bigram_logprob rotated out for
-    # the r11 family representatives)
+    # the newest round's additions are always sentinelled (round-12
+    # rotation: mergeable_profile / index_staleness / k_anonymity /
+    # attribution_gap_quantiles rotated out for the r12 family
+    # representatives; incremental_validation stays — it is the CLI
+    # --state-ledger product path)
     for name in (
-        "mergeable_profile_lineitem",
+        "validation_state_regression_orders",
+        "coord_drift_sweep_embeddings",
+        "attribution_model_compare_events",
+        "l_diversity_profile_events",
         "incremental_validation_orders",
         "centroid_shift_embeddings",
-        "index_staleness_embeddings",
         "scd2_snapshot_diff_events",
-        "k_anonymity_profile_events",
     ):
         assert name in sub
