@@ -242,8 +242,12 @@ def validate_partitions(
     rows (one grouped job covering all of them, not one scan each).
     Because every state aggregate merges exactly (sum/max of exact
     ints), the state-path report equals the row-path report
-    bit-for-bit (test-locked in tests/test_state_ledger.py). Only
-    mergeable contracts qualify — uniqueness / target-leakage /
+    bit-for-bit (test-locked in tests/test_state_ledger.py). A
+    partition holding SEVERAL ledger rows (append-style ledgers commit
+    one state row per arriving batch) is evaluated from the merge of
+    all of them — the rows must be DISJOINT covers of the partition
+    (batch deltas, not superseding recomputations), or the summed
+    counts double-count. Only mergeable contracts qualify — uniqueness / target-leakage /
     grouped-ML / custom-SQL checks raise unless
     ``allow_partial=True`` is passed through.
     """
@@ -312,12 +316,24 @@ def _validate_partitions_from_ledger(
 
     from .state import compute_partition_states, report_from_states
 
-    wanted = set(values)
-    have = {
-        r[partition_col]: r
-        for r in state_ledger.collect()
-        if r[partition_col] in wanted
-    }
+    # the wanted-values filter runs IN SPARK so a years-deep ledger
+    # (10^5 hourly rows x wide contracts) never pays driver transfer
+    # for rows this call discards
+    have: dict[Any, list] = {}
+    if values:
+        ledger_rows = state_ledger.filter(
+            F.col(partition_col).isin(values)
+        ).collect()
+    else:
+        ledger_rows = []
+    # a partition may hold SEVERAL ledger rows (append-style ledgers
+    # commit one state row per arriving batch — the disjoint-cover
+    # model every state aggregate is built to merge). All rows for a
+    # value are merged by report_from_states/merge_state_rows; a
+    # ledger that instead appends superseding RECOMPUTATIONS of the
+    # same rows must be compacted first or the sums double-count.
+    for r in ledger_rows:
+        have.setdefault(r[partition_col], []).append(r)
     missing = [v for v in values if v not in have]
     if missing:
         fresh = compute_partition_states(
@@ -329,7 +345,7 @@ def _validate_partitions_from_ledger(
             allow_partial=allow_partial,
         )
         for r in fresh.collect():
-            have[r[partition_col]] = r
+            have.setdefault(r[partition_col], []).append(r)
     out: dict[Any, ValidationReport] = {}
     for v in values:
         # a value absent from both the ledger and the data has no state
@@ -338,7 +354,7 @@ def _validate_partitions_from_ledger(
         # the row path's validate_df over the empty filter
         out[v] = report_from_states(
             spark,
-            [have[v]] if v in have else [],
+            have.get(v, []),
             contract,
             df,
             strict=strict,

@@ -102,6 +102,7 @@ def constraint_probes(contract: Contract, df: DataFrame) -> list[AggProbe]:
                     evaluate=make_eval(f.name, alias, c.kind, desc),
                     constraints=1,
                     fields=[f.name],
+                    aliases=[alias],
                 )
             )
     return probes

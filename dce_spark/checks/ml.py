@@ -114,6 +114,7 @@ def target_leakage_probes(check: TargetLeakageCheck, df: DataFrame) -> list[AggP
                 exprs=exprs,
                 evaluate=make_eval(feat, corr_alias, n_alias),
                 fields=[feat],
+                aliases=[corr_alias, n_alias],
             )
         )
     return probes

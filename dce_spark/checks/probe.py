@@ -31,3 +31,9 @@ class AggProbe:
     # number of constraint evaluations this probe represents (for stats)
     constraints: int = 0
     fields: list[str] = dc_field(default_factory=list)
+    # aliased output name of each expression in ``exprs``, in order.
+    # The mergeable-state path (state.py) reads these to bind state
+    # columns to merge rules — an explicit contract, since Column has
+    # no portable alias accessor (the JVM plan string is not one and
+    # ``_jc`` does not exist under Spark Connect).
+    aliases: list[str] = dc_field(default_factory=list)

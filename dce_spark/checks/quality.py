@@ -80,6 +80,7 @@ def completeness_probes(check: CompletenessCheck, df: DataFrame) -> list[AggProb
                 exprs=[expr],
                 evaluate=make_eval(fname, alias, check.threshold),
                 fields=[fname],
+                aliases=[alias],
             )
         )
     return probes
@@ -140,6 +141,7 @@ def uniqueness_probe(
         exprs=[distinct.alias(alias)],
         evaluate=evaluate,
         fields=cols,
+        aliases=[alias],
     )
 
 
@@ -235,4 +237,5 @@ def freshness_probe(
         exprs=[expr],
         evaluate=evaluate,
         fields=[check.metric],
+        aliases=[alias],
     )

@@ -232,6 +232,7 @@ def nested_null_probes(contract: Contract, df: DataFrame) -> list[AggProbe]:
                 exprs=[expr],
                 evaluate=make_eval(f.name, alias, f.type),
                 fields=[f.name],
+                aliases=[alias],
             )
         )
     return probes
@@ -274,6 +275,7 @@ def nullability_probes(contract: Contract, df: DataFrame) -> list[AggProbe]:
                 exprs=[expr],
                 evaluate=make_eval(f.name, alias),
                 fields=[f.name],
+                aliases=[alias],
             )
         )
     return probes

@@ -4,6 +4,11 @@
 - validate <contract> [--strict] [--schema-only] [--sample-size N]
   [--format text|json] : parse contract, bind its declared source, run
   the full check pipeline; exit code 1 on failure (validate.rs:104-106).
+  Incremental surface (beyond the reference): --partition-col gives one
+  report per partition; --state-ledger <parquet> serves ledger-covered
+  partitions from committed mergeable states with zero row-scan, and
+  --emit-states <parquet> appends this run's fresh states (point both
+  at one path for a daily incremental ledger; see dce_spark.state).
 - check <contract> : parse + definition validation + summary
   (check.rs:8-67).
 - init <format> <location> [--name ...] [-o file] : infer a contract
@@ -70,22 +75,116 @@ def cmd_validate(args: argparse.Namespace) -> int:
             problems = contract.validate_definition()
             print("contract definition " + ("OK" if not problems else f"invalid: {problems}"))
             return 0 if not problems else 1
+        if args.state_ledger or args.emit_states:
+            if not args.partition_col:
+                print(
+                    "error: --state-ledger/--emit-states require "
+                    "--partition-col (they are per-partition ledger "
+                    "operations)",
+                    file=sys.stderr,
+                )
+                return 2
         if args.partition_col:
             # incremental per-partition validation (api.validate_partitions):
             # one report per partition value, each scan partition-pruned
-            from .api import validate_partitions
+            from pyspark.sql import functions as F
 
-            reports = validate_partitions(
-                spark,
-                df,
-                contract,
-                args.partition_col,
-                since=args.since,
-                strict=args.strict,
-                schema_only=args.schema_only,
-                sample_size=args.sample_size,
-                approx_distinct=args.approx_distinct,
-            )
+            from .api import partition_states, validate_partitions
+
+            kwargs = {"strict": args.strict}
+            # row-path-only options are forwarded only when set, so the
+            # API's named kwarg-routing errors fire on bad combinations
+            # (e.g. --schema-only with --state-ledger) instead of the
+            # CLI silently dropping a flag
+            if args.schema_only:
+                kwargs["schema_only"] = True
+            if args.sample_size is not None:
+                kwargs["sample_size"] = args.sample_size
+            if args.approx_distinct:
+                kwargs["approx_distinct"] = True
+            state_ledger = None
+            if args.state_ledger:
+                state_ledger = spark.read.parquet(args.state_ledger)
+            if args.emit_states:
+                # commit step: compute mergeable states for partitions
+                # NOT already ledger-covered (one grouped job over just
+                # those partitions) and APPEND them to the emit path —
+                # then fold them into the in-memory ledger so the
+                # validation below is pure state arithmetic, zero
+                # row-rescan. Pointing --state-ledger at the same path
+                # makes re-runs no-ops; emitting twice WITHOUT reading
+                # the ledger back appends superseding duplicates, which
+                # the merge would double-count.
+                fresh = df
+                if state_ledger is not None:
+                    covered = [
+                        r[0]
+                        for r in state_ledger.select(args.partition_col)
+                        .distinct()
+                        .collect()
+                    ]
+                    if covered:
+                        fresh = fresh.filter(
+                            ~F.col(args.partition_col).isin(covered)
+                        )
+                if args.since is not None:
+                    fresh = fresh.filter(
+                        F.col(args.partition_col) > F.lit(args.since)
+                    )
+                try:
+                    fresh_states = partition_states(
+                        spark,
+                        fresh,
+                        contract,
+                        args.partition_col,
+                        allow_partial=args.allow_partial,
+                    )
+                except ValueError as e:
+                    # non-mergeable contract without --allow-partial
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+                rows = fresh_states.collect()  # one ~kB row per partition
+                if rows:
+                    emitted = spark.createDataFrame(
+                        rows, fresh_states.schema
+                    )
+                    emitted.write.mode("append").parquet(args.emit_states)
+                    state_ledger = (
+                        state_ledger.unionByName(emitted)
+                        if state_ledger is not None
+                        else emitted
+                    )
+                print(
+                    f"committed {len(rows)} partition state rows to "
+                    f"{args.emit_states}",
+                    file=sys.stderr,
+                )
+            if state_ledger is not None:
+                kwargs["state_ledger"] = state_ledger
+                if args.allow_partial:
+                    kwargs["allow_partial"] = True
+            elif args.allow_partial:
+                print(
+                    "error: --allow-partial applies only to the "
+                    "state-ledger path (--state-ledger/--emit-states)",
+                    file=sys.stderr,
+                )
+                return 2
+
+            try:
+                reports = validate_partitions(
+                    spark,
+                    df,
+                    contract,
+                    args.partition_col,
+                    since=args.since,
+                    **kwargs,
+                )
+            except ValueError as e:
+                # named API errors (stale ledger, non-mergeable checks,
+                # kwarg routing) are user errors, not crashes
+                print(f"error: {e}", file=sys.stderr)
+                return 2
             all_ok = all(r.passed for r in reports.values())
             if args.format == "json":
                 import json as _json
@@ -279,6 +378,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # incremental mode: one report per partition value (> --since)
     v.add_argument("--partition-col", default=None)
     v.add_argument("--since", default=None)
+    # mergeable-state ledger (api.validate_partitions state_ledger=):
+    # --state-ledger reads committed per-partition states (parquet) and
+    # serves covered partitions with ZERO row-scan; --emit-states
+    # appends this run's freshly computed states to a parquet path (the
+    # commit step — point both at the same path for an incremental
+    # daily ledger); --allow-partial skips checks with no mergeable
+    # state (recorded in report warnings) instead of refusing
+    v.add_argument("--state-ledger", default=None)
+    v.add_argument("--emit-states", default=None)
+    v.add_argument("--allow-partial", action="store_true")
     v.set_defaults(func=cmd_validate)
 
     c = sub.add_parser("check", help="parse and summarize a contract")

@@ -89,14 +89,18 @@ def _merge_rule(alias: str) -> Optional[str]:
 
 
 def _expr_aliases(probe: AggProbe) -> list[str]:
-    # Column -> its aliased name. The probes alias every expression,
-    # so the JVM string ends "... AS alias"; rsplit on the LAST " AS "
-    # (inner casts also print "AS BIGINT").
-    out = []
-    for c in probe.exprs:
-        s = c._jc.toString()
-        out.append(s.rsplit(" AS ", 1)[-1].strip("`"))
-    return out
+    # Every probe carries its output aliases explicitly (AggProbe
+    # .aliases, set at construction next to the .alias() calls) — the
+    # previous implementation recovered them by parsing
+    # ``Column._jc.toString()``, but ``_jc`` does not exist under Spark
+    # Connect and the JVM plan string is not a contract.
+    if len(probe.aliases) != len(probe.exprs):
+        raise AssertionError(
+            f"probe {probe.name} declares {len(probe.aliases)} aliases "
+            f"for {len(probe.exprs)} expressions — every probe family "
+            "the state path consumes must carry its alias list"
+        )
+    return probe.aliases
 
 
 def mergeable_probes(

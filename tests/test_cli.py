@@ -144,3 +144,86 @@ def test_profile_verb(tmp_path):
     d = json.loads(r.stdout)
     assert d["row_count"] == 25
     assert d["columns"]["n_nationkey"]["distinct_count"] == 25
+
+
+def test_validate_state_ledger_roundtrip(spark, tmp_path):
+    """The round-12 CLI face of the mergeable-state ledger: --emit-states
+    commits per-partition states; --state-ledger serves covered
+    partitions with ZERO row-scan (proven by poisoning the data between
+    runs); emitting against a full ledger is a no-op; a ledger committed
+    under an older contract fails loudly."""
+    from dce_spark.sinks import write_partitioned
+
+    rows = [(i, 1.0 * i, "a") for i in range(5)]
+    rows += [(10 + i, 500.0, "b") for i in range(5)]  # range violations
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    ledger = str(tmp_path / "ledger")
+
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+
+    # run 1: validate from rows, commit states
+    r1 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--emit-states", ledger)
+    assert r1.returncode == 1, r1.stdout + r1.stderr
+    assert "partition day=a: PASS" in r1.stdout
+    assert "partition day=b: FAIL" in r1.stdout
+    assert "committed 2 partition state rows" in r1.stderr
+
+    # poison the data: every v now violates the range. A ledger-served
+    # run must NOT notice (zero row-scan); a row-path run would fail a.
+    poisoned = spark.createDataFrame(
+        [(i, 500.0, d) for i, d in enumerate(["a"] * 5 + ["b"] * 5)],
+        schema="id long, v double, day string",
+    )
+    write_partitioned(
+        poisoned, out, ["day"], files_per_partition=1, mode="overwrite"
+    )
+
+    r2 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger)
+    assert r2.returncode == 1, r2.stdout + r2.stderr
+    assert "partition day=a: PASS" in r2.stdout  # served from state
+    assert "partition day=b: FAIL" in r2.stdout
+
+    # emit against the full ledger: nothing fresh to commit, and the
+    # reports still come from the committed (pre-poison) states
+    r3 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger, "--emit-states", ledger)
+    assert r3.returncode == 1, r3.stdout + r3.stderr
+    assert "committed 0 partition state rows" in r3.stderr
+    assert "partition day=a: PASS" in r3.stdout
+
+    # stale ledger: v2 contract needs aliases the v1 states never
+    # computed -> named error, exit 2, no traceback
+    p2 = tmp_path / "c2.yml"
+    p2.write_text(
+        PARTITIONED.format(loc=out).replace(
+            "    - name: day\n      type: string",
+            "    - name: day\n      type: string\n"
+            "      constraints:\n"
+            "        - type: pattern\n"
+            "          regex: '^[ab]$'",
+        )
+    )
+    r4 = run_cli("validate", str(p2), "--partition-col", "day",
+                 "--state-ledger", ledger)
+    assert r4.returncode == 2, r4.stdout + r4.stderr
+    assert "missing aliases" in r4.stderr
+    assert "Traceback" not in r4.stderr
+
+
+def test_validate_ledger_flag_misuse(tmp_path, sf_dir):
+    """--state-ledger/--emit-states without --partition-col, and
+    --allow-partial without a ledger, are named CLI errors (exit 2)."""
+    p = tmp_path / "c.yml"
+    p.write_text(GOOD.format(loc=f"{sf_dir}/customer.parquet"))
+    r = run_cli("validate", str(p), "--state-ledger", str(tmp_path / "x"))
+    assert r.returncode == 2
+    assert "--partition-col" in r.stderr
+    r2 = run_cli("validate", str(p), "--partition-col", "c_custkey",
+                 "--allow-partial")
+    assert r2.returncode == 2
+    assert "--allow-partial" in r2.stderr

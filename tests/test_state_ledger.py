@@ -293,3 +293,66 @@ def test_stale_ledger_fails_loudly(spark):
             spark, ev, v2, "day", state_ledger=v1_ledger, now=NOW
         )
     spark.catalog.clearCache()
+
+
+def test_append_style_ledger_merges_per_partition(spark):
+    """A partition holding SEVERAL ledger rows (append-style ledgers:
+    one state row per arriving batch) must be evaluated from the merge
+    of all of them — not from whichever row collect() returned last
+    (round-12 ADVICE fix). Two disjoint batch covers per day, unioned
+    into one ledger, must reproduce the row path exactly."""
+    ev = _events_by_day(spark)
+    batch_a = ev.filter(F.col("event_id") % 2 == 0)
+    batch_b = ev.filter(F.col("event_id") % 2 == 1)
+    ledger = partition_states(
+        spark, batch_a, MERGEABLE_CONTRACT, "day", now=NOW
+    ).unionByName(
+        partition_states(spark, batch_b, MERGEABLE_CONTRACT, "day", now=NOW)
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    assert ledger.groupBy("day").count().filter("count = 2").count() == len(
+        days
+    )  # non-vacuous: every day has two state rows
+    by_rows = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", now=NOW
+    )
+    # poison the frame so any row-scan fallback for a ledger-covered
+    # partition becomes visible
+    poisoned = ev.withColumn("event_type", F.lit("poisoned"))
+    by_state = validate_partitions(
+        spark, poisoned, MERGEABLE_CONTRACT, "day",
+        state_ledger=ledger, now=NOW,
+    )
+    assert sorted(by_rows) == sorted(by_state)
+    for v in by_rows:
+        assert _report_key(by_rows[v]) == _report_key(by_state[v]), v
+    spark.catalog.clearCache()
+
+
+def test_probe_alias_contract(spark):
+    """Probes carry their output aliases explicitly (round-12 ADVICE
+    fix: the state path used to parse Column._jc.toString(), which is
+    not a contract and absent under Spark Connect). The declared
+    aliases must equal the ACTUAL column names of the computed state
+    frame, and a probe with a mismatched alias list must raise."""
+    from dce_spark import parser
+    from dce_spark.checks.probe import AggProbe
+    from dce_spark.state import _expr_aliases, mergeable_probes
+
+    ev = _events_by_day(spark)
+    c = parser.parse_str(MERGEABLE_CONTRACT)
+    probes, _ = mergeable_probes(c, ev, now=NOW)
+    assert probes  # non-vacuous
+    declared = [a for p in probes for a in _expr_aliases(p)]
+    assert len(declared) == sum(len(p.exprs) for p in probes)
+    states = partition_states(spark, ev, MERGEABLE_CONTRACT, "day", now=NOW)
+    assert set(states.columns) == {"day", "__total__", *declared}
+
+    bad = AggProbe(
+        name="bad", category="quality",
+        exprs=[F.count(F.lit(1)).alias("__total__")],
+        evaluate=lambda vals: None, aliases=[],
+    )
+    with pytest.raises(AssertionError, match="alias"):
+        _expr_aliases(bad)
+    spark.catalog.clearCache()
