@@ -163,7 +163,15 @@ def _converged_labels(spark, sf_dir):
         assert rounds <= _MAX_CC_ROUNDS, (
             f"hash-min CC did not converge in {_MAX_CC_ROUNDS} rounds"
         )
-        nxt = _hashmin_round(lbls, edges).persist()
+        nxt = _hashmin_round(lbls, edges)
+        # truncate lineage every few rounds (round-12 ADVICE): each
+        # round's logical plan otherwise nests the previous round's
+        # join+groupBy, growing up to _MAX_CC_ROUNDS deep — persist
+        # caches DATA but not the plan, so on a deep graph planning
+        # time (and driver plan size) inflates despite the
+        # O(1)-driver-state loop. localCheckpoint materializes the
+        # labels (one row per node) and resets the plan to a scan.
+        nxt = nxt.localCheckpoint() if rounds % 4 == 0 else nxt.persist()
         n_changed = (
             nxt.join(
                 lbls.select("v", F.col("lbl").alias("prev")), "v"
@@ -1191,6 +1199,15 @@ _N_EPOCHS = 4
 _PACE_GRID = [6000, 6500, 7000, 7500, 8000]
 _KNUTH = 2654435761  # Knuth multiplicative-hash constant
 _IMOD = 4294967296  # 2^32
+_IMASK = 2147483648  # 2^31 — pre-multiply mask for the interleave key
+# The interleave key masks doc_id BEFORE the multiply (round-12
+# ADVICE: an unmasked doc_id >= ~2^33 overflowed int64 — Spark wraps
+# silently, DuckDB errors, so the "identical on every engine"
+# determinism claim broke at large id domains). The mask is 2^31, not
+# 2^32: (2^32-1) * 2654435761 ~= 2^63.4 still exceeds int64, while
+# (2^31-1) * 2654435761 ~= 2^62.3 stays exact on every engine.
+# key = ((doc_id % 2^31) * KNUTH) % 2^32 — unchanged for every tested
+# doc_id domain, and a well-mixed deterministic permutation at any.
 
 _SCORE_BUCKET_SQL = " + ".join(
     f"CAST((score >= {e}) AS INT)" for e in _SCORE_EDGES
@@ -1505,7 +1522,7 @@ _CURR_ILEAVE_ORACLE = (
     _EMAP_CTE
     + f""", keyed AS (
   SELECT e.epoch, s.doc_id, s.bucket, s.score,
-         CAST((s.doc_id * {_KNUTH}) % {_IMOD} AS BIGINT) AS ikey
+         CAST(((s.doc_id % {_IMASK}) * {_KNUTH}) % {_IMOD} AS BIGINT) AS ikey
   FROM scored s JOIN emap e ON e.bucket = s.bucket
 ), ranked AS (
   SELECT epoch, doc_id, bucket, score, ikey,
@@ -1524,8 +1541,10 @@ FROM ranked WHERE pos <= 5"""
     _CURR_ILEAVE_ORACLE,
     "curriculum ordering: the WITHIN-EPOCH INTERLEAVE — inside each "
     "epoch, documents are ordered by the deterministic "
-    "multiplicative-hash key (doc_id * 2654435761) mod 2^32 (Knuth's "
-    "constant; exact 64-bit integer arithmetic, so the 'shuffle' is "
+    "multiplicative-hash key ((doc_id mod 2^31) * 2654435761) mod "
+    "2^32 (Knuth's constant; the pre-multiply mask keeps the product "
+    "inside int64 at ANY id domain — "
+    "exact 64-bit integer arithmetic, so the 'shuffle' is "
     "identical on every engine and every run — a seeded permutation "
     "without RNG state), and the first 5 positions per epoch are "
     "emitted. Within an epoch the curriculum is deliberately "
@@ -1545,7 +1564,7 @@ def curriculum_interleave_order_documents(spark, sf_dir):
         "doc_id",
         "bucket",
         "score",
-        F.expr(f"(doc_id * {_KNUTH}) % {_IMOD}")
+        F.expr(f"((doc_id % {_IMASK}) * {_KNUTH}) % {_IMOD}")
         .cast("long")
         .alias("ikey"),
     )
