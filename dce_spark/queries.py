@@ -2253,20 +2253,46 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   cohort at each SF; the r14 cohort verified the same way at the
 #   same HEAD (52/52 staging tests green per SF).
 #
-#   ROUND 15 candidate themes (for round 12's staging slot), each a
-#   continuation of proven machinery with 100 TB pull: (a)
-#   INCREMENTAL graph maintenance — a batch of new documents arrives,
-#   only edge-touched components re-converge (delta edges via the
-#   same inverted-index join against the persisted gram index,
-#   re-convergence seeded from committed labels; oracle = closure on
-#   the unioned graph) — the fixpoint family's ledger face; (b) the
-#   zone-map/ledger PRUNING ECONOMICS — which (partition, commit)
-#   state rows prove a predicate can skip them, and the scan bytes
-#   that buys, as exact state arithmetic (extends zone_map_prune
-#   along the time axis); (c) the JOINT curriculum x mix allocation —
-#   slots per (epoch, source) under BOTH the difficulty ordering and
-#   the anti-dominance caps, largest-remainder rounded (exact ints;
-#   composes queries_staging_r13's planner with r14's epoch map).
+#   ROUND 15 SEED — a FULL cohort of TWENTY staged and
+#   oracle-verified at three SFs in round 12, on exactly the
+#   candidate themes seeded by round 11 (queries_staging_r15.py):
+#   the INCREMENTAL graph-maintenance family — arrival batches over
+#   the doc_id range, converged base labels committed, the delta
+#   re-converged SEEDED from them, oracle = recursive closure on the
+#   unioned graph (cc_incremental_labels / cc_touched_components /
+#   cc_incremental_stability / cc_attachment_profile /
+#   cc_delta_edge_mix / cc_reconverge_frontier /
+#   cc_incremental_savings); the zone-map/ledger PRUNING-ECONOMICS
+#   family — exact value/time zones per (partition, commit) state
+#   row, prune matrices, threshold/time-cut sweeps, the row-scan
+#   soundness audit, and the compaction-vs-pruning tradeoff
+#   (zone_prune_matrix / zone_prune_threshold_sweep /
+#   zone_prune_time_cut / zone_prune_soundness / zone_time_adjacency
+#   / zone_prune_compaction_tradeoff); the JOINT curriculum x mix
+#   family — the (epoch, source) grid, per-epoch Hamilton slots,
+#   epoch-scoped anti-dominance caps with greedy redistribution,
+#   per-epoch mix-drift PSI, per-cell interleave heads, the
+#   dominance audit, and the two-level rounding drift
+#   (joint_epoch_source_grid / joint_slots_by_epoch /
+#   joint_caps_redistribution / joint_mix_drift_by_epoch /
+#   joint_interleave_heads / joint_dominance_audit /
+#   joint_rounding_drift). Round 15 promotes them;
+#   tests/test_staging_r15.py is the per-SF harness (53 green at
+#   sf0.001 + sf0.01 + sf0.1 at staging time).
+#
+#   ROUND 16 candidate themes (for round 13's staging slot), each a
+#   continuation with 100 TB pull: (a) the incremental LSH-index
+#   admission ledger — the r9 incremental-dedup index crossed with
+#   the r14/r15 ledger time axis: per-(band, commit) bucket states,
+#   admission decisions replayed as exact state arithmetic, index
+#   staleness economics; (b) SAMPLER EXECUTION plans — turn the
+#   joint (epoch, source) slot grids into concrete deterministic
+#   document picks (interleave-keyed top-slots per cell) with
+#   coverage/overlap audits vs the planned quotas; (c) multi-
+#   predicate pruning algebra — AND/OR composition of zone
+#   predicates per state row, the selectivity-ordered short-circuit
+#   plan, and the residual-scan estimate (extends the r15 pruning
+#   economics to predicate trees).
 _DRIVER_WINDOW = [
     # promoted round-12 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 AND round-11 END HEADs)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dce_spark.queries_staging_r14 import (
     _KNUTH,
+    _IMASK,
     _IMOD,
     _N_EPOCHS,
     STAGED_R14,
@@ -341,7 +342,7 @@ def test_interleave_replay(spark):
     }
     by_epoch: dict[int, list[tuple[int, int]]] = {}
     for doc, (bucket, _score) in scored.items():
-        key = (doc * _KNUTH) % _IMOD
+        key = ((doc % _IMASK) * _KNUTH) % _IMOD
         by_epoch.setdefault(emap[bucket], []).append((key, doc))
     expect = set()
     for e, lst in by_epoch.items():
