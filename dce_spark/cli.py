@@ -163,7 +163,9 @@ def cmd_validate(args: argparse.Namespace) -> int:
                 kwargs["state_ledger"] = state_ledger
                 if args.allow_partial:
                     kwargs["allow_partial"] = True
-            elif args.allow_partial:
+            elif args.allow_partial and not args.emit_states:
+                # --emit-states legitimately consumed the flag above
+                # even when it committed zero rows (empty source)
                 print(
                     "error: --allow-partial applies only to the "
                     "state-ledger path (--state-ledger/--emit-states)",

@@ -1,10 +1,11 @@
-"""Round-12 STAGED queries (seeded in round 10 — the staging pipeline
-stays a full round ahead): same parity harness as the live catalog.
-These are deliberately NOT in dce_spark.queries.QUERIES (the freeze
-protocol of queries_staging_r5..r11), plus cohort-specific invariant
-proofs: the merge-tree invariance flags, the SCD2 reconciliation
-flags, churn-matrix marginals against the assignment counts, Lorenz
-curve monotonicity, and attribution-model count consistency."""
+"""Round-12 staged queries (seeded in round 10, PROMOTED into the
+live catalog in round 12): same parity harness as the live catalog,
+now locking the post-promotion shape — every cohort entry registered
+with its staged fn/oracle/doc intact and fronted in the round-12
+driver window — plus the cohort-specific invariant proofs: the
+merge-tree invariance flags, the SCD2 reconciliation flags,
+churn-matrix marginals against the assignment counts, Lorenz curve
+monotonicity, and attribution-model count consistency."""
 
 from __future__ import annotations
 
@@ -39,13 +40,29 @@ def test_staged_query_matches_oracle(spark, duck, name):
     spark.catalog.clearCache()
 
 
-def test_staged_not_registered():
+def test_staged_queries_promoted():
+    """Round 12 promoted the cohort (the test_staging_r11 pattern):
+    every entry lives in the catalog with its staged fn/oracle/doc."""
     from dce_spark.queries import QUERIES
     from dce_spark.queries_staging_r11 import STAGED_R11
 
     assert len(STAGED_R12) == 20
-    assert not (set(STAGED_R12) & set(QUERIES))
     assert not (set(STAGED_R12) & set(STAGED_R11))  # cohorts disjoint
+    for name, spec in STAGED_R12.items():
+        assert name in QUERIES, f"{name} lost from the live catalog"
+        assert QUERIES[name].fn is spec.fn
+        assert QUERIES[name].oracle == staged_oracle(name)
+        assert QUERIES[name].doc  # doc string survives registration
+
+
+def test_staged_queries_in_driver_window():
+    """Promotion-round invariant: every promoted query sits in the
+    ROUND-12 driver window, so each earns a driver-checked
+    CORRECTNESS row the round it goes live (no unchecked tail)."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in STAGED_R12:
+        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_R12))
