@@ -2206,8 +2206,10 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   nothing else registers). Freeze at rotation. RECOMPUTE the ledger
 #   from the committed CORRECTNESS files first (r8 lesson: plan
 #   comments can mis-read it). Round 13's staging slot should go to a
-#   round-16 cohort (the r14 AND r15 cohorts are already staged, so
-#   staging one cohort keeps the pipeline two ahead).
+#   ROUND-17 cohort (r14, r15 AND r16 cohorts are already staged —
+#   r16 was built in round 12's spare capacity, the r11->r14 pattern
+#   — so staging one cohort keeps the pipeline two ahead; themes
+#   seeded under ROUND 17 below).
 #
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
@@ -2280,19 +2282,54 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   tests/test_staging_r15.py is the per-SF harness (53 green at
 #   sf0.001 + sf0.01 + sf0.1 at staging time).
 #
-#   ROUND 16 candidate themes (for round 13's staging slot), each a
-#   continuation with 100 TB pull: (a) the incremental LSH-index
-#   admission ledger — the r9 incremental-dedup index crossed with
-#   the r14/r15 ledger time axis: per-(band, commit) bucket states,
-#   admission decisions replayed as exact state arithmetic, index
-#   staleness economics; (b) SAMPLER EXECUTION plans — turn the
-#   joint (epoch, source) slot grids into concrete deterministic
-#   document picks (interleave-keyed top-slots per cell) with
-#   coverage/overlap audits vs the planned quotas; (c) multi-
-#   predicate pruning algebra — AND/OR composition of zone
-#   predicates per state row, the selectivity-ordered short-circuit
-#   plan, and the residual-scan estimate (extends the r15 pruning
-#   economics to predicate trees).
+#   ROUND 16 SEED — a FULL cohort of TWENTY staged and
+#   oracle-verified at three SFs in round 12 (built a round EARLY,
+#   the r11->r14 pattern, so the pipeline stays two cohorts ahead as
+#   rounds 13/14 promote), on exactly the candidate themes above
+#   (queries_staging_r16.py): the LSH-INDEX ADMISSION LEDGER — the
+#   oracle-able md5-minhash band buckets (queries._minhash_ctes, the
+#   ONE SQL definition) keyed by the r15 arrival batches: index
+#   growth, the delivery admission decision, the per-band admission
+#   matrix, bucket-skew/pair-cost evolution per commit, frozen-index
+#   staleness (missed duplicates per vintage), band redundancy
+#   yield, and the probe-cost curve (lsh_index_growth /
+#   lsh_admission_summary / lsh_admission_matrix /
+#   lsh_bucket_skew_commits / lsh_index_staleness / lsh_band_yield /
+#   lsh_probe_cost_curve); SAMPLER EXECUTION — the r15 slot grid
+#   executed as deterministic interleave-keyed picks with fill,
+#   coverage, shortfall-reallocation, token-yield, witness, and
+#   realized-mix audits (sampler_cell_fill / sampler_picks_head /
+#   sampler_epoch_coverage / sampler_shortfall_reallocation /
+#   sampler_token_yield / sampler_pick_witness /
+#   sampler_source_realized_mix); MULTI-PREDICATE PRUNING ALGEBRA —
+#   AND/OR composition of zone proofs over the r15 zone states, the
+#   short-circuit order, residual-scan estimate, composite
+#   soundness audit, predicate synergy, and both order cost curves
+#   (prune_algebra_matrix / prune_shortcircuit_order /
+#   prune_residual_scan / prune_composite_soundness /
+#   prune_predicate_synergy / prune_order_cost_curves). Round 16
+#   promotes them; tests/test_staging_r16.py is the per-SF harness
+#   (54 green at sf0.001 + sf0.01 + sf0.1 at staging time).
+#
+#   ROUND 17 candidate themes (for round 13's staging slot — with
+#   r14/r15/r16 staged, ONE cohort per round keeps the pipeline two
+#   ahead), each composing proven machinery with 100 TB pull:
+#   (a) contract-EVOLUTION economics — the diff.py breaking/
+#   compatible classifier crossed with the state ledger: which
+#   committed (partition, commit) states remain valid under a v2
+#   contract (alias-compatible subsets), the re-validation bill per
+#   evolution class, and the migration-wave schedule as exact state
+#   arithmetic; (b) the REPLICATION/PLACEMENT planner — bucket x
+#   partition co-location economics for the recurring joins
+#   (events-orders-customer): which join keys share a bucketing,
+#   shuffle bytes saved per layout candidate, largest-remainder
+#   slot assignment of partitions to executors (composes the r13
+#   Hamilton machinery with ext/bucketing); (c) QUALITY-GATED
+#   admission pipelines — the r16 admission decision composed with
+#   the text-quality/perplexity gates: per-delivery multi-gate
+#   funnels (dedup -> language -> quality -> length), gate-order
+#   economics (rows surviving per stage per order), and the
+#   marginal-cost-per-admitted-token curve.
 _DRIVER_WINDOW = [
     # promoted round-12 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 AND round-11 END HEADs)

@@ -1376,14 +1376,18 @@ def joint_epoch_source_grid_documents(spark, sf_dir):
     )
 
 
-_J_SLOTS_ORACLE = (
+# the per-epoch Hamilton slot chain as reusable CTEs (n_docs threaded
+# through for the r16 sampler-execution cohort's fill audits); the
+# ``cells`` CTE is the chain's product: one row per (epoch, source)
+# with its final integer slot count
+_SLOT_CTES = (
     _GRID_CTE
     + f""", based AS (
-  SELECT epoch, source, tokens,
+  SELECT epoch, source, n_docs, tokens,
          CAST(sum(tokens) OVER (PARTITION BY epoch) AS BIGINT) AS etok
   FROM grid
 ), slotted AS (
-  SELECT epoch, source, tokens,
+  SELECT epoch, source, n_docs, tokens, etok,
          CAST(({_JSLOTS} * tokens) // etok AS BIGINT) AS base_slots,
          CAST(({_JSLOTS} * tokens) % etok AS BIGINT) AS rem
   FROM based
@@ -1394,13 +1398,20 @@ _J_SLOTS_ORACLE = (
          row_number() OVER (PARTITION BY epoch
                             ORDER BY rem DESC, source) AS rn
   FROM slotted
+), cells AS (
+  SELECT epoch, source, n_docs, tokens, etok, base_slots,
+         CAST(CASE WHEN rn <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+           AS extra,
+         CAST(base_slots + CASE WHEN rn <= n_extra THEN 1 ELSE 0 END
+              AS BIGINT) AS slots
+  FROM extras
+)"""
 )
-SELECT epoch, source, tokens, base_slots,
-       CAST(CASE WHEN rn <= n_extra THEN 1 ELSE 0 END AS BIGINT)
-         AS extra,
-       CAST(base_slots + CASE WHEN rn <= n_extra THEN 1 ELSE 0 END
-            AS BIGINT) AS slots
-FROM extras"""
+
+_J_SLOTS_ORACLE = (
+    _SLOT_CTES
+    + """
+SELECT epoch, source, tokens, base_slots, extra, slots FROM cells"""
 )
 
 
@@ -1420,18 +1431,31 @@ FROM extras"""
     "exact.",
 )
 def joint_slots_by_epoch_documents(spark, sf_dir):
+    return _cell_slots(spark, sf_dir).select(
+        "epoch", "source", "tokens", "base_slots", "extra", "slots"
+    )
+
+
+def _cell_slots(spark, sf_dir):
+    """The Spark mirror of _SLOT_CTES' ``cells``: one row per
+    (epoch, source) with the final per-epoch Hamilton slot count
+    (n_docs threaded through for the r16 sampler-execution fill
+    audits)."""
     grid = _epoch_source_grid(spark, sf_dir)
     we = Window.partitionBy("epoch")
     based = grid.select(
         "epoch",
         "source",
+        "n_docs",
         "tokens",
         F.sum("tokens").over(we).cast("long").alias("etok"),
     )
     slotted = based.select(
         "epoch",
         "source",
+        "n_docs",
         "tokens",
+        "etok",
         F.expr(f"{_JSLOTS} * tokens div etok").alias("base_slots"),
         (F.lit(_JSLOTS) * F.col("tokens") % F.col("etok")).alias("rem"),
     )
@@ -1439,7 +1463,9 @@ def joint_slots_by_epoch_documents(spark, sf_dir):
     extras = slotted.select(
         "epoch",
         "source",
+        "n_docs",
         "tokens",
+        "etok",
         "base_slots",
         (F.lit(_JSLOTS) - F.sum("base_slots").over(we))
         .cast("long")
@@ -1450,7 +1476,9 @@ def joint_slots_by_epoch_documents(spark, sf_dir):
     return extras.select(
         "epoch",
         "source",
+        "n_docs",
         "tokens",
+        "etok",
         "base_slots",
         got.alias("extra"),
         (F.col("base_slots") + got).alias("slots"),
