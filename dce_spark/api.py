@@ -39,6 +39,7 @@ __all__ = [
     "validate_ml_only",
     "validate_partitions",
     "partition_states",
+    "compact_state_ledger",
     "profile_df",
 ]
 
@@ -381,3 +382,14 @@ def partition_states(
         spark, df, contract, partition_col,
         now=now, allow_partial=allow_partial,
     )
+
+
+def compact_state_ledger(ledger: DataFrame, partition_col: str) -> DataFrame:
+    """Compact an append-style state ledger to one row per partition
+    value by applying each column's merge rule in Spark — see
+    :func:`dce_spark.state.compact_state_ledger`. Reports from the
+    compacted ledger equal reports from the raw one bit-for-bit;
+    compaction is idempotent."""
+    from .state import compact_state_ledger as _compact
+
+    return _compact(ledger, partition_col)

@@ -114,7 +114,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
                 # row-rescan. Pointing --state-ledger at the same path
                 # makes re-runs no-ops; emitting twice WITHOUT reading
                 # the ledger back appends superseding duplicates, which
-                # the merge would double-count.
+                # the merge would double-count. Deep append ledgers
+                # compact to one row per partition with
+                # api.compact_state_ledger (report-preserving,
+                # idempotent).
                 fresh = df
                 if state_ledger is not None:
                     covered = [

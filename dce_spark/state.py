@@ -64,6 +64,7 @@ from .report import ValidationReport, ValidationStats
 __all__ = [
     "mergeable_probes",
     "compute_partition_states",
+    "compact_state_ledger",
     "merge_state_rows",
     "report_from_states",
 ]
@@ -202,6 +203,51 @@ def compute_partition_states(
     for p in probes:
         exprs.extend(p.exprs)
     return df.groupBy(partition_col).agg(*exprs)
+
+
+def compact_state_ledger(ledger: DataFrame, partition_col: str) -> DataFrame:
+    """Compact an APPEND-STYLE state ledger (several rows per partition
+    value — one per committed batch, the shape ``dce validate
+    --emit-states`` appends) down to ONE row per partition value, by
+    applying each state column's merge rule IN SPARK (sum for the
+    count families, max for freshness — the same rules
+    :func:`merge_state_rows` applies driver-side).
+
+    Because every mergeable aggregate is exact-integer sum/max,
+    compaction is associative and idempotent: reports evaluated from
+    the compacted ledger equal reports from the raw append ledger
+    bit-for-bit (test-locked), and compacting twice is a no-op. Run it
+    periodically so a years-deep hourly ledger stays one row per
+    partition; the input rows must be DISJOINT batch covers (the same
+    precondition the merge path documents — compacting superseding
+    recomputations double-counts).
+
+    Columns that carry no merge rule (anything not ``__``-prefixed
+    except ``partition_col`` itself, or an unknown ``__`` family) are
+    refused loudly — silently dropping or mis-merging a state column
+    would break merged == recomputed downstream.
+
+    Plan shape: one groupBy(partition_col) over the ledger — a
+    metadata-sized shuffle (~#partitions rows out).
+    """
+    aggs = []
+    for c in ledger.columns:
+        if c == partition_col:
+            continue
+        rule = _merge_rule(c)
+        if rule is None:
+            raise ValueError(
+                f"ledger column {c!r} has no merge rule — not a state "
+                "column computed by partition_states()? Compaction "
+                "refuses rather than guess."
+            )
+        agg = F.sum(c) if rule == "sum" else F.max(c)
+        aggs.append(agg.cast(ledger.schema[c].dataType).alias(c))
+    if not aggs:
+        raise ValueError(
+            "ledger has no state columns besides the partition column"
+        )
+    return ledger.groupBy(partition_col).agg(*aggs)
 
 
 def merge_state_rows(rows: Iterable[Any]) -> dict[str, Any]:

@@ -356,3 +356,49 @@ def test_probe_alias_contract(spark):
     with pytest.raises(AssertionError, match="alias"):
         _expr_aliases(bad)
     spark.catalog.clearCache()
+
+
+def test_compact_state_ledger_preserves_reports_and_is_idempotent(spark):
+    """Compacting an append-style ledger (two disjoint batch covers per
+    day) must preserve every per-partition report bit-for-bit, be
+    idempotent, and yield exactly one row per partition; unknown
+    columns are refused loudly."""
+    from dce_spark.api import compact_state_ledger
+
+    ev = _events_by_day(spark)
+    raw = partition_states(
+        spark, ev.filter(F.col("event_id") % 2 == 0),
+        MERGEABLE_CONTRACT, "day", now=NOW,
+    ).unionByName(
+        partition_states(
+            spark, ev.filter(F.col("event_id") % 2 == 1),
+            MERGEABLE_CONTRACT, "day", now=NOW,
+        )
+    )
+    compacted = compact_state_ledger(raw, "day")
+    days = [r["day"] for r in compacted.select("day").collect()]
+    assert len(days) == len(set(days)) and len(days) > 1
+    by_raw = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", state_ledger=raw, now=NOW
+    )
+    by_compact = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day",
+        state_ledger=compacted, now=NOW,
+    )
+    assert sorted(by_raw) == sorted(by_compact)
+    for v in by_raw:
+        assert _report_key(by_raw[v]) == _report_key(by_compact[v]), v
+
+    def rows_key(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    assert rows_key(compact_state_ledger(compacted, "day")) == rows_key(
+        compacted
+    )  # idempotent
+
+    with pytest.raises(ValueError, match="merge rule"):
+        compact_state_ledger(
+            raw.withColumn("__mystery__x", F.lit(1)), "day"
+        )
+    spark.catalog.clearCache()
