@@ -2205,11 +2205,14 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   EMPTY) + the stalest r7 rows to fill to exactly 50 (14 r7 rows if
 #   nothing else registers). Freeze at rotation. RECOMPUTE the ledger
 #   from the committed CORRECTNESS files first (r8 lesson: plan
-#   comments can mis-read it). Round 13's staging slot should go to a
-#   ROUND-17 cohort (r14, r15 AND r16 cohorts are already staged —
-#   r16 was built in round 12's spare capacity, the r11->r14 pattern
-#   — so staging one cohort keeps the pipeline two ahead; themes
-#   seeded under ROUND 17 below).
+#   comments can mis-read it). Round 13 needs NO staging work: the
+#   r14, r15, r16 AND r17 cohorts are all already staged and
+#   verified (r16 and r17 were built in round 12's spare capacity,
+#   the r11->r14 pattern twice over) — four promotion rounds of
+#   inventory. The NEXT cohort to stage is r18 (themes seeded under
+#   ROUND 18 below), needed by round 15's staging slot at the
+#   latest; rounds 13/14 spend their non-promotion capacity on
+#   product work (CLI faces, perf audits, the Iceberg jar retry).
 #
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
@@ -2311,25 +2314,52 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   promotes them; tests/test_staging_r16.py is the per-SF harness
 #   (54 green at sf0.001 + sf0.01 + sf0.1 at staging time).
 #
-#   ROUND 17 candidate themes (for round 13's staging slot — with
-#   r14/r15/r16 staged, ONE cohort per round keeps the pipeline two
-#   ahead), each composing proven machinery with 100 TB pull:
-#   (a) contract-EVOLUTION economics — the diff.py breaking/
-#   compatible classifier crossed with the state ledger: which
-#   committed (partition, commit) states remain valid under a v2
-#   contract (alias-compatible subsets), the re-validation bill per
-#   evolution class, and the migration-wave schedule as exact state
-#   arithmetic; (b) the REPLICATION/PLACEMENT planner — bucket x
-#   partition co-location economics for the recurring joins
-#   (events-orders-customer): which join keys share a bucketing,
-#   shuffle bytes saved per layout candidate, largest-remainder
-#   slot assignment of partitions to executors (composes the r13
-#   Hamilton machinery with ext/bucketing); (c) QUALITY-GATED
-#   admission pipelines — the r16 admission decision composed with
-#   the text-quality/perplexity gates: per-delivery multi-gate
-#   funnels (dedup -> language -> quality -> length), gate-order
-#   economics (rows surviving per stage per order), and the
-#   marginal-cost-per-admitted-token curve.
+#   ROUND 17 SEED — a FULL cohort of TWENTY staged and
+#   oracle-verified at three SFs in round 12 (built TWO rounds
+#   early in round 12's spare capacity), on exactly the candidate
+#   themes seeded above (queries_staging_r17.py): QUALITY-GATED
+#   ADMISSION — four exact gates (exact-dup survivor, LSH near-dup
+#   earlier-copy, mean-word-length band-pass, length floor) as the
+#   canonical funnel with order economics, failure overlap, marginal
+#   cost, source-bias PSI, the post-gate floor sweep, and per-source
+#   first-fail attribution (gate_funnel / gate_order_cost /
+#   gate_failure_overlap / gate_marginal_cost / gate_source_bias /
+#   gate_length_floor_postgate / gate_attribution_by_source);
+#   CONTRACT-EVOLUTION ECONOMICS — evolution classes (required state
+#   families + effective commit) priced against the r14 ledger:
+#   rescan bill, grandfather audit, migration waves + summary,
+#   ledger debt curve, and the class x family coverage matrix
+#   (evolution_rescan_bill / evolution_grandfather_audit /
+#   evolution_migration_waves / evolution_wave_summary /
+#   evolution_ledger_debt / evolution_alias_coverage); the
+#   REPLICATION/PLACEMENT PLANNER — broadcast decision table (exact
+#   strlen byte proxies), layout x join coverage, shuffle savings,
+#   size-ranked executor balance, the salt-factor curve, the
+#   exact-integer key-skew alarm, and bucket-count occupancy
+#   (placement_broadcast_matrix / placement_layout_coverage /
+#   placement_shuffle_savings / placement_executor_balance_orders /
+#   placement_salt_planning_lineitem / placement_key_skew_alarm /
+#   placement_bucket_count_plan_lineitem). Round 17 promotes them;
+#   tests/test_staging_r17.py is the per-SF harness (54 green at
+#   sf0.001 + sf0.01 + sf0.1 at staging time).
+#
+#   ROUND 18 candidate themes (for round 15's staging slot at the
+#   latest), each composing proven machinery with 100 TB pull:
+#   (a) admission-pipeline STREAMING mirrors — the r17 gate funnel
+#   run per arrival batch with committed gate-state carryover (the
+#   upsert.py equivalence protocol applied to admission: exact-dup
+#   and LSH gates against the ledger-at-arrival, funnel rates per
+#   delivery, drift of the admitted mix across deliveries);
+#   (b) the PLACEMENT x WORKLOAD feedback loop — join the r17
+#   layout coverage with measured per-query shuffle budgets
+#   (SHUFFLE_BUDGET.json-shaped data modeled as literals): which
+#   catalog families a layout accelerates, the layout portfolio
+#   under a build-budget cap (greedy by saved-rows-per-build-row,
+#   the r13 clamp convention); (c) GATE-CALIBRATION sweeps — the
+#   r17 quality band-pass and near-dup thresholds swept jointly
+#   (the r10 lsh_calibration protocol applied to the whole funnel):
+#   admitted tokens and source-PSI per (band, threshold) cell, the
+#   pareto frontier as exact integer dominance.
 _DRIVER_WINDOW = [
     # promoted round-12 stagings (oracle-verified at 3 SFs in r10,
     # re-verified at three SFs at round-10 AND round-11 END HEADs)
