@@ -40,6 +40,7 @@ __all__ = [
     "validate_partitions",
     "partition_states",
     "compact_state_ledger",
+    "prunable_partitions",
     "profile_df",
 ]
 
@@ -372,16 +373,30 @@ def partition_states(
     partition_col: str,
     now: Any = None,
     allow_partial: bool = False,
+    zones: Optional[list[str]] = None,
 ) -> DataFrame:
     """Compute the mergeable per-partition validation states for
     ``contract`` — the ledger rows :func:`validate_partitions` consumes
-    via ``state_ledger=``. See :mod:`dce_spark.state`."""
+    via ``state_ledger=``. ``zones=[field, ...]`` adds exact zone-map
+    columns per field (min/max) that merge, compact, and feed
+    :func:`prunable_partitions`. See :mod:`dce_spark.state`."""
     from .state import compute_partition_states
 
     return compute_partition_states(
         spark, df, contract, partition_col,
-        now=now, allow_partial=allow_partial,
+        now=now, allow_partial=allow_partial, zones=zones,
     )
+
+
+def prunable_partitions(
+    ledger: DataFrame, partition_col: str, field: str, op: str, value: Any
+) -> DataFrame:
+    """Partition values whose committed zone columns prove the
+    predicate ``<field> <op> <value>`` matches nothing there — the
+    zero-I/O skip list. See :func:`dce_spark.state.prunable_partitions`."""
+    from .state import prunable_partitions as _prune
+
+    return _prune(ledger, partition_col, field, op, value)
 
 
 def compact_state_ledger(ledger: DataFrame, partition_col: str) -> DataFrame:

@@ -141,6 +141,11 @@ def cmd_validate(args: argparse.Namespace) -> int:
                         contract,
                         args.partition_col,
                         allow_partial=args.allow_partial,
+                        zones=(
+                            args.zone_cols.split(",")
+                            if args.zone_cols
+                            else None
+                        ),
                     )
                 except ValueError as e:
                     # non-mergeable contract without --allow-partial
@@ -393,6 +398,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     v.add_argument("--state-ledger", default=None)
     v.add_argument("--emit-states", default=None)
     v.add_argument("--allow-partial", action="store_true")
+    # comma-separated fields to carry exact zone-map columns
+    # (__zmin__/__zmax__) in emitted states — they merge/compact
+    # exactly and feed api.prunable_partitions (the zero-I/O skip list)
+    v.add_argument("--zone-cols", default=None)
     v.set_defaults(func=cmd_validate)
 
     c = sub.add_parser("check", help="parse and summarize a contract")

@@ -66,6 +66,7 @@ __all__ = [
     "compute_partition_states",
     "compact_state_ledger",
     "merge_state_rows",
+    "prunable_partitions",
     "report_from_states",
 ]
 
@@ -79,6 +80,11 @@ _MERGE_RULES: list[tuple[str, str]] = [
     ("__con__", "sum"),
     ("__comp__", "sum"),
     ("__fresh__", "max"),
+    # zone-map columns (opt-in via compute_partition_states(zones=)):
+    # min/max are order statistics, so they merge exactly and compact
+    # exactly like the count families
+    ("__zmin__", "min"),
+    ("__zmax__", "max"),
 ]
 
 
@@ -177,10 +183,20 @@ def compute_partition_states(
     partition_col: str,
     now: Optional[datetime] = None,
     allow_partial: bool = False,
+    zones: Optional[list[str]] = None,
 ) -> DataFrame:
     """One row PER PARTITION VALUE of ``partition_col`` holding the
     mergeable validation state — the ledger row a 100 TB pipeline
     commits after validating a partition.
+
+    ``zones`` (opt-in) adds ZONE-MAP columns ``__zmin__<f>`` /
+    ``__zmax__<f>`` per named field to the same state row — the exact
+    per-partition min/max every columnar format keeps per row group,
+    kept where the validation ledger already lives. Zones merge and
+    compact exactly (min/max are order statistics), ride through
+    :func:`report_from_states` untouched (reports never read them),
+    and power :func:`prunable_partitions`: the scan planner consults
+    the ledger instead of opening files.
 
     Plan shape: one scan, map-side partial aggregation, one shuffle of
     ~#partitions rows (the groupBy key is the partition column, so with
@@ -202,7 +218,61 @@ def compute_partition_states(
     exprs = [quality_checks.total_expr()]
     for p in probes:
         exprs.extend(p.exprs)
+    for f in zones or []:
+        if f not in df.columns:
+            raise ValueError(
+                f"zone field {f!r} not in the data (columns: "
+                f"{sorted(df.columns)[:8]}...)"
+            )
+        exprs.append(F.min(F.col(f)).alias(f"__zmin__{f}"))
+        exprs.append(F.max(F.col(f)).alias(f"__zmax__{f}"))
     return df.groupBy(partition_col).agg(*exprs)
+
+
+def prunable_partitions(
+    ledger: DataFrame,
+    partition_col: str,
+    field: str,
+    op: str,
+    value: Any,
+) -> DataFrame:
+    """Partition values whose committed zones PROVE the predicate
+    ``<field> <op> <value>`` matches no rows there — the scan planner's
+    skip list, computed from the ledger with zero data I/O.
+
+    ``op`` is one of ``>=  >  <=  <``. The proof is conservative and
+    NULL-safe: a partition is only listed when its zone bound strictly
+    excludes the predicate (e.g. ``field >= v`` is empty when
+    ``__zmax__field < v``); partitions with NULL zones (no non-null
+    values committed) satisfy no inequality predicate, so they are
+    skippable for every ``op``. Append-style ledgers: every row for a
+    value must prove it (a single non-prunable batch keeps the
+    partition in play) — group-level min/max handles that exactly.
+    """
+    zmin, zmax = f"__zmin__{field}", f"__zmax__{field}"
+    for c in (zmin, zmax):
+        if c not in ledger.columns:
+            raise ValueError(
+                f"ledger has no zone column {c!r} — recompute states "
+                f"with partition_states(..., zones=[{field!r}])"
+            )
+    merged = ledger.groupBy(partition_col).agg(
+        F.min(zmin).alias("zmin"),
+        F.max(zmax).alias("zmax"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    if op == ">=":
+        pr = F.col("zmax") < F.lit(value)
+    elif op == ">":
+        pr = F.col("zmax") <= F.lit(value)
+    elif op == "<=":
+        pr = F.col("zmin") > F.lit(value)
+    elif op == "<":
+        pr = F.col("zmin") >= F.lit(value)
+    else:
+        raise ValueError(f"unsupported op {op!r} (use >=, >, <=, <)")
+    # NULL zones = no non-null values committed: no inequality matches
+    return merged.filter(pr | F.col("zmax").isNull()).select(partition_col)
 
 
 def compact_state_ledger(ledger: DataFrame, partition_col: str) -> DataFrame:
@@ -241,7 +311,12 @@ def compact_state_ledger(ledger: DataFrame, partition_col: str) -> DataFrame:
                 "column computed by partition_states()? Compaction "
                 "refuses rather than guess."
             )
-        agg = F.sum(c) if rule == "sum" else F.max(c)
+        if rule == "sum":
+            agg = F.sum(c)
+        elif rule == "min":
+            agg = F.min(c)
+        else:  # max
+            agg = F.max(c)
         aggs.append(agg.cast(ledger.schema[c].dataType).alias(c))
     if not aggs:
         raise ValueError(
@@ -265,6 +340,12 @@ def merge_state_rows(rows: Iterable[Any]) -> dict[str, Any]:
                 continue  # the partition column
             if rule == "sum":
                 merged[k] = (merged.get(k) or 0) + (v or 0)
+            elif rule == "min":
+                prev = merged.get(k)
+                if v is not None and (prev is None or v < prev):
+                    merged[k] = v
+                else:
+                    merged.setdefault(k, prev)
             else:  # max
                 prev = merged.get(k)
                 if v is not None and (prev is None or v > prev):

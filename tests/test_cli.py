@@ -227,3 +227,32 @@ def test_validate_ledger_flag_misuse(tmp_path, sf_dir):
                  "--allow-partial")
     assert r2.returncode == 2
     assert "--allow-partial" in r2.stderr
+
+
+def test_validate_emit_states_zone_cols(spark, tmp_path):
+    """--zone-cols emits exact zone-map columns in the committed
+    states, and the ledger they produce still serves validation."""
+    from dce_spark.sinks import write_partitioned
+
+    rows = [(i, 1.0 * i, "a") for i in range(5)]
+    rows += [(10 + i, 50.0, "b") for i in range(5)]
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    ledger = str(tmp_path / "ledger")
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+
+    r = run_cli("validate", str(p), "--partition-col", "day",
+                "--emit-states", ledger, "--zone-cols", "v")
+    assert r.returncode == 0, r.stdout + r.stderr
+    st = spark.read.parquet(ledger)
+    assert "__zmin__v" in st.columns and "__zmax__v" in st.columns
+    zones = {row["day"]: (row["__zmin__v"], row["__zmax__v"])
+             for row in st.collect()}
+    assert zones == {"a": (0.0, 4.0), "b": (50.0, 50.0)}
+
+    r2 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "partition day=a: PASS" in r2.stdout

@@ -402,3 +402,94 @@ def test_compact_state_ledger_preserves_reports_and_is_idempotent(spark):
             raw.withColumn("__mystery__x", F.lit(1)), "day"
         )
     spark.catalog.clearCache()
+
+
+def test_zone_columns_merge_compact_and_prune(spark):
+    """Zone-map columns (partition_states(zones=)): exact per-partition
+    min/max, append-ledger merge via group min/max, report equality
+    untouched by the extra columns, compaction preserves zones, and
+    prunable_partitions returns exactly the provably-empty partitions
+    (verified against the data)."""
+    from dce_spark.api import (
+        compact_state_ledger,
+        prunable_partitions,
+    )
+
+    ev = _events_by_day(spark)
+    ledger = partition_states(
+        spark, ev, MERGEABLE_CONTRACT, "day", now=NOW, zones=["value"]
+    )
+    assert "__zmin__value" in ledger.columns
+    assert "__zmax__value" in ledger.columns
+    # zones are the true per-day min/max
+    truth = {
+        r["day"]: (r["mn"], r["mx"])
+        for r in ev.groupBy("day")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    got = {
+        r["day"]: (r["__zmin__value"], r["__zmax__value"])
+        for r in ledger.collect()
+    }
+    assert got == truth
+
+    # reports ignore zone columns: state-path == row-path still
+    by_rows = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day", now=NOW
+    )
+    by_state = validate_partitions(
+        spark, ev, MERGEABLE_CONTRACT, "day",
+        state_ledger=ledger, now=NOW,
+    )
+    for v in by_rows:
+        assert _report_key(by_rows[v]) == _report_key(by_state[v]), v
+
+    # append-style ledger: compaction recovers the same zones
+    split = partition_states(
+        spark, ev.filter(F.col("event_id") % 2 == 0),
+        MERGEABLE_CONTRACT, "day", now=NOW, zones=["value"],
+    ).unionByName(
+        partition_states(
+            spark, ev.filter(F.col("event_id") % 2 == 1),
+            MERGEABLE_CONTRACT, "day", now=NOW, zones=["value"],
+        )
+    )
+    compacted = compact_state_ledger(split, "day")
+    got2 = {
+        r["day"]: (r["__zmin__value"], r["__zmax__value"])
+        for r in compacted.collect()
+    }
+    assert got2 == truth
+
+    # pruning: the skip list equals the partitions with truly no match
+    thr = sorted(mx for _mn, mx in truth.values())[
+        len(truth) // 2
+    ]  # a mid threshold so BOTH sides are non-empty
+    skip = {
+        r["day"]
+        for r in prunable_partitions(
+            split, "day", "value", ">=", thr
+        ).collect()
+    }
+    expect_skip = {d for d, (_mn, mx) in truth.items() if mx < thr}
+    assert skip == expect_skip
+    assert 0 < len(skip) < len(truth)
+    # soundness against the data: zero matches inside skipped days
+    assert (
+        ev.filter(F.col("day").isin(list(skip)))
+        .filter(F.col("value") >= thr)
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="zone column"):
+        prunable_partitions(
+            partition_states(
+                spark, ev, MERGEABLE_CONTRACT, "day", now=NOW
+            ),
+            "day",
+            "value",
+            ">=",
+            thr,
+        )
+    spark.catalog.clearCache()
