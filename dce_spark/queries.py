@@ -2214,6 +2214,45 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   latest; rounds 13/14 spend their non-promotion capacity on
 #   product work (CLI faces, perf audits, the Iceberg jar retry).
 #
+#   ROUND 13 WINDOW (this list) — the round-13 plan, EXECUTED: the 20
+#   promoted round-13 stagings (queries_staging_r13.py, registered
+#   via queries_more._promote_staged_r13, fronted the same round — no
+#   unchecked tail; round 13 registers no other new catalog queries:
+#   the round's non-catalog work is the `dce prune` CLI face for the
+#   zone-map skip list, the four ADVICE r12 closes, the Iceberg jar
+#   retry, and the bench sentinel rotation) + ALL 16 remaining r5
+#   rows (q6_revenue_delta .. winnow_fingerprint_documents — r5 tier
+#   -> EMPTY after this window) + the FIRST 14 (alphabetical) of the
+#   50 r7 rows (arrival_delay_quantiles_events ..
+#   embedding_norm_outliers). Ledger RECOMPUTED this round from the
+#   committed CORRECTNESS_r0{1..5,7,8,9}+r1{0,1,2}.json files BEFORE
+#   rotating: tiers were r5=16 (exactly the names listed above),
+#   r7..r12=50 each, zero reds, zero never-checked, 316 entries —
+#   matching the round-12 plan comment exactly. After this window the
+#   stalest tier is r7=36 (alphabetically event_transition_matrix_events
+#   .. zipf_slope_documents); the FIRST 30 (alphabetical) of those —
+#   event_transition_matrix_events .. source_js_divergence_documents —
+#   lead the round-14 window, the LAST 6
+#   (source_shingle_containment_documents .. zipf_slope_documents)
+#   lead round 15's.
+#   CATALOG FROZEN for round 13 at this rotation (336 entries).
+#
+#   ROUND 14 PLAN — promote the TWENTY staged round-14 queries
+#   (queries_staging_r14.py — verified at three SFs in rounds 11/12
+#   and judge-replayed 20/20 in round 12; see ROUND 14 SEED below),
+#   register any new round-14 queries EARLY, then window: 20 promoted
+#   + round 14's own new queries + the FIRST 30 (alphabetical) of the
+#   36 r7 carryovers (event_transition_matrix_events ..
+#   source_js_divergence_documents; the LAST 6,
+#   source_shingle_containment_documents .. zipf_slope_documents,
+#   lead the round-15 window). Freeze at rotation. RECOMPUTE the
+#   ledger from the committed CORRECTNESS files first. Flip the two
+#   test shapes in the rotation commit (test_staging_r14 ->
+#   promoted+windowed, test_staging_r13 -> historical proof).
+#   Round 14 still needs NO staging work (r15/r16/r17 banked); stage
+#   the r18 cohort in round 14 or 15's slot at the latest (themes
+#   under ROUND 18 below).
+#
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
 #   (queries_staging_r13.py: the graph family over the hash-free
@@ -2361,62 +2400,63 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   admitted tokens and source-PSI per (band, threshold) cell, the
 #   pareto frontier as exact integer dominance.
 _DRIVER_WINDOW = [
-    # promoted round-12 stagings (oracle-verified at 3 SFs in r10,
-    # re-verified at three SFs at round-10 AND round-11 END HEADs)
-    "validation_state_regression_orders",
-    "histogram_merge_invariance_lineitem",
-    "quantile_state_drift_lineitem",
-    "moments_running_merge_events",
-    "zone_map_adjacency_lineitem",
-    "ivf_reassignment_churn_embeddings",
-    "cell_label_purity_embeddings",
-    "coord_drift_sweep_embeddings",
-    "residual_quantile_drift_embeddings",
-    "label_share_drift_embeddings",
-    "scd2_attr_transition_matrix_events",
-    "pit_horizon_sweep_events",
-    "attribution_model_compare_events",
-    "snapshot_reconciliation_events",
-    "merge_skew_profile_events",
-    "l_diversity_profile_events",
-    "vocab_overlap_sources_documents",
-    "bucket_calibration_events",
-    "rare_combo_suppression_events",
-    "value_lorenz_curve_events",
-    # stalest-tier burn-down: the first 30 (alphabetical) of the 46
-    # r5 rows deferred from the round-11 window; the 16 remaining
-    # (q6_revenue_delta .. winnow_fingerprint_documents, named in the
-    # ROUND 12 WINDOW note above) lead the round-13 window
-    "asof_join_events",
-    "bigram_logprob_documents",
-    "bpe_encode_documents",
-    "class_balance_events",
-    "custom_sql_events",
-    "dedup_clusters_documents",
-    "dedup_exact_documents",
-    "distinct_users_events",
-    "embedding_centroids_by_label",
-    "embedding_near_dup_lsh",
-    "fingerprint_documents",
-    "freshness_events",
-    "heavy_hitters_batch_events",
-    "inmemory_batch_validation",
-    "inmemory_nested_validation",
-    "interp_logprob_documents",
-    "lang_guess_documents",
-    "late_data_windows_events",
-    "multimodal_frame_sample",
-    "null_rate_by_group_events",
-    "overlap_users_events",
-    "pattern_violations_events",
-    "pq_adc_topk_embeddings",
-    "pq_recall_at_k_embeddings",
-    "pq_reconstruction_error_embeddings",
-    "profile_customer",
-    "psi_total_lineitem",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
+    # promoted round-13 stagings (oracle-verified at 3 SFs in r11,
+    # re-verified at round-11 AND round-12 END HEADs)
+    "cc_hashmin_labels_documents",
+    "cc_convergence_curve_documents",
+    "label_propagation_round_documents",
+    "graph_degree_profile_documents",
+    "triangle_closure_documents",
+    "common_neighbors_topk_documents",
+    "cross_source_edge_mix_documents",
+    "attribution_stream_cuts_events",
+    "pit_stream_cut_consistency_events",
+    "lww_stream_convergence_events",
+    "watermark_drop_matrix_events",
+    "session_open_state_events",
+    "topk_stream_stability_events",
+    "cdc_disorder_rate_events",
+    "token_budget_allocation_documents",
+    "length_floor_sweep_documents",
+    "epoch_repetition_schedule_documents",
+    "sample_slots_largest_remainder_documents",
+    "dedup_adjusted_budget_documents",
+    "mix_shift_under_caps_documents",
+    # stalest-tier burn-down: ALL 16 remaining r5 rows (tier -> EMPTY)
+    "q6_revenue_delta",
+    "range_violations_lineitem",
+    "row_count_lineitem",
+    "semantic_decontamination_embeddings",
+    "semi_anti_join_customers",
+    "sessionization_events",
+    "set_ops_orders_customers",
+    "skew_salted_join_events",
+    "temporal_bounds_events",
+    "text_quality_documents",
+    "topk_orders_by_price",
+    "uniqueness_dupes_lineitem",
+    "uniqueness_per_day_orders",
+    "window_running_total_orders",
+    "windowed_quantiles_events",
+    "winnow_fingerprint_documents",
+    # + the first 14 (alphabetical) of the 50 r7 rows; the 36
+    # remaining (event_transition_matrix_events ..
+    # zipf_slope_documents) burn down over rounds 14-15, named in
+    # the ROUND 14 PLAN note above
+    "arrival_delay_quantiles_events",
+    "asof_tolerance_join_events",
+    "burstiness_events",
+    "char_entropy_documents",
+    "constraint_violation_samples_events",
+    "covariance_topvec_embeddings",
+    "cross_source_dup_rate_documents",
+    "cusum_drift_events",
+    "dedup_cluster_size_hist_documents",
+    "dedup_survivor_selection_documents",
+    "dow_seasonality_events",
+    "drop_rate_by_delay_events",
+    "duplicate_ngram_rate_documents",
+    "embedding_norm_outliers",
 ]
 
 

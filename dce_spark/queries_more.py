@@ -4761,3 +4761,42 @@ def _promote_staged_r12() -> None:
 
 
 _promote_staged_r12()
+
+
+# =====================================================================
+# Round-13 promotion. The twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 11, re-verified at round-11 AND
+# round-12 END HEADs — the shingle-overlap dup-graph family (hash-min
+# CC labels, convergence curve, label propagation, degree profile,
+# triangle closure, common-neighbor top-k, cross-source edge mix), the
+# streaming-batch mirror family over 5 exact-integer epoch
+# micro-batches (attribution cuts, PIT cut consistency, LWW
+# convergence, watermark drop matrix, open-session state, top-k
+# stability, CDC disorder rate), and the deterministic source-mix
+# planning family (token-budget allocation, length-floor sweep, epoch
+# repetition schedule, largest-remainder slots, dedup-adjusted budget,
+# cap-induced mix shift) — enter the live catalog. Same protocol and
+# re-entrancy shape as the r8..r12 promotions above (the staging
+# module bootstraps the catalog chain before defining STAGED_R13, so a
+# staging-first import reaches this loop before any entry exists; bail
+# out and let the staging tail hook re-invoke once all twenty are
+# defined).
+# =====================================================================
+
+
+def _promote_staged_r13() -> None:
+    from . import queries_staging_r13 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R13", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r13()

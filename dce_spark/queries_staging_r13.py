@@ -1791,3 +1791,19 @@ def mix_shift_under_caps_documents(spark, sf_dir):
             6,
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------
+# Round-13 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R13, so importing THIS module first runs the whole
+# registration chain while STAGED_R13 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8..r12 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r13 as _promote  # noqa: E402
+
+_promote()
+del _promote
