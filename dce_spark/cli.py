@@ -104,7 +104,27 @@ def cmd_validate(args: argparse.Namespace) -> int:
                 kwargs["approx_distinct"] = True
             state_ledger = None
             if args.state_ledger:
-                state_ledger = spark.read.parquet(args.state_ledger)
+                from pyspark.errors import AnalysisException
+
+                try:
+                    state_ledger = spark.read.parquet(args.state_ledger)
+                except AnalysisException:
+                    if args.emit_states:
+                        # the documented single-path workflow (point
+                        # --state-ledger and --emit-states at one
+                        # path): on the FIRST run the ledger does not
+                        # exist yet — treat it as empty and let the
+                        # emit step below bootstrap it
+                        state_ledger = None
+                    else:
+                        print(
+                            "error: --state-ledger path "
+                            f"{args.state_ledger!r} does not exist or "
+                            "is not parquet — run once with "
+                            "--emit-states to bootstrap the ledger",
+                            file=sys.stderr,
+                        )
+                        return 2
             if args.emit_states:
                 # commit step: compute mergeable states for partitions
                 # NOT already ledger-covered (one grouped job over just
@@ -156,6 +176,29 @@ def cmd_validate(args: argparse.Namespace) -> int:
                     emitted = spark.createDataFrame(
                         rows, fresh_states.schema
                     )
+                    if state_ledger is not None and set(
+                        state_ledger.columns
+                    ) != set(emitted.columns):
+                        # a --zone-cols change against an existing
+                        # ledger: appending would leave mixed parquet
+                        # schemas that silently drop zone columns on
+                        # read, and a NULL-backfilled union would let
+                        # prunable_partitions treat unknown zones as
+                        # provably-empty ones. Refuse loudly instead.
+                        drift = sorted(
+                            set(state_ledger.columns)
+                            ^ set(emitted.columns)
+                        )
+                        print(
+                            "error: ledger schema mismatch (columns "
+                            f"differing: {drift}) — the ledger at "
+                            f"{args.state_ledger!r} was committed with "
+                            "different --zone-cols; recompute it from "
+                            "scratch with the new zone columns (or "
+                            "drop --zone-cols to match the ledger)",
+                            file=sys.stderr,
+                        )
+                        return 2
                     emitted.write.mode("append").parquet(args.emit_states)
                     state_ledger = (
                         state_ledger.unionByName(emitted)

@@ -53,6 +53,7 @@ from datetime import datetime
 from typing import Any, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from .checks import quality as quality_checks
 from .checks import schema as schema_checks
@@ -259,7 +260,6 @@ def prunable_partitions(
     merged = ledger.groupBy(partition_col).agg(
         F.min(zmin).alias("zmin"),
         F.max(zmax).alias("zmax"),
-        F.count(F.lit(1)).alias("_rows"),
     )
     if op == ">=":
         pr = F.col("zmax") < F.lit(value)
@@ -312,12 +312,22 @@ def compact_state_ledger(ledger: DataFrame, partition_col: str) -> DataFrame:
                 "refuses rather than guess."
             )
         if rule == "sum":
-            agg = F.sum(c)
+            # the merge-rule contract is exact int64 arithmetic; a
+            # narrower count column would silently wrap on the cast
+            # back, so refuse anything that isn't already long
+            if not isinstance(ledger.schema[c].dataType, T.LongType):
+                raise ValueError(
+                    f"ledger count column {c!r} is "
+                    f"{ledger.schema[c].dataType.simpleString()}, not "
+                    "bigint — state ledgers carry exact int64 counts; "
+                    "recompute states with partition_states()"
+                )
+            agg = F.sum(c).cast("long")
         elif rule == "min":
-            agg = F.min(c)
+            agg = F.min(c)  # order statistics preserve their dtype
         else:  # max
             agg = F.max(c)
-        aggs.append(agg.cast(ledger.schema[c].dataType).alias(c))
+        aggs.append(agg.alias(c))
     if not aggs:
         raise ValueError(
             "ledger has no state columns besides the partition column"

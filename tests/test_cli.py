@@ -256,3 +256,100 @@ def test_validate_emit_states_zone_cols(spark, tmp_path):
                  "--state-ledger", ledger)
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "partition day=a: PASS" in r2.stdout
+
+
+def test_validate_single_path_ledger_bootstraps(spark, tmp_path):
+    """The documented single-path workflow (--state-ledger and
+    --emit-states pointed at ONE path) must work on the FIRST run,
+    when the ledger does not exist yet: the missing path reads as an
+    empty ledger and the emit step bootstraps it (ADVICE r12)."""
+    from dce_spark.sinks import write_partitioned
+
+    rows = [(i, 1.0 * i, "a") for i in range(5)]
+    rows += [(10 + i, 50.0, "b") for i in range(5)]
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    ledger = str(tmp_path / "ledger")  # never created
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+
+    r1 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger, "--emit-states", ledger)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    assert "Traceback" not in r1.stderr
+    assert "committed 2 partition state rows" in r1.stderr
+
+    # second run against the now-bootstrapped ledger: full coverage,
+    # nothing fresh to commit
+    r2 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger, "--emit-states", ledger)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "committed 0 partition state rows" in r2.stderr
+
+
+def test_validate_missing_ledger_without_emit_is_named_error(
+    spark, tmp_path
+):
+    """--state-ledger alone on a path that does not exist is a USER
+    error (exit 2, named, no traceback) — without --emit-states there
+    is nothing to bootstrap from (ADVICE r12)."""
+    from dce_spark.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "a")], schema="id long, v double, day string"
+    )
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+
+    r = run_cli("validate", str(p), "--partition-col", "day",
+                "--state-ledger", str(tmp_path / "no_such_ledger"))
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "does not exist" in r.stderr
+    assert "--emit-states" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
+def test_validate_zone_cols_against_zoneless_ledger_is_named_error(
+    spark, tmp_path
+):
+    """Adding --zone-cols against an existing ZONELESS ledger must be a
+    named exit-2 error, not an AnalysisException traceback — a silent
+    NULL-backfilled union would let prunable_partitions treat unknown
+    zones as provably-empty ones, and a raw parquet append would leave
+    mixed schemas that drop the zone columns on read (ADVICE r12)."""
+    from dce_spark.sinks import write_partitioned
+
+    rows = [(i, 1.0 * i, "a") for i in range(5)]
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    ledger = str(tmp_path / "ledger")
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+
+    r1 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--emit-states", ledger)  # zoneless commit
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+
+    # new partition arrives; the re-run now asks for zone columns
+    more = spark.createDataFrame(
+        [(20 + i, 50.0, "b") for i in range(5)],
+        schema="id long, v double, day string",
+    )
+    write_partitioned(more, out, ["day"], files_per_partition=1,
+                      mode="append")
+    r2 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger, "--emit-states", ledger,
+                 "--zone-cols", "v")
+    assert r2.returncode == 2, r2.stdout + r2.stderr
+    assert "schema mismatch" in r2.stderr
+    assert "__zmin__v" in r2.stderr
+    assert "Traceback" not in r2.stderr
+    # and the refusal left the committed ledger untouched (1 row, no
+    # zone columns)
+    st = spark.read.parquet(ledger)
+    assert st.count() == 1
+    assert "__zmin__v" not in st.columns
