@@ -415,6 +415,104 @@ def cmd_profile(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def cmd_prune(args: argparse.Namespace) -> int:
+    """Read a ``--zone-cols`` state ledger and print the partitions
+    whose committed zones PROVE the predicate matches no rows there —
+    the zero-I/O scan skip list (api.prunable_partitions) at the CLI
+    surface. Extension beyond the reference (which has no state
+    ledger); completes the round-12 ``--emit-states``/``--zone-cols``
+    story: emit zones once, then plan scans from the ledger alone.
+
+    The proof is conservative and NULL-safe: a partition is listed
+    only when its group-level zone bound strictly excludes the
+    predicate; NULL zones (a partition whose committed batches held no
+    non-null values) satisfy no inequality, so they are skippable for
+    every op. Zero data I/O — only the ~#partitions-row ledger is
+    read."""
+    import re
+
+    m = re.match(
+        r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|>|<)\s*(.+?)\s*$",
+        args.where,
+    )
+    if not m:
+        print(
+            f"error: cannot parse --where {args.where!r} — expected "
+            '"<field> <op> <value>" with op one of >= > <= < '
+            '(e.g. --where "v < 100")',
+            file=sys.stderr,
+        )
+        return 2
+    field, op, raw = m.groups()
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+        value: object = raw[1:-1]
+    else:
+        try:
+            value = int(raw)
+        except ValueError:
+            try:
+                value = float(raw)
+            except ValueError:
+                value = raw
+    spark = _spark()
+    try:
+        from pyspark.errors import AnalysisException
+
+        try:
+            ledger = spark.read.parquet(args.ledger)
+        except AnalysisException:
+            print(
+                f"error: ledger path {args.ledger!r} does not exist or "
+                "is not parquet — commit one with dce validate "
+                "--emit-states --zone-cols first",
+                file=sys.stderr,
+            )
+            return 2
+        from .api import prunable_partitions
+
+        try:
+            pruned = prunable_partitions(
+                ledger, args.partition_col, field, op, value
+            )
+        except ValueError as e:
+            # named API errors (no such zone column, bad op)
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        vals = sorted(
+            (r[0] for r in pruned.collect()), key=lambda v: (v is None, str(v))
+        )
+        total = ledger.select(args.partition_col).distinct().count()
+        if args.format == "json":
+            import json as _json
+
+            print(
+                _json.dumps(
+                    {
+                        "partition_col": args.partition_col,
+                        "predicate": {
+                            "field": field,
+                            "op": op,
+                            "value": value,
+                        },
+                        "total_partitions": total,
+                        "prunable": vals,
+                    },
+                    default=str,
+                )
+            )
+        else:
+            for v in vals:
+                print(v)
+        print(
+            f"{len(vals)} of {total} partitions provably empty for "
+            f"{field} {op} {value!r} (zero data I/O)",
+            file=sys.stderr,
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dce-spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -479,6 +577,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     i.add_argument("--catalog-uri", default=None)
     i.add_argument("--warehouse", default=None)
     i.set_defaults(func=cmd_init)
+
+    pz = sub.add_parser(
+        "prune",
+        help="list partitions a zone-map ledger proves empty for a "
+        "predicate (zero data I/O)",
+    )
+    pz.add_argument("ledger", help="state-ledger parquet path "
+                    "(committed by validate --emit-states --zone-cols)")
+    pz.add_argument("--partition-col", required=True)
+    pz.add_argument(
+        "--where", required=True,
+        help='predicate to prove empty, e.g. "v < 100" (ops: >= > <= <)',
+    )
+    pz.add_argument("--format", choices=["text", "json"], default="text")
+    pz.set_defaults(func=cmd_prune)
     return p
 
 
