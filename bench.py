@@ -337,6 +337,31 @@ BENCH_QUERIES = [
     "bucket_calibration_events",
     "rare_combo_suppression_events",
     "value_lorenz_curve_events",
+    # round-13 promotions (staged + oracle-verified at three SFs in
+    # round 11, re-verified at r11 and r12 END HEADs, promoted this
+    # round): dup-graph ops over the shingle-overlap candidate graph,
+    # streaming-batch mirrors over 5 exact epoch micro-batches,
+    # deterministic source-mix planning
+    "cc_hashmin_labels_documents",
+    "cc_convergence_curve_documents",
+    "label_propagation_round_documents",
+    "graph_degree_profile_documents",
+    "triangle_closure_documents",
+    "common_neighbors_topk_documents",
+    "cross_source_edge_mix_documents",
+    "attribution_stream_cuts_events",
+    "pit_stream_cut_consistency_events",
+    "lww_stream_convergence_events",
+    "watermark_drop_matrix_events",
+    "session_open_state_events",
+    "topk_stream_stability_events",
+    "cdc_disorder_rate_events",
+    "token_budget_allocation_documents",
+    "length_floor_sweep_documents",
+    "epoch_repetition_schedule_documents",
+    "sample_slots_largest_remainder_documents",
+    "dedup_adjusted_budget_documents",
+    "mix_shift_under_caps_documents",
     # round-9 exact-form admissions: benched (full runs only) so the
     # EXACT_FORMS tier below has their trend lines — the r8 verdict's
     # What's-wrong #2 named both as twinned exact forms with no label
@@ -387,7 +412,10 @@ DRIVER_TIMED = [
     "dedup_minhash_lsh_capped",
     "lsh_precision_documents",
     "dedup_survivor_selection_documents",
-    "source_shingle_containment_documents",
+    # (rotation r13: source_shingle_containment out — the
+    # shingle-overlap trend is carried by the r13 dup-graph sentinel
+    # cc_hashmin_labels_documents below, built on the same candidate
+    # graph)
     # embedding
     # (rotation r11: kmeans_embeddings_2iter out — the centroid
     # machinery's sentinel is now the r11 centroid-shift derivative)
@@ -407,9 +435,12 @@ DRIVER_TIMED = [
     # below — the documents-table governance pair pmi_lift_bigrams /
     # doclen_histogram_by_source is benched in FULL runs only)
     # sampling
+    # (rotation r13: pack_efficiency out — the packing/budget trend is
+    # carried by the r13 source-mix sentinel
+    # token_budget_allocation_documents below, the family's optimizer
+    # face)
     "split_assign_documents",
     "stratified_sample_documents",
-    "pack_efficiency_documents",
     "decontamination_overlap_documents",
     # multimodal
     "multimodal_payload_stats",
@@ -421,9 +452,11 @@ DRIVER_TIMED = [
     "funnel_time_to_convert_events",
     "dow_seasonality_events",
     # streaming
+    # (rotation r13: watermark_state_rows out — the watermark trend is
+    # carried by the r13 streaming-mirror sentinel
+    # watermark_drop_matrix_events below)
     "heavy_hitters_batch_events",
     "windowed_quantiles_events",
-    "watermark_state_rows_events",
     "arrival_delay_quantiles_events",
     # round-8 additions (rotation: ks_weekday_weekend and
     # cvm_split_distance moved to the EXACT_FORMS tier in round 9 —
@@ -488,6 +521,17 @@ DRIVER_TIMED = [
     "coord_drift_sweep_embeddings",
     "attribution_model_compare_events",
     "l_diversity_profile_events",
+    # round-13 additions (newest round always sentinelled): one
+    # mid-weight representative per promoted family — hash-min CC
+    # labels over the shingle-overlap candidate graph (dup-graph ops),
+    # the watermark drop matrix (streaming-batch mirrors), and the
+    # greedy token-budget allocation (source-mix planning). Rotated
+    # out same-family above: source_shingle_containment (dedup 4->3),
+    # watermark_state_rows (streaming 4->3), pack_efficiency
+    # (sampling 4->3).
+    "cc_hashmin_labels_documents",
+    "watermark_drop_matrix_events",
+    "token_budget_allocation_documents",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but
