@@ -2249,9 +2249,13 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   ledger from the committed CORRECTNESS files first. Flip the two
 #   test shapes in the rotation commit (test_staging_r14 ->
 #   promoted+windowed, test_staging_r13 -> historical proof).
-#   Round 14 still needs NO staging work (r15/r16/r17 banked); stage
-#   the r18 cohort in round 14 or 15's slot at the latest (themes
-#   under ROUND 18 below).
+#   Round 14 needs NO staging work at all: r15/r16/r17 were already
+#   banked and round 13's spare capacity staged the r18 cohort too
+#   (see ROUND 18 SEED below) — the pipeline is four promotion
+#   rounds ahead. The NEXT cohort to stage is r19 (themes seeded
+#   under ROUND 19 below), needed by round 16's staging slot at the
+#   latest; rounds 14/15 spend their non-promotion capacity on
+#   product work.
 #
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
@@ -2382,23 +2386,51 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   tests/test_staging_r17.py is the per-SF harness (54 green at
 #   sf0.001 + sf0.01 + sf0.1 at staging time).
 #
-#   ROUND 18 candidate themes (for round 15's staging slot at the
+#   ROUND 18 SEED — a FULL cohort of TWENTY staged and
+#   oracle-verified at three SFs in round 13 (built two rounds
+#   early: with r14..r17 already banked, staging r18 now keeps the
+#   pipeline FOUR promotion rounds ahead and leaves rounds 14/15
+#   promotion-only), on exactly the candidate themes seeded by
+#   round 12 (queries_staging_r18.py): ADMISSION-PIPELINE STREAMING
+#   MIRRORS — the r17 gate funnel run per r15 arrival batch with
+#   committed gate-state carryover; the at-arrival dup gates equal
+#   the global ones because both reject against a strictly smaller
+#   doc_id (the upsert.py equivalence protocol, test-locked by
+#   summing per-batch funnels to the r17 global funnel)
+#   (gate_funnel_by_batch / gate_funnel_rates_by_batch /
+#   gate_ledger_attribution / gate_admitted_mix_drift /
+#   gate_novelty_decay / gate_first_fail_by_batch /
+#   gate_order_cost_by_batch); the PLACEMENT x WORKLOAD feedback
+#   loop — a literal workload model (family, join, runs/day: the
+#   SHUFFLE_BUDGET.json shape) priced in exact rows from live table
+#   counts, the exact-ROI greedy portfolio under a build cap with
+#   its realized-vs-additive audit (workload_shuffle_bill /
+#   layout_family_acceleration / layout_roi_rank /
+#   layout_portfolio_prefix / layout_portfolio_realized /
+#   layout_breakeven_days / layout_residual_bill); GATE-CALIBRATION
+#   sweeps — the 4-nested-band x 3-floor grid, exact-integer source
+#   bias (cross-multiplied L1), the pareto frontier as integer
+#   dominance via two windows (never an O(cells^2) join), nested-
+#   band marginals, the witness rows (gate_grid_admission /
+#   gate_grid_source_share / gate_grid_bias / gate_pareto_frontier
+#   / gate_grid_marginal_tokens / gate_grid_witness). Round 18
+#   promotes them; tests/test_staging_r18.py is the per-SF harness
+#   (54 green at sf0.001 + sf0.01 + sf0.1 at staging time).
+#
+#   ROUND 19 candidate themes (for round 16's staging slot at the
 #   latest), each composing proven machinery with 100 TB pull:
-#   (a) admission-pipeline STREAMING mirrors — the r17 gate funnel
-#   run per arrival batch with committed gate-state carryover (the
-#   upsert.py equivalence protocol applied to admission: exact-dup
-#   and LSH gates against the ledger-at-arrival, funnel rates per
-#   delivery, drift of the admitted mix across deliveries);
-#   (b) the PLACEMENT x WORKLOAD feedback loop — join the r17
-#   layout coverage with measured per-query shuffle budgets
-#   (SHUFFLE_BUDGET.json-shaped data modeled as literals): which
-#   catalog families a layout accelerates, the layout portfolio
-#   under a build-budget cap (greedy by saved-rows-per-build-row,
-#   the r13 clamp convention); (c) GATE-CALIBRATION sweeps — the
-#   r17 quality band-pass and near-dup thresholds swept jointly
-#   (the r10 lsh_calibration protocol applied to the whole funnel):
-#   admitted tokens and source-PSI per (band, threshold) cell, the
-#   pareto frontier as exact integer dominance.
+#   (a) the CALIBRATION x DRIFT closed loop — the r18 grid re-run
+#   per r15 arrival batch: which frontier cell each delivery would
+#   pick, frontier churn across deliveries, and the re-calibration
+#   alarm (pick moves = the r12 drift-monitor protocol applied to
+#   the tuner itself); (b) INDEX/LEDGER LIFECYCLE COSTING — the r16
+#   LSH admission ledger joined with the r17 evolution economics:
+#   rebuild-vs-carry bills per commit for the dedup index, the
+#   compaction schedule as exact arithmetic over the r14 ledger
+#   growth curve; (c) PORTFOLIO x SKEW interaction — the r18 layout
+#   portfolio re-priced under the r17 key-skew alarms: which picked
+#   layouts still pay when the hot keys are salted (salt factors
+#   from placement_salt_planning), the skew-adjusted ROI re-rank.
 _DRIVER_WINDOW = [
     # promoted round-13 stagings (oracle-verified at 3 SFs in r11,
     # re-verified at round-11 AND round-12 END HEADs)
