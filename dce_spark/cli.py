@@ -468,6 +468,13 @@ def cmd_prune(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.partition_col not in ledger.columns:
+            print(
+                f"error: partition column {args.partition_col!r} not "
+                f"in the ledger (columns: {sorted(ledger.columns)})",
+                file=sys.stderr,
+            )
+            return 2
         from .api import prunable_partitions
 
         try:

@@ -448,3 +448,9 @@ def test_prune_verb_named_errors(tmp_path, spark):
     assert r3.returncode == 2
     assert "does not exist" in r3.stderr
     assert "Traceback" not in r3.stderr
+
+    r4 = run_cli("prune", ledger, "--partition-col", "not_a_col",
+                 "--where", "v < 3")
+    assert r4.returncode == 2
+    assert "partition column" in r4.stderr
+    assert "Traceback" not in r4.stderr
