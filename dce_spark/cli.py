@@ -520,6 +520,64 @@ def cmd_prune(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Compact an APPEND-STYLE state ledger (the shape ``validate
+    --emit-states`` appends: one row per (partition, batch)) to ONE
+    row per partition value, by each state column's merge rule in
+    Spark (api.compact_state_ledger) — report-preserving bit-for-bit
+    and idempotent. Completes the ledger lifecycle at the CLI: emit ->
+    validate -> compact -> prune. Input rows must be DISJOINT batch
+    covers (compacting superseding recomputations double-counts — the
+    same precondition the merge path documents).
+
+    The compacted frame is ~#partitions rows, so it is collected to
+    the driver before writing — which is also what makes the default
+    in-place overwrite safe (never stream-read and overwrite the same
+    parquet path)."""
+    spark = _spark()
+    try:
+        from pyspark.errors import AnalysisException
+
+        try:
+            ledger = spark.read.parquet(args.ledger)
+        except AnalysisException:
+            print(
+                f"error: ledger path {args.ledger!r} does not exist "
+                "or is not parquet",
+                file=sys.stderr,
+            )
+            return 2
+        if args.partition_col not in ledger.columns:
+            print(
+                f"error: partition column {args.partition_col!r} not "
+                f"in the ledger (columns: {sorted(ledger.columns)})",
+                file=sys.stderr,
+            )
+            return 2
+        from .api import compact_state_ledger
+
+        try:
+            compacted = compact_state_ledger(ledger, args.partition_col)
+        except ValueError as e:
+            # named API errors (no merge rule, non-bigint counts)
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        n_in = ledger.count()
+        rows = compacted.collect()  # ~#partitions rows, one ~kB each
+        out = args.output or args.ledger
+        spark.createDataFrame(rows, compacted.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+        print(
+            f"compacted {n_in} state rows -> {len(rows)} "
+            f"(one per partition) at {out}",
+            file=sys.stderr,
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dce-spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -599,6 +657,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     pz.add_argument("--format", choices=["text", "json"], default="text")
     pz.set_defaults(func=cmd_prune)
+
+    cp = sub.add_parser(
+        "compact",
+        help="compact an append-style state ledger to one row per "
+        "partition (merge rules in Spark; report-preserving)",
+    )
+    cp.add_argument("ledger", help="state-ledger parquet path")
+    cp.add_argument("--partition-col", required=True)
+    cp.add_argument(
+        "-o", "--output", default=None,
+        help="write the compacted ledger here (default: overwrite the "
+        "input in place — safe: the frame is driver-collected first)",
+    )
+    cp.set_defaults(func=cmd_compact)
     return p
 
 

@@ -454,3 +454,80 @@ def test_prune_verb_named_errors(tmp_path, spark):
     assert r4.returncode == 2
     assert "partition column" in r4.stderr
     assert "Traceback" not in r4.stderr
+
+
+def test_compact_verb_round_trip(spark, tmp_path):
+    """dce compact collapses an append-style ledger (one row per
+    (partition, batch)) to one row per partition IN PLACE, the served
+    validation report is bit-identical before and after, zones
+    survive so `dce prune` answers the same, and compacting twice is
+    a no-op. Named exit-2 errors for a missing path and a wrong
+    partition column."""
+    from dce_spark.api import partition_states
+    from dce_spark.sinks import write_partitioned
+
+    rows1 = [(i, 1.0 * i, d) for i, d in enumerate(["a"] * 5 + ["b"] * 5)]
+    rows2 = [(100 + i, 40.0 + i, d)
+             for i, d in enumerate(["a"] * 5 + ["b"] * 5)]
+    df1 = spark.createDataFrame(rows1, schema="id long, v double, day string")
+    df2 = spark.createDataFrame(rows2, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df1.unionByName(df2), out, ["day"],
+                      files_per_partition=1)
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+    contract = p.read_text()
+
+    # append-style ledger: two DISJOINT batch covers per partition
+    ledger = str(tmp_path / "ledger")
+    for batch in (df1, df2):
+        st = partition_states(spark, batch, contract, "day", zones=["v"])
+        spark.createDataFrame(st.collect(), st.schema).write.mode(
+            "append"
+        ).parquet(ledger)
+    assert spark.read.parquet(ledger).count() == 4  # 2 days x 2 batches
+
+    r0 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger, "--format", "json")
+    assert r0.returncode == 0, r0.stdout + r0.stderr
+
+    rc = run_cli("compact", ledger, "--partition-col", "day")
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    assert "compacted 4 state rows -> 2" in rc.stderr
+    assert "Traceback" not in rc.stderr
+    st2 = spark.read.parquet(ledger)
+    assert st2.count() == 2
+    assert "__zmin__v" in st2.columns  # zones survive
+
+    # served report identical before and after compaction
+    r1 = run_cli("validate", str(p), "--partition-col", "day",
+                 "--state-ledger", ledger, "--format", "json")
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+
+    def strip_wallclock(rep):
+        for part in rep.values():
+            part["stats"].pop("duration_ms", None)
+        return rep
+
+    assert strip_wallclock(json.loads(r1.stdout)) == strip_wallclock(
+        json.loads(r0.stdout)
+    )
+
+    # prune still proves the same emptiness from the compacted zones
+    rp = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v >= 100")
+    assert rp.returncode == 0
+    assert rp.stdout.split() == ["a", "b"]
+
+    # idempotent
+    rc2 = run_cli("compact", ledger, "--partition-col", "day")
+    assert rc2.returncode == 0
+    assert "compacted 2 state rows -> 2" in rc2.stderr
+
+    # named errors
+    re1 = run_cli("compact", str(tmp_path / "nope"),
+                  "--partition-col", "day")
+    assert re1.returncode == 2 and "does not exist" in re1.stderr
+    re2 = run_cli("compact", ledger, "--partition-col", "nope")
+    assert re2.returncode == 2 and "partition column" in re2.stderr
+    assert "Traceback" not in re1.stderr + re2.stderr
