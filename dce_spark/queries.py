@@ -2250,12 +2250,12 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   test shapes in the rotation commit (test_staging_r14 ->
 #   promoted+windowed, test_staging_r13 -> historical proof).
 #   Round 14 needs NO staging work at all: r15/r16/r17 were already
-#   banked and round 13's spare capacity staged the r18 cohort too
-#   (see ROUND 18 SEED below) — the pipeline is four promotion
-#   rounds ahead. The NEXT cohort to stage is r19 (themes seeded
-#   under ROUND 19 below), needed by round 16's staging slot at the
-#   latest; rounds 14/15 spend their non-promotion capacity on
-#   product work.
+#   banked and round 13's spare capacity staged BOTH the r18 and r19
+#   cohorts (see ROUND 18/19 SEEDs below) — the pipeline is FIVE
+#   promotion rounds ahead. The NEXT cohort to stage is r20 (themes
+#   seeded under ROUND 20 below), needed by round 17's staging slot
+#   at the latest; rounds 14..17 spend their non-promotion capacity
+#   on product work.
 #
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
@@ -2417,20 +2417,49 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   promotes them; tests/test_staging_r18.py is the per-SF harness
 #   (54 green at sf0.001 + sf0.01 + sf0.1 at staging time).
 #
-#   ROUND 19 candidate themes (for round 16's staging slot at the
-#   latest), each composing proven machinery with 100 TB pull:
-#   (a) the CALIBRATION x DRIFT closed loop — the r18 grid re-run
-#   per r15 arrival batch: which frontier cell each delivery would
-#   pick, frontier churn across deliveries, and the re-calibration
-#   alarm (pick moves = the r12 drift-monitor protocol applied to
-#   the tuner itself); (b) INDEX/LEDGER LIFECYCLE COSTING — the r16
-#   LSH admission ledger joined with the r17 evolution economics:
-#   rebuild-vs-carry bills per commit for the dedup index, the
-#   compaction schedule as exact arithmetic over the r14 ledger
-#   growth curve; (c) PORTFOLIO x SKEW interaction — the r18 layout
-#   portfolio re-priced under the r17 key-skew alarms: which picked
-#   layouts still pay when the hot keys are salted (salt factors
-#   from placement_salt_planning), the skew-adjusted ROI re-rank.
+#   ROUND 19 SEED — a FULL cohort of TWENTY staged and
+#   oracle-verified at three SFs in round 13 (built THREE rounds
+#   early in the same round that staged r18 — the pipeline now holds
+#   FIVE promotion rounds of inventory, r14..r19, so rounds 14..17
+#   are promotion-only), on exactly the candidate themes above
+#   (queries_staging_r19.py): the CALIBRATION x DRIFT closed loop —
+#   the r18 grid re-run per r15 arrival batch: per-batch cell
+#   metrics (within-batch exact bias), the per-batch two-window
+#   skyline, the fully tie-broken per-delivery pick, pick/frontier
+#   churn, the exact cross-multiplied >25% re-calibration alarm on
+#   the production cell, and the stale-pick token bill
+#   (cal_cell_metrics_by_batch / cal_frontier_by_batch /
+#   cal_pick_by_batch / cal_pick_churn / cal_frontier_churn /
+#   cal_recalibration_alarm / cal_stale_pick_cost); LSH-INDEX
+#   LIFECYCLE COSTING — carry-vs-rebuild write bills, the
+#   compact-every-k policy sweep + totals, the signature CPU bill,
+#   schema evolution with grandfathered vintages, the bounded-wave
+#   re-index plan (lsh_carry_vs_rebuild_bill /
+#   lsh_compaction_policy_sweep / lsh_compaction_policy_totals /
+#   lsh_signature_bill / lsh_reindex_grandfather /
+#   lsh_reindex_wave_plan — r16 keeps admission/staleness/probe-
+#   cost; r19 owns the bills); PORTFOLIO x SKEW — exact key-skew
+#   profiles, the minimum taming salt in {1,2,4,8}, the salted price
+#   list (r13 clamp), the skew-adjusted ROI re-rank + prefix re-run,
+#   top-5 hot keys, the adjusted residual bill (skew_key_profile /
+#   skew_salt_requirement / portfolio_salted_join_price /
+#   portfolio_skew_adjusted_roi / portfolio_skew_adjusted_prefix /
+#   skew_hot_keys / portfolio_salt_residual). Round 19 promotes
+#   them; tests/test_staging_r19.py is the per-SF harness.
+#
+#   ROUND 20 candidate themes (the final round's cohort, for round
+#   17's staging slot at the latest), composing the whole stack into
+#   closing audits: (a) the END-TO-END INGEST MANIFEST — one plan
+#   per delivery chaining the r17 gates, r14 curriculum epochs, r15
+#   sampler slots and r18 placement picks into a single oracle-able
+#   manifest row per (delivery, epoch, source) with exact token
+#   conservation; (b) CROSS-COHORT INVARIANT ROWS — the equivalence
+#   identities the staging harnesses lock (per-batch funnels == the
+#   global funnel, ledger merge == recompute, additive vs realized
+#   coverage) promoted to first-class catalog rows with match flags;
+#   (c) WORKLOAD SELF-METRICS — SHUFFLE_BUDGET-shaped literals
+#   priced against table statistics: budget mass by family, the
+#   exchange-count census, and the budget-vs-measured drift table.
 _DRIVER_WINDOW = [
     # promoted round-13 stagings (oracle-verified at 3 SFs in r11,
     # re-verified at round-11 AND round-12 END HEADs)
