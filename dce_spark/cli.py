@@ -485,10 +485,23 @@ def cmd_prune(args: argparse.Namespace) -> int:
             # named API errors (no such zone column, bad op)
             print(f"error: {e}", file=sys.stderr)
             return 2
-        vals = sorted(
-            (r[0] for r in pruned.collect()), key=lambda v: (v is None, str(v))
-        )
-        total = ledger.select(args.partition_col).distinct().count()
+        skey = lambda v: (v is None, str(v))  # noqa: E731
+        vals = sorted((r[0] for r in pruned.collect()), key=skey)
+        all_parts = [
+            r[0]
+            for r in ledger.select(args.partition_col)
+            .distinct()
+            .collect()
+        ]
+        total = len(all_parts)
+        if args.invert:
+            # the list a scan planner actually consumes: partitions
+            # the predicate MUST read (everything not provably empty)
+            out_vals = sorted(set(all_parts) - set(vals), key=skey)
+            out_key = "scan"
+        else:
+            out_vals = vals
+            out_key = "prunable"
         if args.format == "json":
             import json as _json
 
@@ -502,17 +515,19 @@ def cmd_prune(args: argparse.Namespace) -> int:
                             "value": value,
                         },
                         "total_partitions": total,
-                        "prunable": vals,
+                        out_key: out_vals,
                     },
                     default=str,
                 )
             )
         else:
-            for v in vals:
+            for v in out_vals:
                 print(v)
         print(
             f"{len(vals)} of {total} partitions provably empty for "
-            f"{field} {op} {value!r} (zero data I/O)",
+            f"{field} {op} {value!r} (zero data I/O"
+            + ("; printing the scan list" if args.invert else "")
+            + ")",
             file=sys.stderr,
         )
         return 0
@@ -656,6 +671,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help='predicate to prove empty, e.g. "v < 100" (ops: >= > <= <)',
     )
     pz.add_argument("--format", choices=["text", "json"], default="text")
+    pz.add_argument(
+        "--invert", action="store_true",
+        help="print the partitions the predicate MUST scan (the "
+        "complement of the skip list — what a scheduler consumes)",
+    )
     pz.set_defaults(func=cmd_prune)
 
     cp = sub.add_parser(

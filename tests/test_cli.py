@@ -355,6 +355,15 @@ def test_validate_zone_cols_against_zoneless_ledger_is_named_error(
     assert "__zmin__v" not in st.columns
 
 
+
+
+def _json_loads_first(s):
+    import json as _j
+
+    return _j.loads(s[s.index("{"):])
+
+
+
 def test_prune_verb_round_trip(spark, tmp_path):
     """The zero-I/O story at the CLI surface (VERDICT r12 missing #2):
     emit zone columns with validate --zone-cols, then `dce prune` lists
@@ -401,6 +410,18 @@ def test_prune_verb_round_trip(spark, tmp_path):
     assert doc["prunable"] == ["c"]
     assert doc["total_partitions"] == 3
     assert doc["predicate"] == {"field": "v", "op": "<", "value": 55}
+
+    # --invert prints the complement: the list a scan planner feeds
+    # straight into its partition filter
+    ri = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v >= 10", "--invert")
+    assert ri.returncode == 0, ri.stdout + ri.stderr
+    assert ri.stdout.split() == ["b"]
+    assert "printing the scan list" in ri.stderr
+    ri2 = run_cli("prune", ledger, "--partition-col", "day",
+                  "--where", "v >= 10", "--invert", "--format", "json")
+    doc_i = _json_loads_first(ri2.stdout)
+    assert doc_i["scan"] == ["b"] and "prunable" not in doc_i
 
     # boundary: v >= 54 keeps b in play (zmax == 54 can match)
     r3 = run_cli("prune", ledger, "--partition-col", "day",
