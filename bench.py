@@ -362,6 +362,31 @@ BENCH_QUERIES = [
     "sample_slots_largest_remainder_documents",
     "dedup_adjusted_budget_documents",
     "mix_shift_under_caps_documents",
+    # round-14 promotions (staged + oracle-verified at three SFs in
+    # round 11, judge-replayed in r12, re-verified at r13 END HEAD,
+    # promoted this round): converged-fixpoint CC over the
+    # shingle-overlap graph, ledger time-dimension state arithmetic,
+    # curriculum/data-ordering
+    "cc_converged_components_documents",
+    "cc_size_histogram_documents",
+    "cc_cross_source_components_documents",
+    "cc_component_density_documents",
+    "cc_survivor_savings_documents",
+    "cc_truncation_error_documents",
+    "cc_exact_group_fusion_documents",
+    "ledger_snapshot_diff_events",
+    "ledger_growth_curve_events",
+    "ledger_merge_recompute_equality_events",
+    "ledger_partition_arrivals_events",
+    "ledger_compaction_histogram_events",
+    "ledger_freshness_lag_events",
+    "ledger_rate_drift_events",
+    "curriculum_difficulty_histogram_documents",
+    "curriculum_epoch_assignment_documents",
+    "curriculum_epoch_mix_documents",
+    "curriculum_pacing_curve_documents",
+    "curriculum_interleave_order_documents",
+    "curriculum_source_difficulty_psi_documents",
     # round-9 exact-form admissions: benched (full runs only) so the
     # EXACT_FORMS tier below has their trend lines — the r8 verdict's
     # What's-wrong #2 named both as twinned exact forms with no label
@@ -439,7 +464,10 @@ DRIVER_TIMED = [
     # carried by the r13 source-mix sentinel
     # token_budget_allocation_documents below, the family's optimizer
     # face)
-    "split_assign_documents",
+    # (rotation r14: split_assign out — the deterministic token-
+    # bucketed assignment trend is carried by the r14 curriculum
+    # sentinel curriculum_epoch_assignment_documents below, the same
+    # shape with the epoch-balance optimizer on top)
     "stratified_sample_documents",
     "decontamination_overlap_documents",
     # multimodal
@@ -517,21 +545,35 @@ DRIVER_TIMED = [
     # validation regression diff (mergeable state), the per-dimension
     # coord-drift sweep (embedding drift), the attribution model
     # compare (warehouse), and the l-diversity profile (governance).
-    "validation_state_regression_orders",
+    # (rotation r14: validation_state_regression out — the
+    # mergeable-state family's second sentinel is now the r14 ledger
+    # growth curve below; incremental_validation stays, it's the CLI
+    # --state-ledger product path)
     "coord_drift_sweep_embeddings",
     "attribution_model_compare_events",
     "l_diversity_profile_events",
     # round-13 additions (newest round always sentinelled): one
-    # mid-weight representative per promoted family — hash-min CC
-    # labels over the shingle-overlap candidate graph (dup-graph ops),
-    # the watermark drop matrix (streaming-batch mirrors), and the
-    # greedy token-budget allocation (source-mix planning). Rotated
-    # out same-family above: source_shingle_containment (dedup 4->3),
+    # mid-weight representative per promoted family — the watermark
+    # drop matrix (streaming-batch mirrors) and the greedy
+    # token-budget allocation (source-mix planning). Rotated out
+    # same-family above: source_shingle_containment (dedup 4->3),
     # watermark_state_rows (streaming 4->3), pack_efficiency
     # (sampling 4->3).
-    "cc_hashmin_labels_documents",
+    # (rotation r14: cc_hashmin_labels out — the dup-graph family's
+    # sentinel is now its r14 converged-fixpoint derivative below,
+    # the same candidate graph run to the fixpoint)
     "watermark_drop_matrix_events",
     "token_budget_allocation_documents",
+    # round-14 additions (newest round always sentinelled): one
+    # mid-weight representative per promoted family — the converged
+    # CC labels (fixpoint graph), the ledger growth curve (ledger
+    # time dimension), and the token-balanced epoch assignment
+    # (curriculum). Rotated out same-family: cc_hashmin_labels
+    # (graph), validation_state_regression (mergeable state),
+    # split_assign (sampling/curriculum).
+    "cc_converged_components_documents",
+    "ledger_growth_curve_events",
+    "curriculum_epoch_assignment_documents",
 ]
 
 # PARITY PROBES: queries that deliberately run an oracle-replayable but

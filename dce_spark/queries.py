@@ -2257,6 +2257,46 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   at the latest; rounds 14..17 spend their non-promotion capacity
 #   on product work.
 #
+#   ROUND 14 WINDOW (this list) — the round-14 plan, EXECUTED: the 20
+#   promoted round-14 stagings (queries_staging_r14.py, registered
+#   via queries_more._promote_staged_r14, fronted the same round — no
+#   unchecked tail; round 14 registers no other new catalog queries:
+#   the round's non-catalog work is the ledger-CLI hardening from
+#   VERDICT r13 — `dce compact` write-to-temp-then-rename, `dce prune
+#   --where` type check vs the zone dtype — the r20 staging start,
+#   the Iceberg jar retry, and the bench sentinel rotation) + the
+#   FIRST 30 (alphabetical) of the 36 r7 carryovers
+#   (event_transition_matrix_events ..
+#   source_js_divergence_documents). Ledger RECOMPUTED this round
+#   from the committed CORRECTNESS_r0{1..5,7,8,9}+r1{0..3}.json files
+#   BEFORE rotating: tiers were r7=36 (exactly the names the round-13
+#   note lists), r8..r13=50 each, zero reds, zero never-checked, 336
+#   entries, catalog<->ledger a perfect bijection — matching the
+#   round-13 plan comment exactly. After this window the stalest tier
+#   is r7=6 (source_shingle_containment_documents,
+#   tokenizer_fertility_documents, trigram_backoff_logprob_documents,
+#   vocab_coverage_documents, watermark_state_rows_events,
+#   zipf_slope_documents) + r8=50; those 6 r7 rows lead the round-15
+#   window, then the FIRST 24 (alphabetical) of the 50 r8 rows
+#   (adc_rank_correlation_embeddings ..
+#   ngram_novelty_decay_documents) fill it; the remaining 26 r8 rows
+#   (ntile_bins_lineitem ..) burn down over rounds 16-17.
+#   CATALOG FROZEN for round 14 at this rotation (356 entries).
+#
+#   ROUND 15 PLAN — promote the TWENTY staged round-15 queries
+#   (queries_staging_r15.py — verified at three SFs in round 12; see
+#   ROUND 15 SEED below), register any new round-15 queries EARLY,
+#   then window: 20 promoted + round 15's own new queries + the 6
+#   remaining r7 rows (named above — r7 tier -> EMPTY) + the FIRST 24
+#   (alphabetical) r8 rows (adc_rank_correlation_embeddings ..
+#   ngram_novelty_decay_documents) to fill to exactly 50. Freeze at
+#   rotation. RECOMPUTE the ledger from the committed CORRECTNESS
+#   files first. Flip the two test shapes in the rotation commit
+#   (test_staging_r15 -> promoted+windowed, test_staging_r14 ->
+#   historical proof vs CORRECTNESS_r14). Round 15 needs NO staging
+#   work (r16..r19 banked); if round 14 didn't finish the r20 cohort,
+#   round 15's spare capacity must (needed by round 17's slot).
+#
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
 #   (queries_staging_r13.py: the graph family over the hash-free
@@ -2461,63 +2501,62 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   priced against table statistics: budget mass by family, the
 #   exchange-count census, and the budget-vs-measured drift table.
 _DRIVER_WINDOW = [
-    # promoted round-13 stagings (oracle-verified at 3 SFs in r11,
-    # re-verified at round-11 AND round-12 END HEADs)
-    "cc_hashmin_labels_documents",
-    "cc_convergence_curve_documents",
-    "label_propagation_round_documents",
-    "graph_degree_profile_documents",
-    "triangle_closure_documents",
-    "common_neighbors_topk_documents",
-    "cross_source_edge_mix_documents",
-    "attribution_stream_cuts_events",
-    "pit_stream_cut_consistency_events",
-    "lww_stream_convergence_events",
-    "watermark_drop_matrix_events",
-    "session_open_state_events",
-    "topk_stream_stability_events",
-    "cdc_disorder_rate_events",
-    "token_budget_allocation_documents",
-    "length_floor_sweep_documents",
-    "epoch_repetition_schedule_documents",
-    "sample_slots_largest_remainder_documents",
-    "dedup_adjusted_budget_documents",
-    "mix_shift_under_caps_documents",
-    # stalest-tier burn-down: ALL 16 remaining r5 rows (tier -> EMPTY)
-    "q6_revenue_delta",
-    "range_violations_lineitem",
-    "row_count_lineitem",
-    "semantic_decontamination_embeddings",
-    "semi_anti_join_customers",
-    "sessionization_events",
-    "set_ops_orders_customers",
-    "skew_salted_join_events",
-    "temporal_bounds_events",
-    "text_quality_documents",
-    "topk_orders_by_price",
-    "uniqueness_dupes_lineitem",
-    "uniqueness_per_day_orders",
-    "window_running_total_orders",
-    "windowed_quantiles_events",
-    "winnow_fingerprint_documents",
-    # + the first 14 (alphabetical) of the 50 r7 rows; the 36
-    # remaining (event_transition_matrix_events ..
-    # zipf_slope_documents) burn down over rounds 14-15, named in
-    # the ROUND 14 PLAN note above
-    "arrival_delay_quantiles_events",
-    "asof_tolerance_join_events",
-    "burstiness_events",
-    "char_entropy_documents",
-    "constraint_violation_samples_events",
-    "covariance_topvec_embeddings",
-    "cross_source_dup_rate_documents",
-    "cusum_drift_events",
-    "dedup_cluster_size_hist_documents",
-    "dedup_survivor_selection_documents",
-    "dow_seasonality_events",
-    "drop_rate_by_delay_events",
-    "duplicate_ngram_rate_documents",
-    "embedding_norm_outliers",
+    # promoted round-14 stagings (oracle-verified at 3 SFs in r11,
+    # judge-replayed 20/20 in r12, re-verified at round-13 END HEAD)
+    "cc_converged_components_documents",
+    "cc_size_histogram_documents",
+    "cc_cross_source_components_documents",
+    "cc_component_density_documents",
+    "cc_survivor_savings_documents",
+    "cc_truncation_error_documents",
+    "cc_exact_group_fusion_documents",
+    "ledger_snapshot_diff_events",
+    "ledger_growth_curve_events",
+    "ledger_merge_recompute_equality_events",
+    "ledger_partition_arrivals_events",
+    "ledger_compaction_histogram_events",
+    "ledger_freshness_lag_events",
+    "ledger_rate_drift_events",
+    "curriculum_difficulty_histogram_documents",
+    "curriculum_epoch_assignment_documents",
+    "curriculum_epoch_mix_documents",
+    "curriculum_pacing_curve_documents",
+    "curriculum_interleave_order_documents",
+    "curriculum_source_difficulty_psi_documents",
+    # stalest-tier burn-down: the FIRST 30 (alphabetical) of the 36
+    # r7 rows; the LAST 6 (source_shingle_containment_documents ..
+    # zipf_slope_documents) lead the round-15 window, named in the
+    # ROUND 14 WINDOW note above
+    "event_transition_matrix_events",
+    "funnel_time_to_convert_events",
+    "gap_fill_daily_events",
+    "gini_user_activity_events",
+    "heavy_hitters_global_support_events",
+    "ivf_pq_recall_embeddings",
+    "ivf_recall_vs_nprobe_embeddings",
+    "kn_discount_logprob_documents",
+    "label_margin_confusion_embeddings",
+    "lsh_degree_hist_documents",
+    "lsh_precision_documents",
+    "minhash_band_stability_documents",
+    "minhash_calibration_documents",
+    "multimodal_aspect_hist",
+    "multimodal_payload_dedup",
+    "oov_rate_by_source_documents",
+    "opq_reconstruction_error_embeddings",
+    "pack_assign_documents",
+    "pack_efficiency_documents",
+    "pagerank_dedup_graph_documents",
+    "pareto_revenue_share_lineitem",
+    "pca_variance_share_embeddings",
+    "pq_codebook_balance_embeddings",
+    "pq_opq_recall_embeddings",
+    "rare_token_ratio_documents",
+    "rolling_active_users_events",
+    "session_gap_sensitivity_events",
+    "sliding_late_data_windows_events",
+    "sliding_window_counts_events",
+    "source_js_divergence_documents",
 ]
 
 

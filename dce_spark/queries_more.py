@@ -4800,3 +4800,45 @@ def _promote_staged_r13() -> None:
 
 
 _promote_staged_r13()
+
+
+# =====================================================================
+# Round-14 promotion. The twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 11, judge-replayed 20/20 in round
+# 12 and builder-re-verified at round-13 END HEAD — the
+# converged-fixpoint graph family (hash-min run to n_changed = 0 with
+# a DuckDB RECURSIVE-closure oracle: converged components, size
+# histogram, cross-source components, component density, survivor
+# savings, truncation error, exact-group fusion), the ledger
+# time-dimension family (snapshot diff, growth curve,
+# merge==recompute equality, partition arrivals, compaction
+# histogram, freshness lag, rate drift — state arithmetic across the
+# 5 exact-integer snapshot commits, zero row-rescan), and the
+# curriculum/data-ordering family (difficulty histogram, epoch
+# assignment, epoch mix, pacing curve, interleave order, source x
+# difficulty PSI — exact-integer scores over fixed-edge buckets, NO
+# global sort) — enter the live catalog. Same protocol and
+# re-entrancy shape as the r8..r13 promotions above (the staging
+# module bootstraps the catalog chain before defining STAGED_R14, so a
+# staging-first import reaches this loop before any entry exists; bail
+# out and let the staging tail hook re-invoke once all twenty are
+# defined).
+# =====================================================================
+
+
+def _promote_staged_r14() -> None:
+    from . import queries_staging_r14 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R14", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r14()

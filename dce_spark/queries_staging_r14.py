@@ -1654,3 +1654,19 @@ def curriculum_source_difficulty_psi_documents(spark, sf_dir):
             ).alias("psi_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Round-14 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R14, so importing THIS module first runs the whole
+# registration chain while STAGED_R14 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8..r13 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r14 as _promote  # noqa: E402
+
+_promote()
+del _promote
