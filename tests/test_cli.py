@@ -552,3 +552,113 @@ def test_compact_verb_round_trip(spark, tmp_path):
     re2 = run_cli("compact", ledger, "--partition-col", "nope")
     assert re2.returncode == 2 and "partition column" in re2.stderr
     assert "Traceback" not in re1.stderr + re2.stderr
+
+
+def test_compact_in_place_is_temp_swapped(spark, tmp_path):
+    """The in-place overwrite is write-to-temp-then-rename (round-13
+    verdict): the replacement ledger is fully written to a *.compact-tmp
+    sibling before the committed path is touched, so a crash at any
+    point leaves a complete ledger on disk. Black-box observables:
+    stale *.compact-tmp / *.compact-old leftovers from a prior crash
+    are cleaned up and compaction still succeeds; a successful run
+    leaves no temp siblings; --output to a fresh path is a plain
+    direct write that never touches the input ledger."""
+    import os
+
+    from dce_spark.api import partition_states
+    from dce_spark.sinks import write_partitioned
+
+    rows1 = [(i, 1.0 * i, d) for i, d in enumerate(["a"] * 3 + ["b"] * 3)]
+    rows2 = [(50 + i, 20.0 + i, d)
+             for i, d in enumerate(["a"] * 3 + ["b"] * 3)]
+    df1 = spark.createDataFrame(rows1, schema="id long, v double, day string")
+    df2 = spark.createDataFrame(rows2, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df1.unionByName(df2), out, ["day"],
+                      files_per_partition=1)
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+    contract = p.read_text()
+
+    ledger = str(tmp_path / "ledger")
+    for batch in (df1, df2):
+        st = partition_states(spark, batch, contract, "day", zones=["v"])
+        spark.createDataFrame(st.collect(), st.schema).write.mode(
+            "append"
+        ).parquet(ledger)
+
+    # simulate a prior mid-swap crash: both temp siblings left behind
+    for suffix in (".compact-tmp", ".compact-old"):
+        os.makedirs(ledger + suffix, exist_ok=True)
+        with open(ledger + suffix + "/garbage.bin", "w") as fh:
+            fh.write("leftover from a killed compact")
+
+    rc = run_cli("compact", ledger, "--partition-col", "day")
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    assert "compacted 4 state rows -> 2" in rc.stderr
+    # the swap landed and cleaned up after itself — no temp siblings
+    assert not os.path.exists(ledger + ".compact-tmp")
+    assert not os.path.exists(ledger + ".compact-old")
+    assert spark.read.parquet(ledger).count() == 2
+
+    # --output to a fresh path: direct write, input ledger untouched,
+    # and no temp siblings appear next to either path
+    dest = str(tmp_path / "compacted_out")
+    rc2 = run_cli("compact", ledger, "--partition-col", "day",
+                  "--output", dest)
+    assert rc2.returncode == 0, rc2.stdout + rc2.stderr
+    assert spark.read.parquet(dest).count() == 2
+    assert spark.read.parquet(ledger).count() == 2
+    for base in (ledger, dest):
+        assert not os.path.exists(base + ".compact-tmp")
+        assert not os.path.exists(base + ".compact-old")
+
+
+def test_prune_where_type_mismatch_named_error(spark, tmp_path):
+    """A --where value whose parsed type contradicts the ledger's zone
+    dtype is a NAMED exit-2 error (round-13 verdict): a quoted string
+    against a numeric zone (or a numeric literal against a string
+    zone) would otherwise fall into Spark implicit-cast semantics and
+    could never prove emptiness soundly."""
+    from dce_spark.api import partition_states
+    from dce_spark.sinks import write_partitioned
+
+    rows = [(i, 1.0 * i, "a") for i in range(4)]
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+
+    ledger = str(tmp_path / "ledger")
+    st = partition_states(spark, df, p.read_text(), "day", zones=["v"])
+    spark.createDataFrame(st.collect(), st.schema).write.parquet(ledger)
+
+    # quoted string vs the double zone column: named error, exit 2
+    r1 = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v < '10'")
+    assert r1.returncode == 2, r1.stdout + r1.stderr
+    assert "numeric type" in r1.stderr and "__zmin__v" in r1.stderr
+    assert "Traceback" not in r1.stderr
+    # the unquoted numeric form the error message suggests still works
+    r2 = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v < 10")
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+
+    # string zone column: a numeric literal is the mismatch direction
+    sledger = str(tmp_path / "sledger")
+    spark.createDataFrame(
+        [("a", "x", "y"), ("b", "m", "z")],
+        schema="day string, __zmin__s string, __zmax__s string",
+    ).write.parquet(sledger)
+    r3 = run_cli("prune", sledger, "--partition-col", "day",
+                 "--where", "s < 5")
+    assert r3.returncode == 2, r3.stdout + r3.stderr
+    assert "type string" in r3.stderr
+    assert "Traceback" not in r3.stderr
+    # the quoted form the error message suggests works: zmin 'x' >= 'w'
+    # proves day a empty for s < 'w'
+    r4 = run_cli("prune", sledger, "--partition-col", "day",
+                 "--where", "s < 'w'")
+    assert r4.returncode == 0, r4.stdout + r4.stderr
+    assert r4.stdout.split() == ["a"]
