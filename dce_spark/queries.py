@@ -2487,19 +2487,34 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   skew_hot_keys / portfolio_salt_residual). Round 19 promotes
 #   them; tests/test_staging_r19.py is the per-SF harness.
 #
-#   ROUND 20 candidate themes (the final round's cohort, for round
-#   17's staging slot at the latest), composing the whole stack into
-#   closing audits: (a) the END-TO-END INGEST MANIFEST — one plan
-#   per delivery chaining the r17 gates, r14 curriculum epochs, r15
-#   sampler slots and r18 placement picks into a single oracle-able
-#   manifest row per (delivery, epoch, source) with exact token
-#   conservation; (b) CROSS-COHORT INVARIANT ROWS — the equivalence
-#   identities the staging harnesses lock (per-batch funnels == the
-#   global funnel, ledger merge == recompute, additive vs realized
-#   coverage) promoted to first-class catalog rows with match flags;
-#   (c) WORKLOAD SELF-METRICS — SHUFFLE_BUDGET-shaped literals
-#   priced against table statistics: budget mass by family, the
-#   exchange-count census, and the budget-vs-measured drift table.
+#   ROUND 20 SEED — a FULL cohort of TWENTY staged and
+#   oracle-verified at three SFs in round 14 (three rounds early —
+#   the FINAL cohort of the 20-round plan, so rounds 15..19 are
+#   promotion-only), on exactly the candidate themes seeded by
+#   round 13 (queries_staging_r20.py): the END-TO-END INGEST
+#   MANIFEST — one oracle-able row per (delivery, epoch, source)
+#   chaining the r15 arrival cut, the r17/r18 admission gates, the
+#   r14 curriculum score (rebuilt map-side from the admission
+#   frame's own mw/ntok columns — bit-identical to _SCORED_CTE, no
+#   second corpus scan) and the r15 Hamilton slot plan, with exact
+#   token conservation, delivery reconciliation, epoch coverage,
+#   slot utilization, interleave-key witness heads, and the
+#   power-of-2 write-shard plan (manifest_rows /
+#   manifest_token_conservation / manifest_reconciliation /
+#   manifest_epoch_coverage / manifest_slot_utilization /
+#   manifest_delivery_head / manifest_write_shards); CROSS-COHORT
+#   INVARIANT ROWS — the staging-harness identities promoted to
+#   match-flag rows (invariant_funnel_batch_sum /
+#   invariant_merge_associativity / invariant_slots_hamilton /
+#   invariant_portfolio_marginals / invariant_cc_fixpoint /
+#   invariant_batch_cover / invariant_grid_batch_sum); WORKLOAD
+#   SELF-METRICS — the SHUFFLE_BUDGET-shaped literal model (real
+#   committed budgets for 20 sentinels + three deliberate drift
+#   rows) priced against live table counts (wsm_budget_mass_by_
+#   family / wsm_scan_bill_by_table / wsm_exchange_census /
+#   wsm_shuffle_bill_rank / wsm_budget_drift / wsm_family_lorenz).
+#   Round 20 promotes them; tests/test_staging_r20.py is the per-SF
+#   harness.
 _DRIVER_WINDOW = [
     # promoted round-14 stagings (oracle-verified at 3 SFs in r11,
     # judge-replayed 20/20 in r12, re-verified at round-13 END HEAD)
