@@ -2263,8 +2263,10 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   unchecked tail; round 14 registers no other new catalog queries:
 #   the round's non-catalog work is the ledger-CLI hardening from
 #   VERDICT r13 — `dce compact` write-to-temp-then-rename, `dce prune
-#   --where` type check vs the zone dtype — the r20 staging start,
-#   the Iceberg jar retry, and the bench sentinel rotation) + the
+#   --where` type check vs the zone dtype — the FULL r20 staging
+#   cohort (see ROUND 20 SEED below; verified at three SFs), the
+#   Iceberg jar retry (DNS still fails — no network; documented
+#   skip stays), and the bench sentinel rotation) + the
 #   FIRST 30 (alphabetical) of the 36 r7 carryovers
 #   (event_transition_matrix_events ..
 #   source_js_divergence_documents). Ledger RECOMPUTED this round
