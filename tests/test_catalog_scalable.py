@@ -199,7 +199,11 @@ def test_driver_timed_subset_policy():
         "dedup": "dedup_minhash_lsh_capped",
         "embedding": "embedding_ivf_topk",
         "text": "text_stats_documents",
-        "sampling": "split_assign_documents",
+        # sampling: split_assign rotated out in r14 — the token-
+        # bucketed assignment trend moved to its r14 curriculum
+        # derivative curriculum_epoch_assignment (asserted below);
+        # stratified_sample anchors the family
+        "sampling": "stratified_sample_documents",
         "multimodal": "multimodal_payload_stats",
         "timeseries": "sessionization_events",
         "streaming": "heavy_hitters_batch_events",
@@ -209,18 +213,22 @@ def test_driver_timed_subset_policy():
     }
     for fam, name in anchors.items():
         assert name in sub, f"family {fam} lost its sentinel ({name})"
-    # the newest round's additions are always sentinelled (round-12
-    # rotation: mergeable_profile / index_staleness / k_anonymity /
-    # attribution_gap_quantiles rotated out for the r12 family
-    # representatives; incremental_validation stays — it is the CLI
-    # --state-ledger product path)
+    # the newest round's additions are always sentinelled (round-14
+    # rotation: cc_hashmin_labels / validation_state_regression /
+    # split_assign rotated out for the r14 family representatives;
+    # incremental_validation stays — it is the CLI --state-ledger
+    # product path)
     for name in (
-        "validation_state_regression_orders",
+        "cc_converged_components_documents",
+        "ledger_growth_curve_events",
+        "curriculum_epoch_assignment_documents",
         "coord_drift_sweep_embeddings",
         "attribution_model_compare_events",
         "l_diversity_profile_events",
         "incremental_validation_orders",
         "centroid_shift_embeddings",
         "scd2_snapshot_diff_events",
+        "watermark_drop_matrix_events",
+        "token_budget_allocation_documents",
     ):
         assert name in sub
