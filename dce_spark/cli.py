@@ -416,34 +416,21 @@ def cmd_profile(args: argparse.Namespace) -> int:
         spark.stop()
 
 
-def cmd_prune(args: argparse.Namespace) -> int:
-    """Read a ``--zone-cols`` state ledger and print the partitions
-    whose committed zones PROVE the predicate matches no rows there —
-    the zero-I/O scan skip list (api.prunable_partitions) at the CLI
-    surface. Extension beyond the reference (which has no state
-    ledger); completes the round-12 ``--emit-states``/``--zone-cols``
-    story: emit zones once, then plan scans from the ledger alone.
-
-    The proof is conservative and NULL-safe: a partition is listed
-    only when its group-level zone bound strictly excludes the
-    predicate; NULL zones (a partition whose committed batches held no
-    non-null values) satisfy no inequality, so they are skippable for
-    every op. Zero data I/O — only the ~#partitions-row ledger is
-    read."""
+def _parse_where(where: str):
+    """Parse one --where predicate into (field, op, value, raw);
+    returns an error STRING instead on an unparseable predicate."""
     import re
 
     m = re.match(
         r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|>|<)\s*(.+?)\s*$",
-        args.where,
+        where,
     )
     if not m:
-        print(
-            f"error: cannot parse --where {args.where!r} — expected "
+        return (
+            f"error: cannot parse --where {where!r} — expected "
             '"<field> <op> <value>" with op one of >= > <= < '
-            '(e.g. --where "v < 100")',
-            file=sys.stderr,
+            '(e.g. --where "v < 100")'
         )
-        return 2
     field, op, raw = m.groups()
     if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
         value: object = raw[1:-1]
@@ -455,6 +442,69 @@ def cmd_prune(args: argparse.Namespace) -> int:
                 value = float(raw)
             except ValueError:
                 value = raw
+    return field, op, value, raw
+
+
+def _zone_type_error(ledger, field, op, value, raw):
+    """A value/zone dtype mismatch message (or None when compatible) —
+    fail LOUDLY instead of letting Spark's implicit-cast semantics
+    silently compare a quoted string against a numeric zone (round-13
+    verdict nit #2): a wrong-typed predicate can never prove
+    emptiness soundly, so it is a user error, not a cast."""
+    zdt = dict(ledger.dtypes).get(f"__zmin__{field}")
+    if zdt is None:
+        return None  # missing zone column -> the API's named error
+    z_numeric = zdt in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or zdt.startswith("decimal")
+    if z_numeric and isinstance(value, str):
+        return (
+            f"error: --where value {raw!r} parses as a string "
+            f"but zone column __zmin__{field} has numeric type "
+            f"{zdt} — pass an unquoted numeric literal "
+            f'(e.g. --where "{field} {op} 100")'
+        )
+    if zdt == "string" and not isinstance(value, str):
+        return (
+            f"error: --where value {raw!r} parses as a number "
+            f"but zone column __zmin__{field} has type string "
+            f"— quote the value "
+            f"(e.g. --where \"{field} {op} '{raw}'\")"
+        )
+    return None
+
+
+def cmd_prune(args: argparse.Namespace) -> int:
+    """Read a ``--zone-cols`` state ledger and print the partitions
+    whose committed zones PROVE the predicate matches no rows there —
+    the zero-I/O scan skip list (api.prunable_partitions) at the CLI
+    surface. Extension beyond the reference (which has no state
+    ledger); completes the round-12 ``--emit-states``/``--zone-cols``
+    story: emit zones once, then plan scans from the ledger alone.
+
+    ``--where`` is REPEATABLE with conjunction (AND) semantics over
+    the query's predicates: a partition is skippable for the
+    conjunction as soon as ANY single conjunct is provably empty
+    there (zero rows match that conjunct, so zero rows match the
+    AND) — the skip list is the UNION of the per-conjunct proofs,
+    which is exactly the multi-predicate pruning algebra the r16
+    `prune_algebra_matrix` family establishes. Disjunctions (OR)
+    would need EVERY disjunct provably empty and are deliberately
+    not a CLI flag — plan OR queries as separate prune calls.
+
+    Each proof is conservative and NULL-safe: a partition is listed
+    only when its group-level zone bound strictly excludes the
+    conjunct; NULL zones (a partition whose committed batches held no
+    non-null values) satisfy no inequality, so they are skippable for
+    every op. Zero data I/O — only the ~#partitions-row ledger is
+    read."""
+    preds = []
+    for w in args.where:
+        parsed = _parse_where(w)
+        if isinstance(parsed, str):
+            print(parsed, file=sys.stderr)
+            return 2
+        preds.append(parsed)
     spark = _spark()
     try:
         from pyspark.errors import AnalysisException
@@ -476,46 +526,36 @@ def cmd_prune(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             return 2
-        # fail LOUDLY on a value/zone dtype mismatch instead of letting
-        # Spark's implicit-cast semantics silently compare a quoted
-        # string against a numeric zone (round-13 verdict nit #2): a
-        # wrong-typed predicate can never prove emptiness soundly, so
-        # it is a user error, not a cast
-        zdt = dict(ledger.dtypes).get(f"__zmin__{field}")
-        if zdt is not None:
-            z_numeric = zdt in (
-                "tinyint", "smallint", "int", "bigint", "float", "double"
-            ) or zdt.startswith("decimal")
-            if z_numeric and isinstance(value, str):
-                print(
-                    f"error: --where value {raw!r} parses as a string "
-                    f"but zone column __zmin__{field} has numeric type "
-                    f"{zdt} — pass an unquoted numeric literal "
-                    f'(e.g. --where "{field} {op} 100")',
-                    file=sys.stderr,
-                )
-                return 2
-            if zdt == "string" and not isinstance(value, str):
-                print(
-                    f"error: --where value {raw!r} parses as a number "
-                    f"but zone column __zmin__{field} has type string "
-                    f"— quote the value "
-                    f"(e.g. --where \"{field} {op} '{raw}'\")",
-                    file=sys.stderr,
-                )
+        for field, op, value, raw in preds:
+            err = _zone_type_error(ledger, field, op, value, raw)
+            if err:
+                print(err, file=sys.stderr)
                 return 2
         from .api import prunable_partitions
 
-        try:
-            pruned = prunable_partitions(
-                ledger, args.partition_col, field, op, value
-            )
-        except ValueError as e:
-            # named API errors (no such zone column, bad op)
-            print(f"error: {e}", file=sys.stderr)
-            return 2
         skey = lambda v: (v is None, str(v))  # noqa: E731
-        vals = sorted((r[0] for r in pruned.collect()), key=skey)
+        union: set = set()
+        per_pred = []
+        for field, op, value, raw in preds:
+            try:
+                pruned = prunable_partitions(
+                    ledger, args.partition_col, field, op, value
+                )
+            except ValueError as e:
+                # named API errors (no such zone column, bad op)
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            proves = sorted((r[0] for r in pruned.collect()), key=skey)
+            union |= set(proves)
+            per_pred.append(
+                {
+                    "field": field,
+                    "op": op,
+                    "value": value,
+                    "proves": proves,
+                }
+            )
+        vals = sorted(union, key=skey)
         all_parts = [
             r[0]
             for r in ledger.select(args.partition_col)
@@ -526,7 +566,7 @@ def cmd_prune(args: argparse.Namespace) -> int:
         if args.invert:
             # the list a scan planner actually consumes: partitions
             # the predicate MUST read (everything not provably empty)
-            out_vals = sorted(set(all_parts) - set(vals), key=skey)
+            out_vals = sorted(set(all_parts) - union, key=skey)
             out_key = "scan"
         else:
             out_vals = vals
@@ -534,27 +574,27 @@ def cmd_prune(args: argparse.Namespace) -> int:
         if args.format == "json":
             import json as _json
 
-            print(
-                _json.dumps(
-                    {
-                        "partition_col": args.partition_col,
-                        "predicate": {
-                            "field": field,
-                            "op": op,
-                            "value": value,
-                        },
-                        "total_partitions": total,
-                        out_key: out_vals,
-                    },
-                    default=str,
-                )
-            )
+            doc: dict = {"partition_col": args.partition_col}
+            if len(per_pred) == 1:
+                # single-predicate shape, unchanged since round 13
+                doc["predicate"] = {
+                    k: per_pred[0][k] for k in ("field", "op", "value")
+                }
+            else:
+                doc["predicates"] = per_pred
+                doc["semantics"] = "and"
+            doc["total_partitions"] = total
+            doc[out_key] = out_vals
+            print(_json.dumps(doc, default=str))
         else:
             for v in out_vals:
                 print(v)
+        shown = " AND ".join(
+            f"{f} {o} {v!r}" for f, o, v, _raw in preds
+        )
         print(
             f"{len(vals)} of {total} partitions provably empty for "
-            f"{field} {op} {value!r} (zero data I/O"
+            f"{shown} (zero data I/O"
             + ("; printing the scan list" if args.invert else "")
             + ")",
             file=sys.stderr,
@@ -715,8 +755,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "(committed by validate --emit-states --zone-cols)")
     pz.add_argument("--partition-col", required=True)
     pz.add_argument(
-        "--where", required=True,
-        help='predicate to prove empty, e.g. "v < 100" (ops: >= > <= <)',
+        "--where", required=True, action="append",
+        help='predicate to prove empty, e.g. "v < 100" (ops: >= > <= '
+        "<). Repeatable with AND semantics: the skip list is the "
+        "UNION of per-conjunct proofs (any conjunct provably empty "
+        "on a partition makes the conjunction empty there)",
     )
     pz.add_argument("--format", choices=["text", "json"], default="text")
     pz.add_argument(

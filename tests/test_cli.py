@@ -477,6 +477,70 @@ def test_prune_verb_named_errors(tmp_path, spark):
     assert "Traceback" not in r4.stderr
 
 
+def test_prune_multi_predicate_conjunction(spark, tmp_path):
+    """--where is repeatable with AND semantics: the skip list is the
+    UNION of per-conjunct proofs — a partition where ANY conjunct is
+    provably empty yields zero rows for the conjunction. Attribution
+    per conjunct in the JSON shape; the single-predicate JSON shape
+    is unchanged; a wrong-typed second conjunct still fails loudly."""
+    import json as _json
+
+    from dce_spark.api import partition_states
+    from dce_spark.sinks import write_partitioned
+
+    # day a: v in [0, 4];  day b: v in [50, 54];  day c: v in [200, 204]
+    rows = (
+        [(i, 0.0 + i, "a") for i in range(5)]
+        + [(10 + i, 50.0 + i, "b") for i in range(5)]
+        + [(20 + i, 200.0 + i, "c") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df, out, ["day"], files_per_partition=1)
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+    ledger = str(tmp_path / "ledger")
+    st = partition_states(spark, df, p.read_text(), "day", zones=["v"])
+    spark.createDataFrame(st.collect(), st.schema).write.parquet(ledger)
+
+    # conjunct 1 (v >= 100) proves a and b empty; conjunct 2 (v < 60)
+    # proves c empty -> the AND query can skip ALL THREE partitions
+    r = run_cli("prune", ledger, "--partition-col", "day",
+                "--where", "v >= 100", "--where", "v < 60",
+                "--format", "json")
+    assert r.returncode == 0, r.stdout + r.stderr
+    doc = _json.loads(r.stdout)
+    assert doc["semantics"] == "and" and "predicate" not in doc
+    assert doc["prunable"] == ["a", "b", "c"]
+    by = {(d["field"], d["op"], d["value"]): d["proves"]
+          for d in doc["predicates"]}
+    assert by[("v", ">=", 100)] == ["a", "b"]
+    assert by[("v", "<", 60)] == ["c"]
+    assert "v >= 100 AND v < 60" in r.stderr
+
+    # a conjunct that proves NOTHING still lets the other's proof
+    # stand (any-conjunct semantics), and --invert complements
+    r2 = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v >= 100", "--where", "v >= 0",
+                 "--invert")
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert r2.stdout.split() == ["c"]
+
+    # single-predicate JSON shape unchanged (round-13 contract)
+    r3 = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v >= 100", "--format", "json")
+    doc3 = _json.loads(r3.stdout)
+    assert doc3["predicate"] == {"field": "v", "op": ">=", "value": 100}
+    assert "predicates" not in doc3 and "semantics" not in doc3
+
+    # a wrong-typed SECOND conjunct is a named exit-2 error
+    r4 = run_cli("prune", ledger, "--partition-col", "day",
+                 "--where", "v >= 100", "--where", "v < '60'")
+    assert r4.returncode == 2
+    assert "numeric type" in r4.stderr
+    assert "Traceback" not in r4.stderr
+
+
 def test_compact_verb_round_trip(spark, tmp_path):
     """dce compact collapses an append-style ledger (one row per
     (partition, batch)) to one row per partition IN PLACE, the served
