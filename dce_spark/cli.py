@@ -604,6 +604,123 @@ def cmd_prune(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def cmd_states(args: argparse.Namespace) -> int:
+    """Inspect a state ledger: per partition value, how many batch
+    rows the ledger holds and the MERGED state view (each column
+    folded by its merge rule — the exact compacted view, computed
+    without writing anything). The read face of the lifecycle
+    (validate --emit-states -> states -> compact -> prune): answers
+    "what does my ledger know about each partition" from the
+    ~#partitions-row ledger alone — zero data I/O, read-only.
+
+    Text mode prints one line per partition (batches + zone spans +
+    freshness, the operator's glance); --format json emits the full
+    merged state rows plus a state-column census by merge-rule
+    family."""
+    spark = _spark()
+    try:
+        from pyspark.errors import AnalysisException
+
+        try:
+            ledger = spark.read.parquet(args.ledger)
+        except AnalysisException:
+            print(
+                f"error: ledger path {args.ledger!r} does not exist "
+                "or is not parquet",
+                file=sys.stderr,
+            )
+            return 2
+        if args.partition_col not in ledger.columns:
+            print(
+                f"error: partition column {args.partition_col!r} not "
+                f"in the ledger (columns: {sorted(ledger.columns)})",
+                file=sys.stderr,
+            )
+            return 2
+        from pyspark.sql import functions as F
+
+        from .api import compact_state_ledger
+        from .state import _merge_rule
+
+        try:
+            merged = compact_state_ledger(ledger, args.partition_col)
+        except ValueError as e:
+            # a column without a merge rule etc. — same named errors
+            # the compact verb raises
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        counts = {
+            r[0]: r[1]
+            for r in ledger.groupBy(args.partition_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows = merged.collect()  # ~#partitions rows
+        skey = lambda v: (v is None, str(v))  # noqa: E731
+        rows.sort(key=lambda r: skey(r[args.partition_col]))
+        n_state_rows = sum(counts.values())
+        families: dict[str, int] = {}
+        for c in ledger.columns:
+            if c == args.partition_col:
+                continue
+            rule = _merge_rule(c)
+            fam = c[: c.index("__", 2) + 2] if rule else c
+            families[fam] = families.get(fam, 0) + 1
+        if args.format == "json":
+            import json as _json
+
+            print(
+                _json.dumps(
+                    {
+                        "partition_col": args.partition_col,
+                        "n_partitions": len(rows),
+                        "n_state_rows": n_state_rows,
+                        "state_columns_by_family": families,
+                        "partitions": [
+                            {
+                                **r.asDict(),
+                                "n_batches": counts.get(
+                                    r[args.partition_col], 0
+                                ),
+                            }
+                            for r in rows
+                        ],
+                    },
+                    default=str,
+                )
+            )
+        else:
+            zones = sorted(
+                c[len("__zmin__"):]
+                for c in ledger.columns
+                if c.startswith("__zmin__")
+            )
+            fresh = sorted(
+                c for c in ledger.columns if c.startswith("__fresh__")
+            )
+            for r in rows:
+                parts = [
+                    str(r[args.partition_col]),
+                    f"batches={counts.get(r[args.partition_col], 0)}",
+                ]
+                for z in zones:
+                    parts.append(
+                        f"{z}=[{r['__zmin__' + z]}, {r['__zmax__' + z]}]"
+                    )
+                for fcol in fresh:
+                    parts.append(f"{fcol}={r[fcol]}")
+                print("  ".join(parts))
+        print(
+            f"{len(rows)} partitions, {n_state_rows} state rows, "
+            f"{sum(families.values())} state columns (read-only; "
+            "zero data I/O)",
+            file=sys.stderr,
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Compact an APPEND-STYLE state ledger (the shape ``validate
     --emit-states`` appends: one row per (partition, batch)) to ONE
@@ -768,6 +885,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "complement of the skip list — what a scheduler consumes)",
     )
     pz.set_defaults(func=cmd_prune)
+
+    st = sub.add_parser(
+        "states",
+        help="inspect a state ledger: per-partition batch counts and "
+        "the merged state view (read-only, zero data I/O)",
+    )
+    st.add_argument("ledger", help="state-ledger parquet path")
+    st.add_argument("--partition-col", required=True)
+    st.add_argument("--format", choices=["text", "json"], default="text")
+    st.set_defaults(func=cmd_states)
 
     cp = sub.add_parser(
         "compact",

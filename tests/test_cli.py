@@ -477,6 +477,77 @@ def test_prune_verb_named_errors(tmp_path, spark):
     assert "Traceback" not in r4.stderr
 
 
+def test_states_verb_inspects_ledger(spark, tmp_path):
+    """dce states is the read face of the lifecycle: per partition it
+    reports the batch-row count and the merged state view (zone
+    spans, freshness) from the ledger alone — the DATA is deleted
+    before the call, proving zero data I/O. JSON carries the full
+    merged rows + the state-column census; named exit-2 errors for a
+    missing path and a wrong partition column; the ledger on disk is
+    untouched (read-only)."""
+    import json as _json
+    import shutil
+
+    from dce_spark.api import partition_states
+    from dce_spark.sinks import write_partitioned
+
+    rows1 = [(i, 1.0 * i, d) for i, d in enumerate(["a"] * 3 + ["b"] * 3)]
+    rows2 = [(50 + i, 40.0 + i, d)
+             for i, d in enumerate(["a"] * 3 + ["b"] * 3)]
+    df1 = spark.createDataFrame(rows1, schema="id long, v double, day string")
+    df2 = spark.createDataFrame(rows2, schema="id long, v double, day string")
+    out = str(tmp_path / "daily")
+    write_partitioned(df1.unionByName(df2), out, ["day"],
+                      files_per_partition=1)
+    p = tmp_path / "c.yml"
+    p.write_text(PARTITIONED.format(loc=out))
+    ledger = str(tmp_path / "ledger")
+    for batch in (df1, df2):
+        st = partition_states(spark, batch, p.read_text(), "day",
+                              zones=["v"])
+        spark.createDataFrame(st.collect(), st.schema).write.mode(
+            "append"
+        ).parquet(ledger)
+    n_ledger_rows = spark.read.parquet(ledger).count()
+    assert n_ledger_rows == 4  # 2 days x 2 batches
+
+    shutil.rmtree(out)  # the verb must answer from the ledger alone
+
+    r = run_cli("states", ledger, "--partition-col", "day")
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 2
+    assert lines[0].startswith("a ") and "batches=2" in lines[0]
+    # day a saw v in {0,1,2} then {40,41,42}: merged zone [0.0, 42.0]
+    assert "v=[0.0, 42.0]" in lines[0]
+    assert lines[1].startswith("b ") and "batches=2" in lines[1]
+    assert "v=[3.0, 45.0]" in lines[1]
+    assert "2 partitions, 4 state rows" in r.stderr
+
+    rj = run_cli("states", ledger, "--partition-col", "day",
+                 "--format", "json")
+    assert rj.returncode == 0, rj.stdout + rj.stderr
+    doc = _json.loads(rj.stdout)
+    assert doc["n_partitions"] == 2 and doc["n_state_rows"] == 4
+    assert doc["state_columns_by_family"]["__zmin__"] == 1
+    assert doc["state_columns_by_family"]["__zmax__"] == 1
+    parts = {d["day"]: d for d in doc["partitions"]}
+    assert parts["a"]["n_batches"] == 2
+    assert parts["a"]["__zmin__v"] == 0.0
+    assert parts["a"]["__zmax__v"] == 42.0
+
+    # read-only: the ledger is bit-identical (still the 4 raw rows)
+    assert spark.read.parquet(ledger).count() == n_ledger_rows
+
+    # named errors
+    re1 = run_cli("states", str(tmp_path / "nope"),
+                  "--partition-col", "day")
+    assert re1.returncode == 2 and "does not exist" in re1.stderr
+    re2 = run_cli("states", ledger, "--partition-col", "nope")
+    assert re2.returncode == 2 and "partition column" in re2.stderr
+    assert "Traceback" not in re1.stderr + re2.stderr
+
+
 def test_prune_multi_predicate_conjunction(spark, tmp_path):
     """--where is repeatable with AND semantics: the skip list is the
     UNION of per-conjunct proofs — a partition where ANY conjunct is
