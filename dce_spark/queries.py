@@ -2299,6 +2299,50 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   work (r16..r19 banked); if round 14 didn't finish the r20 cohort,
 #   round 15's spare capacity must (needed by round 17's slot).
 #
+#   ROUND 15 WINDOW (this list) — the round-15 plan, EXECUTED: the 20
+#   promoted round-15 stagings (queries_staging_r15.py, registered
+#   via queries_more._promote_staged_r15, fronted the same round — no
+#   unchecked tail; round 15 registers no other new catalog queries:
+#   the round's non-catalog work is the two VERDICT/ADVICE r14 CLI
+#   nits — compact-old survivor detection on the does-not-exist error
+#   path, `dce states` tolerating an unpaired __zmin__/__zmax__ column
+#   — the bench family-classifier fix (cc_/ledger_/curriculum_ +
+#   zone_/joint_ prefixes; one-time documented subtotal discontinuity
+#   vs BENCH_r14), the examples/state_ledger_quickstart.py lifecycle
+#   walkthrough, and the bench sentinel rotation as the THREE-file
+#   change the r14 lesson requires) + the 6 remaining r7 rows
+#   (source_shingle_containment_documents .. zipf_slope_documents —
+#   r7 tier -> EMPTY) + the FIRST 24 (alphabetical) of the 50 r8 rows
+#   (adc_rank_correlation_embeddings .. ngram_novelty_decay_documents).
+#   Ledger RECOMPUTED this round from the committed
+#   CORRECTNESS_r0{1..5,7,8,9}+r1{0..4}.json files BEFORE rotating:
+#   tiers were r7=6 (exactly the names the round-14 note lists),
+#   r8..r14=50 each, zero reds, zero never-checked, 356 entries,
+#   catalog<->ledger a perfect bijection — matching the round-14 plan
+#   comment exactly. After this window the stalest tier is r8=26
+#   (ntile_bins_lineitem .. weekday_adjusted_anomaly_events); those
+#   26 rows plus the FIRST 4 (alphabetical) r9 rows fill the round-16
+#   window's 30 stale slots; the remaining 46 r9 rows burn down over
+#   rounds 17-18. CATALOG FROZEN for round 15 at this rotation
+#   (376 entries).
+#
+#   ROUND 16 PLAN — promote the TWENTY staged round-16 queries
+#   (queries_staging_r16.py — verified at three SFs in round 12; see
+#   ROUND 16 SEED below), register any new round-16 queries EARLY,
+#   then window: 20 promoted + round 16's own new queries + the 26
+#   remaining r8 rows (ntile_bins_lineitem ..
+#   weekday_adjusted_anomaly_events — r8 tier -> EMPTY) + the FIRST 4
+#   (alphabetical) r9 rows to fill to exactly 50. Freeze at rotation.
+#   RECOMPUTE the ledger from the committed CORRECTNESS files first.
+#   Flip the two test shapes in the rotation commit (test_staging_r16
+#   -> promoted+windowed, test_staging_r15 -> historical proof vs
+#   CORRECTNESS_r15). Rotate bench sentinels as a THREE-file change
+#   (bench.py BENCH_QUERIES + DRIVER_TIMED, the keep-lowest baseline
+#   refresh in its dedicated commit, AND test_catalog_scalable's
+#   anchor list in the SAME commit as bench.py). Round 16 needs NO
+#   staging work (r17..r20 all banked); spare capacity goes to
+#   product work.
+#
 #   ROUND 13 SEED — a FULL cohort of TWENTY already staged and
 #   oracle-verified at three SFs in round 11
 #   (queries_staging_r13.py: the graph family over the hash-free
@@ -2518,62 +2562,63 @@ from . import queries_more  # noqa: E402,F401  (registers the extended catalog)
 #   Round 20 promotes them; tests/test_staging_r20.py is the per-SF
 #   harness.
 _DRIVER_WINDOW = [
-    # promoted round-14 stagings (oracle-verified at 3 SFs in r11,
-    # judge-replayed 20/20 in r12, re-verified at round-13 END HEAD)
-    "cc_converged_components_documents",
-    "cc_size_histogram_documents",
-    "cc_cross_source_components_documents",
-    "cc_component_density_documents",
-    "cc_survivor_savings_documents",
-    "cc_truncation_error_documents",
-    "cc_exact_group_fusion_documents",
-    "ledger_snapshot_diff_events",
-    "ledger_growth_curve_events",
-    "ledger_merge_recompute_equality_events",
-    "ledger_partition_arrivals_events",
-    "ledger_compaction_histogram_events",
-    "ledger_freshness_lag_events",
-    "ledger_rate_drift_events",
-    "curriculum_difficulty_histogram_documents",
-    "curriculum_epoch_assignment_documents",
-    "curriculum_epoch_mix_documents",
-    "curriculum_pacing_curve_documents",
-    "curriculum_interleave_order_documents",
-    "curriculum_source_difficulty_psi_documents",
-    # stalest-tier burn-down: the FIRST 30 (alphabetical) of the 36
-    # r7 rows; the LAST 6 (source_shingle_containment_documents ..
-    # zipf_slope_documents) lead the round-15 window, named in the
-    # ROUND 14 WINDOW note above
-    "event_transition_matrix_events",
-    "funnel_time_to_convert_events",
-    "gap_fill_daily_events",
-    "gini_user_activity_events",
-    "heavy_hitters_global_support_events",
-    "ivf_pq_recall_embeddings",
-    "ivf_recall_vs_nprobe_embeddings",
-    "kn_discount_logprob_documents",
-    "label_margin_confusion_embeddings",
-    "lsh_degree_hist_documents",
-    "lsh_precision_documents",
-    "minhash_band_stability_documents",
-    "minhash_calibration_documents",
-    "multimodal_aspect_hist",
-    "multimodal_payload_dedup",
-    "oov_rate_by_source_documents",
-    "opq_reconstruction_error_embeddings",
-    "pack_assign_documents",
-    "pack_efficiency_documents",
-    "pagerank_dedup_graph_documents",
-    "pareto_revenue_share_lineitem",
-    "pca_variance_share_embeddings",
-    "pq_codebook_balance_embeddings",
-    "pq_opq_recall_embeddings",
-    "rare_token_ratio_documents",
-    "rolling_active_users_events",
-    "session_gap_sensitivity_events",
-    "sliding_late_data_windows_events",
-    "sliding_window_counts_events",
-    "source_js_divergence_documents",
+    # promoted round-15 stagings (oracle-verified at 3 SFs in r12,
+    # judge-replayed 20/20 exact in r13 AND r14)
+    "cc_incremental_labels_documents",
+    "cc_touched_components_documents",
+    "cc_incremental_stability_documents",
+    "cc_attachment_profile_documents",
+    "cc_delta_edge_mix_documents",
+    "cc_reconverge_frontier_documents",
+    "cc_incremental_savings_documents",
+    "zone_prune_matrix_events",
+    "zone_prune_threshold_sweep_events",
+    "zone_prune_time_cut_events",
+    "zone_prune_soundness_events",
+    "zone_time_adjacency_events",
+    "zone_prune_compaction_tradeoff_events",
+    "joint_epoch_source_grid_documents",
+    "joint_slots_by_epoch_documents",
+    "joint_caps_redistribution_documents",
+    "joint_mix_drift_by_epoch_documents",
+    "joint_interleave_heads_documents",
+    "joint_dominance_audit_documents",
+    "joint_rounding_drift_documents",
+    # stalest-tier burn-down: the LAST 6 r7 rows (r7 tier -> EMPTY
+    # after this round), named in the ROUND 14 WINDOW note above
+    "source_shingle_containment_documents",
+    "tokenizer_fertility_documents",
+    "trigram_backoff_logprob_documents",
+    "vocab_coverage_documents",
+    "watermark_state_rows_events",
+    "zipf_slope_documents",
+    # then the FIRST 24 (alphabetical) of the 50 r8 rows; the
+    # remaining 26 (ntile_bins_lineitem ..
+    # weekday_adjusted_anomaly_events) lead the round-16 window
+    "adc_rank_correlation_embeddings",
+    "autocorrelation_daily_events",
+    "binseg_changepoint_events",
+    "bm25_top_terms_documents",
+    "corr_lineitem_qty_price",
+    "cvm_split_distance_events",
+    "dedup_jaccard_documents",
+    "dedup_minhash_lsh_documents",
+    "dedup_simhash_documents",
+    "dedup_threshold_sweep_documents",
+    "embedding_cosine_topk",
+    "embedding_knn_join",
+    "embedding_near_dup_pairs",
+    "funnel_cohort_conversion_events",
+    "json_extract_events",
+    "kmeans_cell_balance_embeddings",
+    "ks_weekday_weekend_events",
+    "lang_confusion_documents",
+    "lang_stats_documents",
+    "late_arrival_bias_events",
+    "mmr_diversified_topk_embeddings",
+    "multimodal_duration_budget",
+    "multimodal_payload_stats",
+    "ngram_novelty_decay_documents",
 ]
 
 

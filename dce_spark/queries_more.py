@@ -4842,3 +4842,45 @@ def _promote_staged_r14() -> None:
 
 
 _promote_staged_r14()
+
+
+# =====================================================================
+# Round-15 promotion. The twenty queries staged (and oracle-verified at
+# sf0.001 + sf0.01 + sf0.1) in round 12 and judge-replayed 20/20 exact
+# in rounds 13 and 14 — the incremental graph-maintenance family
+# (arrival batches over the doc_id range, converged base labels
+# committed, the delta re-converged SEEDED from them, oracle = DuckDB
+# RECURSIVE closure on the unioned graph: incremental labels, touched
+# components, stability audit, attachment profile, delta edge mix,
+# re-converge frontier, incremental savings), the zone-map/ledger
+# pruning-economics family (exact value/time zones per
+# (partition, commit) state row: prune matrix, threshold sweep, time
+# cut, row-scan soundness audit, time adjacency, compaction-vs-pruning
+# tradeoff), and the joint curriculum x mix family (the
+# (epoch, source) grid, per-epoch Hamilton slots, epoch-scoped
+# anti-dominance caps with greedy redistribution, per-epoch mix-drift
+# PSI, per-cell interleave heads, dominance audit, two-level rounding
+# drift) — enter the live catalog. Same protocol and re-entrancy shape
+# as the r8..r14 promotions above (the staging module bootstraps the
+# catalog chain before defining STAGED_R15, so a staging-first import
+# reaches this loop before any entry exists; bail out and let the
+# staging tail hook re-invoke once all twenty are defined).
+# =====================================================================
+
+
+def _promote_staged_r15() -> None:
+    from . import queries_staging_r15 as _st
+    from .queries import QUERIES
+
+    staged = getattr(_st, "STAGED_R15", None)
+    if staged is None:
+        return
+    for name, spec in staged.items():
+        if name in QUERIES:
+            continue
+        o = _st.staged_oracle(name)
+        assert o and o is spec.oracle, name  # eager-oracle invariant
+        register(name, o, spec.doc)(spec.fn)
+
+
+_promote_staged_r15()

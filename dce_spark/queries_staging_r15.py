@@ -1930,3 +1930,19 @@ def joint_rounding_drift_documents(spark, sf_dir):
         .cast("long")
         .alias("slot_drift"),
     )
+
+
+# ---------------------------------------------------------------------
+# Round-15 promotion hook (second pass; see queries_more's re-entrancy
+# note): this module bootstraps the catalog chain BEFORE defining
+# STAGED_R15, so importing THIS module first runs the whole
+# registration chain while STAGED_R15 is still empty. Re-invoking the
+# skip-if-registered promotion here — after all twenty entries exist —
+# makes the catalog complete under either import order (the
+# queries_staging_r8..r14 pattern, verbatim).
+# ---------------------------------------------------------------------
+
+from .queries_more import _promote_staged_r15 as _promote  # noqa: E402
+
+_promote()
+del _promote

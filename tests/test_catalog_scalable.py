@@ -210,18 +210,26 @@ def test_driver_timed_subset_policy():
         # warehouse: scd2_intervals rotated out in r11 for its
         # snapshot-diff derivative
         "warehouse": "scd2_snapshot_diff_events",
+        # round-15 classifier families (VERDICT r14 advice nit #1:
+        # cc_/ledger_/curriculum_ left the analytics catch-all):
+        # each anchored by its r15 sentinel
+        "graph": "cc_touched_components_documents",
+        "ledger": "zone_prune_matrix_events",
+        "curriculum": "joint_slots_by_epoch_documents",
     }
     for fam, name in anchors.items():
         assert name in sub, f"family {fam} lost its sentinel ({name})"
-    # the newest round's additions are always sentinelled (round-14
-    # rotation: cc_hashmin_labels / validation_state_regression /
-    # split_assign rotated out for the r14 family representatives;
+    # the newest round's additions are always sentinelled (round-15
+    # rotation: cc_converged_components / ledger_growth_curve /
+    # curriculum_epoch_assignment rotated out for their r15
+    # same-family derivatives — seeded re-convergence, the
+    # zone-prune matrix, the joint per-epoch Hamilton slots;
     # incremental_validation stays — it is the CLI --state-ledger
     # product path)
     for name in (
-        "cc_converged_components_documents",
-        "ledger_growth_curve_events",
-        "curriculum_epoch_assignment_documents",
+        "cc_touched_components_documents",
+        "zone_prune_matrix_events",
+        "joint_slots_by_epoch_documents",
         "coord_drift_sweep_embeddings",
         "attribution_model_compare_events",
         "l_diversity_profile_events",

@@ -1,7 +1,8 @@
-"""Round-15 STAGED queries (seeded in round 12 — the staging pipeline
-stays stocked two cohorts ahead): same parity harness as the live
-catalog. Deliberately NOT in dce_spark.queries.QUERIES (the freeze
-protocol of queries_staging_r5..r14), plus cohort-specific determinism
+"""Round-15 staged queries (seeded in round 12, PROMOTED into the
+live catalog in round 15): same parity harness as the live catalog,
+now locking the post-promotion shape — every cohort entry registered
+with its staged fn/oracle/doc intact and fronted in the round-15
+driver window — plus cohort-specific determinism
 proofs: the SEEDED incremental fixpoint replayed against a Python
 union-find over the full pair list, frontier/savings partition
 identities, prune-soundness (zero matches inside pruned groups,
@@ -56,15 +57,29 @@ def test_staged_query_matches_oracle(spark, duck, name):
     spark.catalog.clearCache()
 
 
-def test_staged_not_registered():
+def test_staged_queries_promoted():
+    """Round 15 promoted the cohort (the test_staging_r14 pattern):
+    every entry lives in the catalog with its staged fn/oracle/doc."""
     from dce_spark.queries import QUERIES
-    from dce_spark.queries_staging_r13 import STAGED_R13
     from dce_spark.queries_staging_r14 import STAGED_R14
 
     assert len(STAGED_R15) == 20
-    assert not (set(STAGED_R15) & set(QUERIES))
-    assert not (set(STAGED_R15) & set(STAGED_R13))  # cohorts disjoint
-    assert not (set(STAGED_R15) & set(STAGED_R14))
+    assert not (set(STAGED_R15) & set(STAGED_R14))  # cohorts disjoint
+    for name, spec in STAGED_R15.items():
+        assert name in QUERIES, f"{name} lost from the live catalog"
+        assert QUERIES[name].fn is spec.fn
+        assert QUERIES[name].oracle == staged_oracle(name)
+        assert QUERIES[name].doc  # doc string survives registration
+
+
+def test_staged_queries_in_driver_window():
+    """Promotion-round invariant: every promoted query sits in the
+    ROUND-15 driver window, so each earns a driver-checked
+    CORRECTNESS row the round it goes live (no unchecked tail)."""
+    from dce_spark.queries import _DRIVER_WINDOW
+
+    for name in STAGED_R15:
+        assert name in _DRIVER_WINDOW, f"{name} promoted but not windowed"
 
 
 @pytest.mark.parametrize("name", sorted(STAGED_R15))
