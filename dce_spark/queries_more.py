@@ -1792,12 +1792,15 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(p5), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "cost_c", "s_name", "n_name")
     )
-    m = pc.groupBy(F.col("l_partkey").alias("m_partkey")).agg(F.min("cost_c").alias("mc"))
+    # optimization r15 (guide §2.4): the min-cost-per-part filter was a
+    # groupBy + broadcast self-join, which recomputed the pc subtree
+    # (the lineitem aggregate) once per side. A min window partitioned
+    # by the same key computes the identical row set in ONE pass — the
+    # partkey exchange is shared by the window, no second subtree.
+    w_min = Window.partitionBy("l_partkey")
     return (
-        pc.join(
-            F.broadcast(m),
-            (pc.l_partkey == m.m_partkey) & (pc.cost_c == m.mc),
-        )
+        pc.withColumn("mc", F.min("cost_c").over(w_min))
+        .filter(F.col("cost_c") == F.col("mc"))
         .select(
             F.col("l_partkey").cast("long").alias("p_partkey"),
             "s_name",
@@ -2330,7 +2333,13 @@ def corpus_survivors_documents(spark, sf_dir, fast=False):
     )
     fp = df.select("doc_id", fingerprint_col(F.col("text"), fast).alias("fp"))
     rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
-    fpr = fp.join(rep, "fp").select("doc_id", "rep_id")
+    # optimization r15 (guide §5): fpr is referenced three times (the
+    # two rep-only sides of the near-dup join + the final status join),
+    # and each reference re-ran the md5 fingerprint scan twice (fp +
+    # rep). Eager localCheckpoint computes the narrow (doc_id, rep_id)
+    # frame once; blocks free with the reference (per-doc output, so
+    # no driver collect here).
+    fpr = fp.join(rep, "fp").select("doc_id", "rep_id").localCheckpoint()
     pairs = X_dedup.lsh_candidate_pairs(
         load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4, fast=fast
     )
@@ -3645,9 +3654,13 @@ def unigram_logprob_documents(spark, sf_dir):
     pruned = _parallelize(
         df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     )
+    # optimization r15 (guide §5): the token frame feeds the vocab
+    # count (twice, via tot) and the final per-doc join — eager
+    # localCheckpoint tokenizes the corpus once (per-doc output, so no
+    # driver collect).
     words = pruned.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
-    )
+    ).localCheckpoint()
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n"))
     return (

@@ -327,10 +327,18 @@ def interp_logprob_documents(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # optimization r15 (guide §5): bg is reused by the count table and
+    # the final join; vocab by both unigram sides and the total —
+    # eager localCheckpoints compute each corpus pass once.
+    bg = bg.localCheckpoint()
     words = docs.select(
         F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     tot = vocab.agg(F.sum("cnt").alias("t"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
     p = F.lit(_INTERP_LAMBDA) * (

@@ -735,11 +735,17 @@ def dup_span_by_source_documents(spark, sf_dir):
         .filter(F.col("nd") >= 2)
         .select("ng")
     )
+    # optimization r15 (guide §5): ``flagged`` feeds BOTH the
+    # gaps-and-islands spans and the per-doc dup counts; unpersisted,
+    # each reference recomputed the corpus posexplode AND the shared-
+    # gram groupBy (4 gram-pipeline computes per run). Persist the
+    # narrow (doc_id, pos, dup) frame, materialize the 20-row rollup
+    # eagerly, unpersist.
     flagged = grams.join(
         shared.withColumn("__dup", F.lit(1)), "ng", "left"
     ).select(
         "doc_id", "pos", F.coalesce(F.col("__dup"), F.lit(0)).alias("dup")
-    )
+    ).persist()
     wisl = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         flagged.filter(F.col("dup") == 1)
@@ -762,7 +768,7 @@ def dup_span_by_source_documents(spark, sf_dir):
             F.coalesce(F.col("max_run"), F.lit(0)).alias("max_run"),
         )
     )
-    return base.groupBy("source").agg(
+    out = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
             F.sum((F.col("n_dup") > 0).cast("long")).cast("double")
@@ -774,6 +780,9 @@ def dup_span_by_source_documents(spark, sf_dir):
         ).alias("mean_max_run"),
         F.max("max_run").cast("long").alias("longest_span"),
     )
+    rows = out.collect()
+    flagged.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------

@@ -1446,8 +1446,16 @@ def pmi_lift_bigrams_documents(spark, sf_dir):
             )
         ).alias("s")
     ).select("s.w1", "s.w2")
+    # optimization r15 (guide §5): big feeds the bigram counts AND the
+    # bigram total, ucnt its total + both unigram sides — eager
+    # localCheckpoints run each corpus explode once.
+    big = big.localCheckpoint()
     uni = docs.select(F.explode("t").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     utot = ucnt.agg(F.sum("c").cast("long").alias("nu"))
     bcnt = (
         big.groupBy("w1", "w2")

@@ -539,26 +539,30 @@ def ivf_reassignment_churn_embeddings(spark, sf_dir):
     base = _emb_base(spark, sf_dir)
     cents0 = _seed_centroids(base)
     cid0, _ = _assign_expr(cents0)
-    # one Lloyd update: quantized-exact per-dim means per build cell
+    # one Lloyd update: quantized-exact per-dim means per build cell.
+    # Optimization r15 (guide §2.3, r10 wide-agg convention): ONE
+    # 64-column wide aggregate per cell instead of a posexplode 64x
+    # row blowup + (cid, pos) shuffle; identical int64 sums, the two
+    # double divisions replayed in the same order driver-side.
     c1_rows = (
-        base.select(cid0.alias("cid"), F.posexplode("v").alias("pos", "x"))
-        .groupBy("cid", "pos")
+        base.select(cid0.alias("cid"), "v")
+        .groupBy("cid")
         .agg(
-            (
-                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast(
-                    "double"
-                )
-                / F.lit(1e9)
-                / F.count(F.lit(1))
-            ).alias("m")
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.round(F.get("v", i) * F.lit(1e9)).cast("long"))
+                .alias(f"s{i}")
+                for i in range(64)
+            ],
         )
         .collect()
     )
-    by_cid: dict = {}
-    for r in c1_rows:
-        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["m"])
     cents1 = [
-        (cid, [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
+        (
+            int(r["cid"]),
+            [float(r[f"s{i}"]) / 1e9 / r["n"] for i in range(64)],
+        )
+        for r in sorted(c1_rows, key=lambda r: int(r["cid"]))
     ]
     cid1, _ = _assign_expr(cents1)
     return (
@@ -1382,11 +1386,15 @@ def vocab_overlap_sources_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isin(_VOCAB_SOURCES)
     )
+    # optimization r15 (guide §5): vocab feeds the size aggregate AND
+    # both self-join sides — persist, materialize the sources²-bounded
+    # result eagerly, unpersist.
     vocab = (
         docs.select(
             "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
         )
         .distinct()
+        .persist()
     )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = vocab.select(F.col("source").alias("src_a"), "w")
@@ -1399,7 +1407,7 @@ def vocab_overlap_sources_documents(spark, sf_dir):
     )
     sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("szb"))
-    return (
+    out = (
         inter.join(sa, "src_a")
         .join(sb, "src_b")
         .select(
@@ -1413,6 +1421,9 @@ def vocab_overlap_sources_documents(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+    rows = out.collect()
+    vocab.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 _CALIB_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]

@@ -120,26 +120,49 @@ _GRAPH_CTE = f"""WITH words AS (
 
 def _gram_pairs(spark, sf_dir):
     """Candidate pairs (a < b) sharing >= _EDGE_MIN_SHARED distinct
-    word-8-grams — the Spark mirror of _GRAPH_CTE's ``prs``."""
+    word-8-grams — the Spark mirror of _GRAPH_CTE's ``prs``.
+
+    Optimization r15 (guide §2.3/§2.4): the original self-join form
+    (grams x JOIN grams y ON ng) computed the explode+distinct gram
+    pipeline TWICE — once per join side — because the shared ``grams``
+    frame was not reusable without a leaked persist. The per-gram
+    posting-list form computes grams ONCE: group the inverted index by
+    gram, sort the posting list, and explode the C(k,2) ordered pairs
+    with a higher-order function. The generated (a, b) multiset is
+    exactly the self-join's a < b output (same gram -> same doc set ->
+    same ordered pairs), so the n_shared counts and the final pair set
+    are identical. One scan + 3 exchanges instead of two scans + 4."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size("w") >= _GRAM_N)
     )
+    # per-document gram dedup is MAP-SIDE: distinct over (doc_id, ng)
+    # rows == array_distinct of each doc's own gram array, so the
+    # global .distinct() exchange of ~60-byte gram strings disappears
+    # (guide §2.3: aggregate before you shuffle)
     grams = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(w) - {_GRAM_N}), "
-                f"i -> array_join(slice(w, i + 1, {_GRAM_N}), ' '))"
+                f"array_distinct(transform(sequence(0, size(w) - {_GRAM_N}), "
+                f"i -> array_join(slice(w, i + 1, {_GRAM_N}), ' ')))"
             )
         ).alias("ng"),
-    ).distinct()
-    x = grams.select(F.col("doc_id").alias("a"), "ng")
-    y = grams.select(F.col("doc_id").alias("b"), "ng")
+    )
+    posting = (
+        grams.groupBy("ng")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS a, y AS b))))"
+    )
     return (
-        x.join(y, "ng")
-        .filter(F.col("a") < F.col("b"))
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _EDGE_MIN_SHARED)
@@ -159,17 +182,50 @@ def _hashmin_round(lbls, edges):
     """One synchronous hash-min round: every node takes the min of its
     own label and its neighbors' labels. One equi-join + one groupBy on
     the (LSH-pruned-size) edge list — the pointer-jumping building
-    block, composable to any fixed round count."""
-    msgs = (
-        edges.join(
-            lbls.select(F.col("v").alias("b"), F.col("lbl").alias("nb_lbl")),
-            "b",
-        )
-        .groupBy(F.col("a").alias("v"))
-        .agg(F.min("nb_lbl").alias("nb_min"))
+    block, composable to any fixed round count.
+
+    Optimization r15 (guide §2.4): the original form joined the
+    neighbor-min frame BACK against the label frame on v to apply
+    least(own, nb_min) — a third exchange per round. Unioning each
+    node's own (v, lbl) row into the message stream before the min
+    aggregation computes the same least() inside the ONE groupBy:
+    min(own_lbl, nb_lbl...) == least(lbl, min(nb_lbl)). Every node in
+    ``lbls`` contributes its own row, so the output vertex set is
+    unchanged (the old inner join was total for the same reason: label
+    frames are seeded from the symmetric edge list's endpoints). Two
+    exchanges per round instead of three."""
+    msgs = edges.join(
+        lbls.select(F.col("v").alias("b"), F.col("lbl").alias("nb_lbl")),
+        "b",
+    ).select(F.col("a").alias("v"), F.col("nb_lbl").alias("m"))
+    own = lbls.select("v", F.col("lbl").alias("m"))
+    return msgs.union(own).groupBy("v").agg(F.min("m").alias("lbl"))
+
+
+def _hashmin_round_flagged(lbls, edges):
+    """_hashmin_round plus a per-node ``chg`` flag (label shrank this
+    round) — optimization r15 (guide §2.4): the driver convergence
+    loops previously computed n_changed with a SEPARATE join of the
+    new label frame against the previous one (one more exchange +
+    join per round). Tagging the own-label row through the same union
+    lets the one aggregation emit both the new label and the previous
+    one; chg = (new < prev) is exactly the old join's
+    ``lbl != prev`` predicate because hash-min labels only decrease.
+    Callers select (v, lbl) before the next round."""
+    msgs = edges.join(
+        lbls.select(F.col("v").alias("b"), F.col("lbl").alias("nb_lbl")),
+        "b",
+    ).select(
+        F.col("a").alias("v"),
+        F.col("nb_lbl").alias("m"),
+        F.lit(None).cast("long").alias("own"),
     )
-    return lbls.join(msgs, "v").select(
-        "v", F.least(F.col("lbl"), F.col("nb_min")).alias("lbl")
+    own = lbls.select("v", F.col("lbl").alias("m"), F.col("lbl").alias("own"))
+    return (
+        msgs.union(own)
+        .groupBy("v")
+        .agg(F.min("m").alias("lbl"), F.min("own").alias("prev"))
+        .select("v", "lbl", (F.col("lbl") < F.col("prev")).alias("chg"))
     )
 
 
@@ -224,7 +280,9 @@ ORDER BY n_nodes DESC, component LIMIT 20"""
 )
 def cc_hashmin_labels_documents(spark, sf_dir):
     pairs = _gram_pairs(spark, sf_dir)
-    edges = _gram_edges(pairs).persist()
+    # persist pre-partitioned on the round-join key b (guide §2.4) so
+    # both fixed rounds reuse the cached partitioning
+    edges = _gram_edges(pairs).repartition("b").persist()
     lbls = edges.select(F.col("a").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     )
@@ -294,7 +352,9 @@ FROM l3 c JOIN l2 p ON p.v = c.v"""
 )
 def cc_convergence_curve_documents(spark, sf_dir):
     pairs = _gram_pairs(spark, sf_dir)
-    edges = _gram_edges(pairs).persist()
+    # persist pre-partitioned on the round-join key b (guide §2.4) so
+    # all three fixed rounds reuse the cached partitioning
+    edges = _gram_edges(pairs).repartition("b").persist()
     l0 = (
         edges.select(F.col("a").alias("v"))
         .distinct()
@@ -370,7 +430,12 @@ FROM won w GROUP BY w.cand"""
 )
 def label_propagation_round_documents(spark, sf_dir):
     pairs = _gram_pairs(spark, sf_dir)
-    edges = _gram_edges(pairs)
+    # optimization r15 (guide §5): the plan references ``edges`` twice
+    # (seed derivation + vote join); unpersisted, Catalyst computes the
+    # whole gram-pair pipeline once per reference. Persist + eager
+    # result + unpersist halves the heavy subtree (the convention of
+    # the other graph queries).
+    edges = _gram_edges(pairs).persist()
     seeds = (
         edges.select(F.col("a").alias("v"))
         .distinct()
@@ -390,12 +455,17 @@ def label_propagation_round_documents(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("v", "cand")
     )
-    return won.groupBy(F.col("cand").cast("long").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum((F.col("cand") != F.col("v") % 5).cast("long")).alias(
-            "n_flipped"
+    res = _local_result(
+        spark,
+        won.groupBy(F.col("cand").cast("long").alias("label")).agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("cand") != F.col("v") % 5).cast("long")).alias(
+                "n_flipped"
+            ),
         ),
     )
+    edges.unpersist()
+    return res
 
 
 _DEGREE_EDGES = [2, 4, 8, 16, 32, 64, 128]
@@ -440,9 +510,13 @@ FROM documents WHERE doc_id NOT IN (SELECT v FROM deg)"""
 def graph_degree_profile_documents(spark, sf_dir):
     pairs = _gram_pairs(spark, sf_dir)
     edges = _gram_edges(pairs)
+    # optimization r15 (guide §5): ``deg`` feeds BOTH the histogram
+    # and the isolated-count anti-join; unpersisted, the gram-pair
+    # pipeline ran once per reference. Persist + eager result +
+    # unpersist computes it once.
     deg = edges.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).alias("d")
-    )
+    ).persist()
     bucket = None
     for e in _DEGREE_EDGES:
         t = (F.col("d") >= F.lit(e)).cast("int")
@@ -467,7 +541,9 @@ def graph_degree_profile_documents(spark, sf_dir):
             F.lit(0).cast("long").alias("max_deg"),
         )
     )
-    return hist.unionByName(isolated)
+    res = _local_result(spark, hist.unionByName(isolated))
+    deg.unpersist()
+    return res
 
 
 _TRIANGLE_ORACLE = (

@@ -91,6 +91,7 @@ from .queries_staging_r13 import (  # noqa: F401
     _gram_edges,
     _gram_pairs,
     _hashmin_round,
+    _hashmin_round_flagged,
     _local_result,
 )
 
@@ -149,7 +150,12 @@ def _converged_labels(spark, sf_dir):
     ext/dedup.py's pointer-jumping CC runs, surfaced with its
     convergence telemetry. Caller unpersists both returned frames."""
     pairs = _gram_pairs(spark, sf_dir)
-    edges = _gram_edges(pairs).persist()
+    # persist the edge list ALREADY partitioned on the round-join key
+    # b (guide §2.4): every hash-min round joins edges on b, so the
+    # cached partitioning is reused and rounds shuffle only the label
+    # frame — one up-front exchange instead of one edge-list exchange
+    # PER ROUND (at scale the edge list is the big side)
+    edges = _gram_edges(pairs).repartition("b").persist()
     lbls = (
         edges.select(F.col("a").alias("v"))
         .distinct()
@@ -158,12 +164,20 @@ def _converged_labels(spark, sf_dir):
     )
     lbls.count()
     rounds = 0
+    prev_cached = None
     while True:
         rounds += 1
         assert rounds <= _MAX_CC_ROUNDS, (
             f"hash-min CC did not converge in {_MAX_CC_ROUNDS} rounds"
         )
-        nxt = _hashmin_round(lbls, edges)
+        # optimization r15 (guide §2.4): the flagged round carries the
+        # changed-bit through the round's own aggregation, so
+        # n_changed is a filter+count over the cached round output —
+        # the separate nxt-vs-prev join (one extra exchange per
+        # round) is gone. Labels and round count are unchanged:
+        # chg == (new label < previous), exactly the old join's
+        # inequality (hash-min labels only decrease).
+        nxt = _hashmin_round_flagged(lbls, edges)
         # truncate lineage every few rounds (round-12 ADVICE): each
         # round's logical plan otherwise nests the previous round's
         # join+groupBy, growing up to _MAX_CC_ROUNDS deep — persist
@@ -172,18 +186,21 @@ def _converged_labels(spark, sf_dir):
         # O(1)-driver-state loop. localCheckpoint materializes the
         # labels (one row per node) and resets the plan to a scan.
         nxt = nxt.localCheckpoint() if rounds % 4 == 0 else nxt.persist()
-        n_changed = (
-            nxt.join(
-                lbls.select("v", F.col("lbl").alias("prev")), "v"
-            )
-            .filter(F.col("lbl") != F.col("prev"))
-            .count()
-        )
+        n_changed = nxt.filter("chg").count()
         lbls.unpersist()
-        lbls = nxt
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt
+        lbls = nxt.select("v", "lbl")
         if n_changed == 0:
             break
-    return lbls, edges, rounds
+    # hand the caller a frame whose storage IT controls: checkpoint
+    # the (v, lbl) projection and drop the loop's internal cache, so
+    # the caller's unpersist() actually frees the last copy
+    final = lbls.localCheckpoint()
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return final, edges, rounds
 
 
 _CC_CONVERGED_ORACLE = (
@@ -525,7 +542,10 @@ FROM l3 l JOIN comp c ON c.v = l.v"""
 )
 def cc_truncation_error_documents(spark, sf_dir):
     pairs = _gram_pairs(spark, sf_dir)
-    edges = _gram_edges(pairs).persist()
+    # pre-partitioned on the round-join key b (guide §2.4): the three
+    # fixed rounds AND every convergence round reuse the cached
+    # partitioning instead of re-exchanging the edge list
+    edges = _gram_edges(pairs).repartition("b").persist()
     l0 = (
         edges.select(F.col("a").alias("v"))
         .distinct()
@@ -544,14 +564,12 @@ def cc_truncation_error_documents(spark, sf_dir):
     while True:
         rounds += 1
         assert rounds <= _MAX_CC_ROUNDS
-        nxt = _hashmin_round(conv, edges).persist()
-        n_changed = (
-            nxt.join(conv.select("v", F.col("lbl").alias("prev")), "v")
-            .filter(F.col("lbl") != F.col("prev"))
-            .count()
-        )
+        # flagged round (guide §2.4): n_changed from the round's own
+        # cached output, no separate nxt-vs-prev join per round
+        nxt = _hashmin_round_flagged(conv, edges).persist()
+        n_changed = nxt.filter("chg").count()
         extra.append(nxt)
-        conv = nxt
+        conv = nxt.select("v", "lbl")
         if n_changed == 0:
             break
     comp = conv.select("v", F.col("lbl").alias("component"))

@@ -120,6 +120,7 @@ from .queries_staging_r13 import (  # noqa: F401
     _gram_edges,
     _gram_pairs,
     _hashmin_round,
+    _hashmin_round_flagged,
     _local_result,
 )
 from .queries_staging_r14 import (  # noqa: F401
@@ -212,32 +213,56 @@ _TWO_CLOSURES = (
 )
 
 
+def _doc_bounds(spark, sf_dir):
+    """1-row (dmn, dmx) doc_id bounds frame — broadcast next to any
+    frame carrying doc_ids so the arrival batch becomes map-side
+    arithmetic (optimization r15, guide §2.4: the batch of a doc_id
+    is a pure function of the id and the two scalar bounds, so every
+    former equi-join against a (doc_id, dbatch) map frame collapses
+    to ``_dbatch_expr`` on a broadcast — zero exchanges)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.min("doc_id").alias("dmn"), F.max("doc_id").alias("dmx"))
+    )
+
+
+def _dbatch_expr(colname: str):
+    """The exact-integer arrival-batch cut over the doc_id range —
+    identical to _IGR_CTE's ``db`` formula (requires dmn/dmx columns
+    in scope from a broadcast _doc_bounds crossJoin)."""
+    return (
+        F.expr(f"({colname} - dmn) * {_DNB} div (dmx - dmn + 1)")
+        .cast("long")
+    )
+
+
 def _doc_batches(spark, sf_dir):
     """(doc_id, dbatch) — the Spark mirror of _IGR_CTE's ``db``: the
     exact-integer arrival-batch cut over the doc_id range (scalar
     bounds ride a 1-row broadcast, the _events_batched convention)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    b = d.agg(F.min("doc_id").alias("dmn"), F.max("doc_id").alias("dmx"))
-    return d.crossJoin(F.broadcast(b)).select(
-        "doc_id",
-        F.expr(f"(doc_id - dmn) * {_DNB} div (dmx - dmn + 1)")
-        .cast("long")
-        .alias("dbatch"),
+    return d.crossJoin(F.broadcast(_doc_bounds(spark, sf_dir))).select(
+        "doc_id", _dbatch_expr("doc_id").alias("dbatch")
     )
 
 
 def _pairs_batched(spark, sf_dir):
     """Candidate pairs with endpoint arrival batches (a, b, ab, bb) —
-    the Spark mirror of _IGR_CTE's ``prsb``: the r13 pair list joined
-    twice against the batch map (equi-joins on doc_id)."""
+    the Spark mirror of _IGR_CTE's ``prsb``.
+
+    Optimization r15 (guide §2.4): the original form joined the pair
+    list TWICE against the (doc_id, dbatch) map frame — two exchanges
+    of the pair list plus two recomputes of the batch map. The batch
+    is pure arithmetic over (doc_id, dmn, dmx), so both joins collapse
+    to map-side expressions next to one broadcast 1-row bounds frame.
+    Same (a, b, ab, bb) rows (every pair endpoint is a documents
+    doc_id, so the old inner joins were total)."""
     pairs = _gram_pairs(spark, sf_dir)
-    db = _doc_batches(spark, sf_dir)
-    return pairs.join(
-        db.select(F.col("doc_id").alias("a"), F.col("dbatch").alias("ab")),
+    return pairs.crossJoin(F.broadcast(_doc_bounds(spark, sf_dir))).select(
         "a",
-    ).join(
-        db.select(F.col("doc_id").alias("b"), F.col("dbatch").alias("bb")),
         "b",
+        _dbatch_expr("a").alias("ab"),
+        _dbatch_expr("b").alias("bb"),
     )
 
 
@@ -257,25 +282,56 @@ def _converge(lbls, edges):
     # not from the whole first loop's plan (plan-string OOM otherwise).
     lbls = lbls.localCheckpoint()
     rounds = 0
+    prev_cached = None
     while True:
         rounds += 1
         assert rounds <= _MAX_CC_ROUNDS, (
             f"hash-min CC did not converge in {_MAX_CC_ROUNDS} rounds"
         )
-        nxt = _hashmin_round(lbls, edges)
+        # optimization r15 (guide §2.4): flagged round — n_changed is
+        # a filter+count over the round's own cached output instead of
+        # a separate nxt-vs-prev join (one exchange fewer per round);
+        # chg == (new < prev) is the old join's inequality exactly
+        # (hash-min labels only decrease). Labels/rounds unchanged.
+        nxt = _hashmin_round_flagged(lbls, edges)
         nxt = nxt.localCheckpoint() if rounds % 2 == 0 else nxt.persist()
-        n_changed = (
-            nxt.join(lbls.select("v", F.col("lbl").alias("prev")), "v")
-            .filter(F.col("lbl") != F.col("prev"))
-            .count()
-        )
-        lbls.unpersist()
-        lbls = nxt
+        n_changed = nxt.filter("chg").count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt
+        lbls = nxt.select("v", "lbl")
         if n_changed == 0:
             break
     final = lbls.localCheckpoint()
-    lbls.unpersist()
+    if prev_cached is not None:
+        prev_cached.unpersist()
     return final, rounds
+
+
+def _base_state(spark, sf_dir):
+    """(pairsb, base_edges, base_lbls) — the COMMITTED half of the
+    incremental-maintenance state: batched pairs, the old-old edge
+    list, and its converged labels. Split out in optimization r15
+    (guide §1.2, don't compute things you throw away):
+    cc_touched_components consumes only the committed labels and the
+    delta pairs, so it no longer pays for the seeded full-graph
+    re-convergence it never reads. All three returned frames are
+    persisted; callers unpersist."""
+    pairsb = _pairs_batched(spark, sf_dir).persist()
+    base_pairs = pairsb.filter(
+        (F.col("ab") < _NEW_BATCH) & (F.col("bb") < _NEW_BATCH)
+    ).select("a", "b")
+    # edge list persists pre-partitioned on the round-join key b
+    # (guide §2.4) so convergence rounds reuse the cached partitioning
+    # and shuffle only the label frame — see _converged_labels
+    base_edges = _gram_edges(base_pairs).repartition("b").persist()
+    seed0 = (
+        base_edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+    )
+    base_lbls, _ = _converge(seed0, base_edges)
+    return pairsb, base_edges, base_lbls
 
 
 def _incremental_state(spark, sf_dir):
@@ -296,18 +352,10 @@ def _incremental_state(spark, sf_dir):
     the min of a subset containing it) — so the seeded fixpoint
     equals the full-recompute closure exactly, while touching only
     the regions the delta actually changed."""
-    pairsb = _pairs_batched(spark, sf_dir).persist()
-    base_pairs = pairsb.filter(
-        (F.col("ab") < _NEW_BATCH) & (F.col("bb") < _NEW_BATCH)
-    ).select("a", "b")
-    base_edges = _gram_edges(base_pairs).persist()
-    full_edges = _gram_edges(pairsb.select("a", "b")).persist()
-    seed0 = (
-        base_edges.select(F.col("a").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
+    pairsb, base_edges, base_lbls = _base_state(spark, sf_dir)
+    full_edges = (
+        _gram_edges(pairsb.select("a", "b")).repartition("b").persist()
     )
-    base_lbls, _ = _converge(seed0, base_edges)
     seed1 = (
         full_edges.select(F.col("a").alias("v"))
         .distinct()
@@ -363,11 +411,14 @@ def cc_incremental_labels_documents(spark, sf_dir):
     pairsb, base_edges, full_edges, base_lbls, full_lbls = (
         _incremental_state(spark, sf_dir)
     )
-    db = _doc_batches(spark, sf_dir)
     is_new = (F.col("dbatch") == _NEW_BATCH).cast("long")
+    # batch via broadcast-bounds arithmetic on v (a doc_id) — the
+    # former equi-join against the batch map was total and is now a
+    # map-side expression (guide §2.4)
     out = _local_result(
         spark,
-        full_lbls.join(db.select(F.col("doc_id").alias("v"), "dbatch"), "v")
+        full_lbls.crossJoin(F.broadcast(_doc_bounds(spark, sf_dir)))
+        .select("v", "lbl", _dbatch_expr("v").alias("dbatch"))
         .groupBy(F.col("lbl").cast("long").alias("component"))
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -422,9 +473,11 @@ GROUP BY l.base_component"""
     "against the committed label table.",
 )
 def cc_touched_components_documents(spark, sf_dir):
-    pairsb, base_edges, full_edges, base_lbls, full_lbls = (
-        _incremental_state(spark, sf_dir)
-    )
+    # base-only state (optimization r15, guide §1.2): this query reads
+    # the delta pairs and the COMMITTED labels only — the seeded
+    # full-graph re-convergence _incremental_state also runs was
+    # computed and discarded here
+    pairsb, base_edges, base_lbls = _base_state(spark, sf_dir)
     dpairs = pairsb.filter(
         (F.col("ab") == _NEW_BATCH) | (F.col("bb") == _NEW_BATCH)
     )
@@ -462,7 +515,7 @@ def cc_touched_components_documents(spark, sf_dir):
             "n_new_docs",
         ),
     )
-    _release(pairsb, base_edges, full_edges, base_lbls, full_lbls)
+    _release(pairsb, base_edges, base_lbls)
     return out
 
 
@@ -508,11 +561,9 @@ def cc_incremental_stability_documents(spark, sf_dir):
     pairsb, base_edges, full_edges, base_lbls, full_lbls = (
         _incremental_state(spark, sf_dir)
     )
-    db = _doc_batches(spark, sf_dir)
     old_full = (
-        full_lbls.join(
-            db.select(F.col("doc_id").alias("v"), "dbatch"), "v"
-        )
+        full_lbls.crossJoin(F.broadcast(_doc_bounds(spark, sf_dir)))
+        .select("v", "lbl", _dbatch_expr("v").alias("dbatch"))
         .filter(F.col("dbatch") < _NEW_BATCH)
         .join(
             base_lbls.select("v", F.col("lbl").alias("committed")),
@@ -591,10 +642,9 @@ def cc_attachment_profile_documents(spark, sf_dir):
     pairsb, base_edges, full_edges, base_lbls, full_lbls = (
         _incremental_state(spark, sf_dir)
     )
-    db = _doc_batches(spark, sf_dir)
-    aged = full_lbls.join(
-        db.select(F.col("doc_id").alias("v"), "dbatch"), "v"
-    )
+    aged = full_lbls.crossJoin(
+        F.broadcast(_doc_bounds(spark, sf_dir))
+    ).select("v", "lbl", _dbatch_expr("v").alias("dbatch"))
     compage = aged.groupBy("lbl").agg(
         F.sum((F.col("dbatch") < _NEW_BATCH).cast("long")).alias("n_old")
     )

@@ -361,11 +361,21 @@ def bigram_logprob_documents(spark, sf_dir):
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # optimization r15 (guide §5): bg feeds the bigram-count table AND
+    # the final per-doc join, vocab feeds its own size and the unigram
+    # join — unpersisted, each reference re-ran a corpus explode (4
+    # corpus passes). Eager localCheckpoints compute each once
+    # (per-doc output, so no driver collect).
+    bg = bg.localCheckpoint()
     words = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(tokens_col(F.lower(F.col("text")))).alias("w"))
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     vsize = vocab.agg(F.count(F.lit(1)).alias("vsize"))
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
     logp = F.log(

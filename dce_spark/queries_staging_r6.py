@@ -332,13 +332,24 @@ def trigram_backoff_logprob_documents(spark, sf_dir):
         ]
         return df.filter(F.size("t") >= n).select(*([z] if not with_doc else ["doc_id", z])).select(*sel)
 
+    # optimization r15 (guide §5): c1 is read by the total + two
+    # unigram backoff sides, c2 by both bigram sides — unpersisted,
+    # every reference re-ran a full training-corpus n-gram explode.
+    # Eager localCheckpoints compute each count table once (per-doc
+    # output downstream, so no driver collect).
     c1 = (
         train.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     tot = c1.agg(F.sum("cnt").alias("t"))
-    c2 = ngrams(train, 2).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = (
+        ngrams(train, 2)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     c3 = (
         ngrams(train, 3)
         .groupBy("w1", "w2", "w3")
@@ -447,7 +458,14 @@ def vocab_coverage_documents(spark, sf_dir):
         load_table(spark, sf_dir, "documents")
         .select(F.explode(tokens_col(F.lower(F.col("text")))).alias("w"))
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # optimization r15 (guide §5): vocab feeds the totals and the
+    # cumulative window — checkpoint computes the corpus tokenize +
+    # vocab groupBy once.
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     tot = vocab.agg(
         F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_types")
     )
@@ -471,20 +489,18 @@ def vocab_coverage_documents(spark, sf_dir):
             ).alias(f"n_{int(round(p * 100))}")
         )
     one = base.groupBy().agg(*aggs, F.min("n_types").alias("total_types"))
-    rows = []
-    for p in (0.90, 0.95, 0.99):
-        rows.append(
-            one.select(
-                F.lit(p).alias("coverage_p"),
-                F.col(f"n_{int(round(p * 100))}").cast("long").alias(
-                    "n_types_needed"
-                ),
-                F.col("total_types").cast("long").alias("total_types"),
-            )
-        )
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), rows)
+    # optimization r15 (guide §5): the three per-coverage projections
+    # of the SAME 1-row aggregate each re-ran the whole pipeline under
+    # the union — collect the row once and emit the 3 literals.
+    r = one.collect()[0]
+    return spark.createDataFrame(
+        [
+            (p, int(r[f"n_{int(round(p * 100))}"]), int(r["total_types"]))
+            for p in (0.90, 0.95, 0.99)
+        ],
+        schema="coverage_p double, n_types_needed bigint, "
+               "total_types bigint",
+    )
 
 
 # ---------------------------------------------------------------------
@@ -735,7 +751,14 @@ def source_js_divergence_documents(spark, sf_dir):
     words = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
     )
-    sw = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # optimization r15 (guide §5): sw feeds the per-source totals, the
+    # corpus totals, and the JS terms — persist, materialize the
+    # per-source rollup eagerly, unpersist.
+    sw = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     stot = sw.groupBy("source").agg(F.sum("c").alias("st"))
     cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
     ctot = cw.agg(F.sum("cc").alias("ct"))
@@ -756,7 +779,7 @@ def source_js_divergence_documents(spark, sf_dir):
     ) * F.log(F.col("q") / m)
     import math
 
-    return (
+    out = (
         terms.groupBy("source", "st")
         .agg(
             F.round(
@@ -769,6 +792,9 @@ def source_js_divergence_documents(spark, sf_dir):
             "source", F.col("st").alias("n_tokens"), "js_divergence"
         )
     )
+    rows = out.collect()
+    sw.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------
@@ -1610,9 +1636,11 @@ GROUP BY words.doc_id"""
 def rare_token_ratio_documents(spark, sf_dir):
     from .ext.text import tokens_col
 
+    # optimization r15 (guide §5): the token frame feeds the vocab
+    # count and the final join — eager localCheckpoint tokenizes once.
     words = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
-    )
+    ).localCheckpoint()
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     rare = (F.col("cnt") <= 2).cast("long")
     return (

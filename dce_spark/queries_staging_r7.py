@@ -315,9 +315,11 @@ GROUP BY words.source""",
 def oov_rate_by_source_documents(spark, sf_dir):
     from .ext.text import tokens_col
 
+    # optimization r15 (guide §5): the token frame feeds the vocab
+    # count and the final join — eager localCheckpoint tokenizes once.
     words = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
-    )
+    ).localCheckpoint()
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     oov = F.sum(
         (F.col("c") < _OOV_MIN_COUNT).cast("long")
@@ -1380,7 +1382,16 @@ def kn_discount_logprob_documents(spark, sf_dir):
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    # optimization r15 (guide §5): c2 feeds the forward/backward
+    # continuation tables, the bigram total AND the final join — each
+    # reference re-ran the corpus bigram explode (5 passes). Eager
+    # localCheckpoints compute bg and c2 once.
+    bg = bg.localCheckpoint()
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .localCheckpoint()
+    )
     ctx = c2.groupBy("w1").agg(
         F.sum("cnt2").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -1569,9 +1580,13 @@ def minhash_calibration_documents(spark, sf_dir):
     from .ext import dedup as X_dedup
 
     df = load_table(spark, sf_dir, "documents")
-    sh = X_dedup._shingle_table(df, "text", "doc_id", 3)
-    sigs = X_dedup.minhash_signatures(df, num_hashes=8)
-    pairs = X_dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4)
+    # optimization r15 (guide §5): sh is referenced 3x (sizes + both
+    # intersection sides), sigs 2x, pairs 2x — unpersisted, the md5
+    # minhash/shingle pipelines re-ran once per reference. Persist all
+    # three, materialize the <=9-row rollup eagerly, unpersist.
+    sh = X_dedup._shingle_table(df, "text", "doc_id", 3).persist()
+    sigs = X_dedup.minhash_signatures(df, num_hashes=8).persist()
+    pairs = X_dedup.lsh_candidate_pairs(df, num_hashes=8, bands=4).persist()
     sz = sh.groupBy(F.col("__id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_sh")
     )
@@ -1622,13 +1637,17 @@ def minhash_calibration_documents(spark, sf_dir):
             6,
         )
 
-    return scored.groupBy("agree8").agg(
+    out = scored.groupBy("agree8").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         qmean(F.col("exact_j")).alias("mean_exact_jaccard"),
         qmean(
             F.abs(F.col("agree8").cast("double") / F.lit(8) - F.col("exact_j"))
         ).alias("mean_abs_err"),
     )
+    rows = out.collect()
+    for frame in (sh, sigs, pairs):
+        frame.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------
@@ -1990,12 +2009,16 @@ def source_shingle_containment_documents(spark, sf_dir):
     from .ext.dedup import _shingle_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # optimization r15 (guide §5): sh feeds the size aggregate AND
+    # both self-join sides — unpersisted, the corpus shingle pipeline
+    # ran once per reference. Persist, materialize the sources²-bounded
+    # result eagerly, unpersist.
     sh = _shingle_table(
         docs.select(F.col("source").alias("doc_id"), "text"),
         "text",
         "doc_id",
         3,
-    ).select(F.col("__id").alias("source"), "sh").distinct()
+    ).select(F.col("__id").alias("source"), "sh").distinct().persist()
     sz = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("source").alias("source_a"), "sh")
     b = sh.select(F.col("source").alias("source_b"), "sh")
@@ -2005,7 +2028,7 @@ def source_shingle_containment_documents(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return (
+    out = (
         inter.join(
             sz.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na")),
             "source_a",
@@ -2025,6 +2048,9 @@ def source_shingle_containment_documents(spark, sf_dir):
             ).alias("containment"),
         )
     )
+    rows = out.collect()
+    sh.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------

@@ -188,9 +188,12 @@ def perplexity_filter_decisions_documents(spark, sf_dir):
             F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
         )
     )
+    # optimization r15 (guide §5): the token frame feeds the vocab
+    # count (twice, via tot) and the scoring join — eager
+    # localCheckpoint tokenizes the corpus once.
     words = pruned.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("w")
-    )
+    ).localCheckpoint()
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n"))
     scored = (
@@ -394,6 +397,9 @@ def dedup_threshold_sweep_documents(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         tokens_col(F.lower(F.col("text"))).alias("t"),
     )
+    # optimization r15 (guide §5): shingles feeds the size aggregate
+    # and both self-join sides — persist, materialize the
+    # len(thresholds)-row result eagerly, unpersist.
     shingles = (
         toks.filter(F.size("t") >= 3)
         .select(
@@ -406,6 +412,7 @@ def dedup_threshold_sweep_documents(spark, sf_dir):
             ).alias("sh"),
         )
         .distinct()
+        .persist()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.alias("a")
@@ -450,7 +457,7 @@ def dedup_threshold_sweep_documents(spark, sf_dir):
         )
         .filter(F.col("common") * 10 >= F.col("t10") * F.col("un"))
     )
-    return sweep.groupBy("t10").agg(
+    out = sweep.groupBy("t10").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_distinct("doc_b").alias("n_dup_docs"),
     ).select(
@@ -458,6 +465,9 @@ def dedup_threshold_sweep_documents(spark, sf_dir):
         "n_pairs",
         "n_dup_docs",
     )
+    rows = out.collect()
+    shingles.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------
@@ -606,7 +616,11 @@ def lang_confusion_documents(spark, sf_dir):
             ).alias("tg"),
         )
         .distinct()
+        .persist()
     )
+    # optimization r15 (guide §5): tgs feeds the per-language profile
+    # AND the per-document hit join — persist, materialize the
+    # lang x lang confusion rollup eagerly, unpersist.
     lang_tg = (
         tgs.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "tg")
@@ -633,11 +647,14 @@ def lang_confusion_documents(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("cand").alias("predicted"))
     )
-    return (
+    out = (
         pred.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    rows = out.collect()
+    tgs.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------

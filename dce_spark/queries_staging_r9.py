@@ -426,11 +426,17 @@ def dup_ngram_span_documents(spark, sf_dir):
         .filter(F.col("nd") >= 2)
         .select("ng")
     )
+    # optimization r15 (guide §5): ``flagged`` feeds both the runs
+    # window and the per-doc counts; unpersisted, each reference
+    # recomputed the corpus posexplode and the shared-gram groupBy.
+    # Eager localCheckpoint materializes the narrow frame once (its
+    # blocks are freed with the reference; the per-doc output is not
+    # driver-collectable at scale, so no _local_result here).
     flagged = grams.join(
         shared.withColumn("__dup", F.lit(1)), "ng", "left"
     ).select(
         "doc_id", "pos", F.coalesce(F.col("__dup"), F.lit(0)).alias("dup")
-    )
+    ).localCheckpoint()
     wisl = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         flagged.filter(F.col("dup") == 1)
