@@ -939,24 +939,30 @@ def kmeans_embeddings_2iter(spark, sf_dir):
 
     # iteration 1: assign, then quantized-exact per-dim means
     cid0, _ = assign(cents)
+    # optimization r15 (guide §2.3, r10 wide-agg convention): ONE
+    # 64-column wide aggregate per cell instead of a posexplode 64x
+    # row blowup + (cid, pos) shuffle; identical int64 sums, the two
+    # double divisions replayed in the same order driver-side.
     c1_rows = (
         base.withColumn("cid", cid0)
-        .select("cid", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cid", "pos")
+        .select("cid", "v")
+        .groupBy("cid")
         .agg(
-            (
-                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
-                / F.lit(1e9)
-                / F.count(F.lit(1))
-            ).alias("m")
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.round(F.get("v", i) * F.lit(1e9)).cast("long"))
+                .alias(f"s{i}")
+                for i in range(64)
+            ],
         )
         .collect()
     )
-    by_cid: dict = {}
-    for r in c1_rows:
-        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
     cents1 = [
-        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
+        (
+            int(r["cid"]),
+            [float(r[f"s{i}"]) / 1e9 / r["n"] for i in range(64)],
+        )
+        for r in sorted(c1_rows, key=lambda r: int(r["cid"]))
     ]
 
     # iteration 2: reassign against updated centroids, per-cluster stats
@@ -1622,6 +1628,10 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("l_suppkey", "l_orderkey")
         .agg(F.max(late).alias("late"))
     )
+    # optimization r15 (guide §5): ol feeds the per-order rollup AND
+    # the final join — checkpoint so the lineitem x orders join+agg
+    # runs once.
+    ol = ol.localCheckpoint()
     od = ol.groupBy(F.col("l_orderkey").alias("od_orderkey")).agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
     )
@@ -1856,6 +1866,11 @@ def q11_important_parts(spark, sf_dir):
             ).alias("val_c")
         )
     )
+    # optimization r15 (guide §5): v feeds both the threshold total and
+    # the filter — checkpoint the part-keyed aggregate so the lineitem
+    # scan+agg runs once (the docstring's computed-once claim now
+    # actually holds in the plan).
+    v = v.localCheckpoint()
     total = v.agg(F.sum("val_c").alias("tot_c"))
     return (
         v.crossJoin(F.broadcast(total))
@@ -1904,6 +1919,10 @@ def q15_top_supplier(spark, sf_dir):
             ).alias("r_c")
         )
     )
+    # optimization r15 (guide §5): rev feeds both the max and the
+    # equality filter — checkpoint the supplier-keyed aggregate so the
+    # filtered lineitem scan+agg runs once.
+    rev = rev.localCheckpoint()
     mx = rev.agg(F.max("r_c").alias("mx_c"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2770,9 +2789,11 @@ def approx_distinct_accuracy_events(spark, sf_dir):
 )
 def anomaly_days_events(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
     daily = df.groupBy(
         F.col("ts").cast("date").cast("string").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     stats = daily.agg(
         F.sum("n").alias("tot"),
         F.count(F.lit(1)).alias("k"),
@@ -2931,6 +2952,11 @@ def affinity_supplier_brand_lineitem(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("s"), F.col("p_brand").alias("b"))
         .agg(F.count(F.lit(1)).alias("nsb"))
     )
+    # optimization r15 (guide §5): pairs feeds the supplier/brand
+    # margins, the total AND the final filter — checkpoint the
+    # (supplier, brand)-bounded aggregate so the lineitem x part
+    # join+agg runs once instead of four times.
+    pairs = pairs.localCheckpoint()
     sup = pairs.groupBy("s").agg(F.sum("nsb").alias("ns"))
     br = pairs.groupBy("b").agg(F.sum("nsb").alias("nb"))
     tot = pairs.agg(F.sum("nsb").alias("n"))
@@ -3494,7 +3520,13 @@ def source_mix_resample_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
-    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
+    counts = (
+        df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .localCheckpoint()
+    )
     tot = counts.agg(
         F.sum("n_src").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
     )
@@ -3772,7 +3804,12 @@ def outlier_counts_events(spark, sf_dir):
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    med = df.groupBy("event_type").agg(F.median("value").alias("med"))
+    # optimization r15 (guide §5): med is embedded in BOTH dev
+    # references (the MAD aggregate and the flag pass) — checkpoint
+    # the per-type medians so the median sort-agg runs once.
+    med = df.groupBy("event_type").agg(
+        F.median("value").alias("med")
+    ).localCheckpoint()
     dev = df.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
@@ -3940,7 +3977,13 @@ def chi_square_drift_events(spark, sf_dir):
 )
 def key_skew_profile_events(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
-    c = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
+    c = (
+        df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     t = c.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
     )
@@ -4056,9 +4099,11 @@ def outlier_counts_events_approx(spark, sf_dir):
         .filter(F.col("value").isNotNull())
         .select("event_type", F.col("value").cast("double").alias("value"))
     )
+    # optimization r15 (guide §5): med is embedded in both dev
+    # references — checkpoint so the sketch agg runs once.
     med = df.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("med")
-    )
+    ).localCheckpoint()
     dev = df.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )

@@ -187,9 +187,11 @@ def pq_codebook_balance_embeddings(spark, sf_dir):
 )
 def dow_seasonality_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint()
     tot = daily.agg(F.sum("n").alias("t"))
     return (
         daily.crossJoin(F.broadcast(tot))
@@ -412,6 +414,9 @@ def watermark_state_rows_events(spark, sf_dir):
             ).alias("es"),
         )
         .withColumn("batch", F.floor(F.col("event_id") / 100).cast("long"))
+        # optimization r15 (guide §5): arr feeds the batch maxes AND
+        # the window rollup — checkpoint so events is scanned once.
+        .localCheckpoint()
     )
     bm = arr.groupBy("batch").agg(F.max("es").alias("mx"))
     wwm = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -2)

@@ -151,7 +151,7 @@ def mergeable_profile_lineitem(spark, sf_dir):
         F.sum(
             F.round(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
         ).alias("sp"),
-    )
+    ).localCheckpoint()
     per_part = state.select(
         "part_epoch",
         "n",
@@ -235,7 +235,7 @@ def incremental_validation_orders(spark, sf_dir):
         F.sum(F.col("o_orderpriority").isNull().cast("long")).alias(
             "n_null_priority"
         ),
-    )
+    ).localCheckpoint()
     merged = state.agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_status_viol").alias("n_status_viol"),
@@ -312,7 +312,13 @@ def histogram_quantile_merge_lineitem(spark, sf_dir):
         .groupBy("l_returnflag", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    merged = state.groupBy("bucket").agg(F.sum("n").alias("n"))
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the base-table scan+aggregate runs once.
+    merged = (
+        state.groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
         "bucket", F.sum("n").over(w).cast("long").alias("cum")
@@ -382,7 +388,7 @@ def moments_merge_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(v * F.lit(100.0)).cast("long")).alias("s1"),
         F.sum(F.round(v * v * F.lit(10000.0)).cast("long")).alias("s2"),
-    )
+    ).localCheckpoint()
     merged = state.agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("s1").cast("long").alias("s1"),
@@ -696,6 +702,7 @@ def cell_occupancy_psi_embeddings(spark, sf_dir):
             F.sum((F.col("h") == 0).cast("long")).alias("n_ref"),
             F.sum((F.col("h") == 1).cast("long")).alias("n_cur"),
         )
+        .localCheckpoint()
     )
     tot = cnt.agg(
         F.sum("n_ref").cast("long").alias("tr"),
@@ -842,6 +849,7 @@ def index_staleness_embeddings(spark, sf_dir):
                 F.when(F.col("h") == 1, F.col("qd2")).otherwise(F.lit(0))
             ).alias("qb"),
         )
+        .localCheckpoint()
     )
     tot = per.agg(
         F.sum("n_a").cast("long").alias("ta"),
@@ -1249,10 +1257,13 @@ def scd2_version_lifetime_events(spark, sf_dir):
     for e in _LIFETIME_EDGES:
         t = (F.col("life_s") >= F.lit(e)).cast("int")
         bucket = t if bucket is None else bucket + t
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the base-table scan+aggregate runs once.
     cnt = (
         closed.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = cnt.agg(F.sum("n").cast("long").alias("nt"))
     return cnt.crossJoin(F.broadcast(tot)).select(

@@ -295,6 +295,7 @@ def quantile_state_drift_lineitem(spark, sf_dir):
         )
         .groupBy("flag", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     w = Window.partitionBy("flag").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
@@ -790,6 +791,7 @@ def residual_quantile_drift_embeddings(spark, sf_dir):
         .select("half", bucket.alias("bucket"))
         .groupBy("half", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     w = Window.partitionBy("half").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
@@ -862,6 +864,7 @@ def label_share_drift_embeddings(spark, sf_dir):
             F.sum((F.col("h") == 0).cast("long")).alias("n_a"),
             F.sum((F.col("h") == 1).cast("long")).alias("n_b"),
         )
+        .localCheckpoint()
     )
     tot = cnt.agg(
         F.sum("n_a").cast("long").alias("ta"),
@@ -1468,10 +1471,13 @@ def bucket_calibration_events(spark, sf_dir):
     for e in _CALIB_EDGES:
         t = (F.col("value").cast("double") >= F.lit(e)).cast("int")
         bucket = t if bucket is None else bucket + t
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the base-table scan+aggregate runs once.
     cnt = (
         ev.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = cnt.agg(F.sum("n").cast("long").alias("nt"))
     share = F.round(F.col("n").cast("double") / F.col("nt"), 6)
@@ -1605,7 +1611,7 @@ def value_lorenz_curve_events(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("x").cast("long").alias("dx"),
-    )
+    ).localCheckpoint()
     tot = deciles.agg(F.sum("dx").cast("long").alias("tx"))
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -1410,6 +1410,10 @@ def _src_frame(spark, sf_dir):
         F.sum(ok.cast("long")).alias("n_ok"),
         F.sum(F.when(ok, F.col("ntok")).otherwise(0)).alias("tokens_ok"),
     )
+    # optimization r15 (guide §5): src feeds the totals AND the
+    # returned frame — checkpoint the per-source ledger so the corpus
+    # scan+aggregate runs once for every _src_frame consumer.
+    src = src.localCheckpoint()
     tot = src.agg(
         F.sum("tokens").alias("t"),
         F.sum("tokens_ok").alias("t_ok"),
@@ -1786,11 +1790,14 @@ def dedup_adjusted_budget_documents(spark, sf_dir):
         "survivor",
         (F.col("doc_id") == F.min("doc_id").over(wmin)).cast("long"),
     )
+    # optimization r15 (guide §5): src feeds the totals AND the
+    # returned frame — checkpoint so the survivor window + corpus scan
+    # runs once.
     src = flagged.groupBy("source").agg(
         F.sum("ntok").alias("raw_tokens"),
         F.sum(F.when(F.col("survivor") == 1, F.col("ntok")).otherwise(0))
         .alias("uniq_tokens"),
-    )
+    ).localCheckpoint()
     tot = src.agg(
         F.sum("raw_tokens").alias("tr"), F.sum("uniq_tokens").alias("tu")
     )

@@ -1302,10 +1302,14 @@ def _scored_docs(spark, sf_dir):
 def _epoch_map(spark, sf_dir):
     """The Spark mirror of _EMAP_CTE's emap: (bucket, tokens,
     cum_before, t, epoch) over the <= 7 bucket-histogram rows."""
+    # optimization r15 (guide §5): hist feeds the total and the map —
+    # checkpoint the <=7-row histogram so the corpus score scan runs
+    # once for every _epoch_map consumer.
     hist = (
         _scored_docs(spark, sf_dir)
         .groupBy("bucket")
         .agg(F.sum("ntok").alias("tokens"))
+        .localCheckpoint()
     )
     tot = hist.agg(F.sum("tokens").alias("t"))
     wc = Window.orderBy("bucket").rowsBetween(
@@ -1440,10 +1444,14 @@ JOIN stot s ON s.source = g.source, tot t"""
 def curriculum_epoch_mix_documents(spark, sf_dir):
     scored = _scored_docs(spark, sf_dir)
     emap = _epoch_map(spark, sf_dir).select("bucket", "epoch")
+    # optimization r15 (guide §5): grid feeds both margins, the total
+    # AND the final select — checkpoint the (epoch x source)-bounded
+    # frame so the scored-corpus join+agg runs once, not four times.
     grid = (
         scored.join(F.broadcast(emap), "bucket")
         .groupBy("epoch", "source")
         .agg(F.sum("ntok").alias("tokens"))
+        .localCheckpoint()
     )
     etot = grid.groupBy("epoch").agg(F.sum("tokens").alias("etok"))
     stot = grid.groupBy("source").agg(F.sum("tokens").alias("stok"))
@@ -1643,10 +1651,14 @@ JOIN btot b ON b.bucket = g.bucket, tot t"""
     "one grouped scan; shares via grid-size joins.",
 )
 def curriculum_source_difficulty_psi_documents(spark, sf_dir):
+    # optimization r15 (guide §5): grid feeds both margins, the total
+    # AND the final select — checkpoint the (source x bucket)-bounded
+    # frame so the corpus score scan runs once, not four times.
     grid = (
         _scored_docs(spark, sf_dir)
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()
     )
     stot = grid.groupBy("source").agg(F.sum("n_docs").alias("sn"))
     btot = grid.groupBy("bucket").agg(F.sum("n_docs").alias("bn"))

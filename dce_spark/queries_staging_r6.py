@@ -1508,10 +1508,13 @@ FROM spine LEFT JOIN d ON d.day = spine.day"""
     "data scale), one broadcast left join spine-to-counts.",
 )
 def gap_fill_daily_events(spark, sf_dir):
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
     d = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
@@ -1708,7 +1711,9 @@ def pareto_revenue_share_lineitem(spark, sf_dir):
             * F.lit(10000.0)
         ).cast("long")
     ).alias("rev")
-    pr = li.groupBy("l_partkey").agg(rev)
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
+    pr = li.groupBy("l_partkey").agg(rev).localCheckpoint()
     tot = pr.agg(
         F.sum("rev").alias("t"), F.count(F.lit(1)).alias("np")
     )
@@ -1733,18 +1738,18 @@ def pareto_revenue_share_lineitem(spark, sf_dir):
             ).alias(f"n_{int(round(pct * 100))}")
         )
     one = base.groupBy().agg(*aggs, F.min("np").alias("total_parts"))
-    rows = []
-    for pct in (0.5, 0.8, 0.95):
-        rows.append(
-            one.select(
-                F.lit(pct).alias("share_p"),
-                F.col(f"n_{int(round(pct * 100))}").alias("n_parts_needed"),
-                F.col("total_parts"),
-            )
-        )
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), rows)
+    # optimization r15 (guide §5): the three projections of the SAME
+    # 1-row aggregate each re-ran the whole pipeline under the union —
+    # collect the row once and emit the 3 literals.
+    r = one.collect()[0]
+    return spark.createDataFrame(
+        [
+            (pct, r[f"n_{int(round(pct * 100))}"], r["total_parts"])
+            for pct in (0.5, 0.8, 0.95)
+        ],
+        schema="share_p double, n_parts_needed bigint, "
+               "total_parts bigint",
+    )
 
 
 def staged_oracle(name: str) -> str:

@@ -383,10 +383,12 @@ FROM s""",
 def embedding_norm_outliers(spark, sf_dir):
     from .ext.similarity import dot_col
 
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("nm"),
-    )
+    ).localCheckpoint()
 
     def qmean(col):
         return (
@@ -543,10 +545,13 @@ FROM cu""",
     "(metadata-sized).",
 )
 def cusum_drift_events(spark, sf_dir):
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("t")
@@ -1736,9 +1741,11 @@ FROM pairs GROUP BY wend""",
 )
 def rolling_active_users_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # optimization r15 (guide §5): referenced twice downstream —
+    # checkpoint so the corpus scan/aggregate runs once.
     d = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    ).distinct().localCheckpoint()
     bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     pairs = (
         d.crossJoin(F.broadcast(bounds))
