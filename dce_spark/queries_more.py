@@ -939,30 +939,31 @@ def kmeans_embeddings_2iter(spark, sf_dir):
 
     # iteration 1: assign, then quantized-exact per-dim means
     cid0, _ = assign(cents)
-    # optimization r15 (guide §2.3, r10 wide-agg convention): ONE
-    # 64-column wide aggregate per cell instead of a posexplode 64x
-    # row blowup + (cid, pos) shuffle; identical int64 sums, the two
-    # double divisions replayed in the same order driver-side.
+    # NOTE r15: an A/B of the 64-column wide-aggregate form (the
+    # centroid_shift shape) against this posexplode form measured the
+    # wide agg SLOWER here (2.0-4.3s vs 1.5-2.6s warm) — the 64
+    # codegen'd agg buffers behind the CodegenFallback assign
+    # expression cost more than the 64x row blowup saves at this k.
+    # Kept posexplode (measured negative result; churn is the one
+    # site where the wide agg won).
     c1_rows = (
         base.withColumn("cid", cid0)
-        .select("cid", "v")
-        .groupBy("cid")
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.round(F.get("v", i) * F.lit(1e9)).cast("long"))
-                .alias(f"s{i}")
-                for i in range(64)
-            ],
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m")
         )
         .collect()
     )
+    by_cid: dict = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
     cents1 = [
-        (
-            int(r["cid"]),
-            [float(r[f"s{i}"]) / 1e9 / r["n"] for i in range(64)],
-        )
-        for r in sorted(c1_rows, key=lambda r: int(r["cid"]))
+        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
     ]
 
     # iteration 2: reassign against updated centroids, per-cluster stats

@@ -433,30 +433,27 @@ def semdedup_threshold_sweep_embeddings(spark, sf_dir):
 
     seed_rows = base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
     cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
-    # optimization r15 (guide §2.3, r10 wide-agg convention): ONE
-    # 64-column wide aggregate per cell instead of a posexplode 64x
-    # row blowup + (cid, pos) shuffle; identical int64 sums, the two
-    # double divisions replayed in the same order driver-side.
+    # NOTE r15: the 64-column wide-aggregate form measured SLOWER than
+    # this posexplode form here (see kmeans_embeddings_2iter note —
+    # measured negative result; churn is the one site where it won).
     c1_rows = (
         base.withColumn("cid", assign(cents))
-        .select("cid", "v")
-        .groupBy("cid")
+        .select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.round(F.get("v", i) * F.lit(1e9)).cast("long"))
-                .alias(f"s{i}")
-                for i in range(64)
-            ],
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long")).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("m")
         )
         .collect()
     )
+    by_cid: dict = {}
+    for r in c1_rows:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
     cents1 = [
-        (
-            int(r["cid"]),
-            [float(r[f"s{i}"]) / 1e9 / r["n"] for i in range(64)],
-        )
-        for r in sorted(c1_rows, key=lambda r: int(r["cid"]))
+        (int(cid), [by_cid[cid][p] for p in range(64)]) for cid in sorted(by_cid)
     ]
     cells = base.select("vec_id", "v", assign(cents1).alias("cid")).persist()
     n_total = cells.count()

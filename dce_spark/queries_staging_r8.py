@@ -973,29 +973,29 @@ def kmeans_cell_balance_embeddings(spark, sf_dir):
         )
 
     def quantized_means(assigned):
-        # optimization r15 (guide §2.3, r10 wide-agg convention): ONE
-        # 64-column wide aggregate per cell instead of a posexplode
-        # 64x row blowup + (cid, pos) shuffle; identical int64 sums,
-        # the two double divisions replayed in order driver-side.
+        # NOTE r15: the 64-column wide-aggregate form measured SLOWER
+        # than this posexplode form here (measured negative result —
+        # see kmeans_embeddings_2iter; churn is the one site where the
+        # wide agg won).
         rows = (
-            assigned.select("cid", "v")
-            .groupBy("cid")
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        F.round(F.get("v", i) * F.lit(1e9)).cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(64)
-                ],
+                (
+                    F.sum(F.round(F.col("x") * F.lit(1e9)).cast("long"))
+                    .cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                ).alias("m")
             )
             .collect()
         )
+        by_cid: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
         return {
-            int(r["cid"]): [
-                float(r[f"s{i}"]) / 1e9 / r["n"] for i in range(64)
-            ]
-            for r in sorted(rows, key=lambda r: int(r["cid"]))
+            int(cid): [by_cid[cid][p] for p in range(64)]
+            for cid in sorted(by_cid)
         }
 
     seed_rows = (
