@@ -51,6 +51,8 @@ __all__ = [
     "save_ivfpq_index",
     "ivfpq_index_topk",
     "semantic_decontamination",
+    "argmin_assign_cols",
+    "semdedup_pair_cosines",
     "pca_top_direction",
     "opq_rotation_fit",
     "opq_fit_apply",
@@ -475,6 +477,112 @@ def _sq_dist_round9_sql(vec_name: str, center: list[float]) -> str:
         f"round(aggregate(zip_with({vec_name}, array({terms}), "
         f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 9)"
+    )
+
+
+def _d2_fold_sql(vec_name: str, center: list[float]) -> str:
+    """Unrounded squared-L2 fold from array column ``vec_name`` to a
+    literal center, as ONE SQL string that parses to the SAME
+    aggregate/zip_with fold as the Column-lambda form
+    ``F.aggregate(F.zip_with(col, lit, (x, y) -> (x-y)*(x-y)), 0.0,
+    acc+x)`` — bit-identical results by construction (same fold, same
+    literal doubles via repr round-trip). Why a string: the
+    Column-lambda form costs ~100 ms of driver py4j round-trips per
+    fold (measured round 5 and re-measured round 16: an 8-centroid
+    assignment took 0.38 s to BUILD via Columns, 3 ms parsed)."""
+    terms = ", ".join(_lit_d(c) for c in center)
+    return (
+        f"aggregate(zip_with({vec_name}, array({terms}), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def argmin_assign_cols(
+    cent_pairs: list[tuple[int, list[float]]], vec_name: str = "v"
+):
+    """(best_cid, best_d2, d2s) Columns for nearest-centroid assignment
+    with lowest-cid tie-breaks — the array_min + array_position argmin
+    shape every k-means/IVF operator in the catalog uses (each d2
+    expression sits in one array; ties resolve to the first == lowest
+    cid because cent_pairs is ascending-cid). Built as parsed SQL
+    strings for the _d2_fold_sql reason; the parsed tree is the same
+    expression the Column-lambda builders produced, so assignments are
+    bit-identical (verified by oracle replay of every consumer)."""
+    d2_arr = (
+        "array("
+        + ", ".join(_d2_fold_sql(vec_name, vec) for _, vec in cent_pairs)
+        + ")"
+    )
+    cids = (
+        "array("
+        + ", ".join(f"CAST({int(cid)} AS BIGINT)" for cid, _ in cent_pairs)
+        + ")"
+    )
+    best = f"array_min({d2_arr})"
+    cid = (
+        f"element_at({cids}, "
+        f"CAST(array_position({d2_arr}, {best}) AS INT))"
+    )
+    return F.expr(cid), F.expr(best), F.expr(d2_arr)
+
+
+def semdedup_pair_cosines(
+    cells: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    key_col: str = "cid",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Within-cell pair cosines (ia < ib) — the SemDeDup prune pass's
+    quadratic kernel, parallelized past the distinct-cell count.
+
+    The plain ``cells JOIN cells ON cid`` has a tiny shuffled INPUT
+    (one row per vector) but a quadratic OUTPUT, so AQE coalesces the
+    post-shuffle partitions to ~1 and the per-pair dot products run
+    nearly serially (guide §2.5/§3.3: the exploding join). Salting
+    side A with a deterministic pmod(xxhash64(id), s) and replicating
+    side B s ways raises the distinct join keys to n_cells * s, and
+    the explicit repartition-by-num pins the parallelism AQE would
+    otherwise coalesce away. Each unordered pair still meets exactly
+    once (A carries one salt, B matches every salt), so the pair set
+    and the 6dp cosine values are identical to the unsalted join —
+    measured 3.2 s -> 0.8 s on the sf0.1 kernel, bit-identical output.
+
+    Scale note: s = ceil(shuffle.partitions / n_cells). At cluster
+    scale k-means cell counts grow with the corpus (k >= partitions),
+    so s degenerates to 1 and this is the plain cell-keyed join plus
+    one explicit repartition — nothing here is a local-mode constant.
+    """
+    spark = cells.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = max(1, -(-p // max(int(n_cells), 1)))
+    n2 = dot_col(F.col(vec_col), F.col(vec_col))
+    a = cells.select(
+        F.col(key_col),
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).alias("va"),
+        n2.alias("na2"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).alias("salt"),
+    ).repartition(p, key_col, "salt")
+    b = cells.select(
+        F.col(key_col),
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("vb"),
+        n2.alias("nb2"),
+    ).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(s)]))
+    )
+    cos = F.round(
+        dot_col(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        round_digits,
+    )
+    return (
+        a.join(b, [key_col, "salt"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cos.alias("cos"))
     )
 
 

@@ -899,20 +899,12 @@ FROM a1 GROUP BY cid"""
     "algorithm at all.",
 )
 def kmeans_embeddings_2iter(spark, sf_dir):
-    from .ext.similarity import _as_literal_array
+    from .ext.similarity import argmin_assign_cols
 
     df = load_table(spark, sf_dir, "embeddings")
     base = df.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-
-    def d2_to(cvec):
-        lit = _as_literal_array(cvec)
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     def assign(cent_pairs):
         """(cid, d2) of the nearest centroid; cent_pairs is [(cid, vec)]
@@ -924,11 +916,10 @@ def kmeans_embeddings_2iter(spark, sf_dir):
         is array_min + array_position — each d2 appears exactly once in
         the tree. The chained when(di < best_d2, ...) form duplicates
         best_d2 per step, doubling the tree per centroid (O(2^k) nodes:
-        measured seconds of analysis + interpreted HOF eval at k=4)."""
-        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
-        best_d2 = F.array_min(d2s)
-        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
-        best_cid = F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
+        measured seconds of analysis + interpreted HOF eval at k=4).
+        Built as parsed SQL since r16 (guide §7.3: ~0.4 s less driver
+        py4j build time; same tree, bit-identical assignments)."""
+        best_cid, best_d2, _d2s = argmin_assign_cols(cent_pairs)
         return best_cid, best_d2
 
     # iteration 0: seeds are the first k vectors (collected: k x 64 doubles)

@@ -536,22 +536,13 @@ def _assign_expr(cent_pairs):
     """(best_cid, best_d2) against literal centroids — the
     array-min/array-position argmin shape from kmeans_embeddings_2iter
     (each d2 appears once in the tree; lowest cid wins ties, matching
-    the oracle's ORDER BY d2, cid)."""
-    from .ext.similarity import _as_literal_array
+    the oracle's ORDER BY d2, cid). Built as parsed SQL (optimization
+    r16, guide §7.3): the Column-lambda build cost ~0.4 s of driver
+    py4j round-trips per assignment; the parsed tree is the same
+    expression, so assignments are bit-identical."""
+    from .ext.similarity import argmin_assign_cols
 
-    def d2_to(cvec):
-        lit = _as_literal_array(cvec)
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
-    best_d2 = F.array_min(d2s)
-    cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
-    best_cid = F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
-    return best_cid, best_d2, d2s
+    return argmin_assign_cols(cent_pairs)
 
 
 _CENTROID_SHIFT_ORACLE = (
@@ -608,51 +599,62 @@ FROM cnt c JOIN shift s ON s.cid = c.cid"""
     "mirrors the fold via index-ordered list_sum.",
 )
 def centroid_shift_embeddings(spark, sf_dir):
+    # the 64-column wide aggregate, pivot and shift fold are built as
+    # parsed SQL strings (optimization r16, guide §7.3): the former
+    # Column-object construction cost ~2.8 s of driver py4j round-trips
+    # per call (measured: state 0.64 + pivot 1.24 + shift 0.96 s) while
+    # parsing the same expressions takes ~10 ms. The parsed trees are
+    # the same expressions, so results are bit-identical.
     base = _emb_base(spark, sf_dir)
     cents = _seed_centroids(base)
     cid, _d2, _ = _assign_expr(cents)
-    dim_sums = [
-        F.sum(
-            F.round(F.get("v", i) * F.lit(1e9)).cast("long")
-        ).alias(f"s{i}")
-        for i in range(64)
-    ]
+    q9 = "CAST('1000000000.0' AS DOUBLE)"
     state = (
         base.select(cid.alias("cid"), "h", "v")
         .groupBy("cid", "h")
-        .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
-    )
-    half = lambda hv, c: F.sum(F.when(F.col("h") == hv, F.col(c)))  # noqa: E731
-    pivoted = state.groupBy("cid").agg(
-        half(0, "n").cast("long").alias("n_a"),
-        half(1, "n").cast("long").alias("n_b"),
-        *[half(0, f"s{i}").cast("long").alias(f"a{i}") for i in range(64)],
-        *[half(1, f"s{i}").cast("long").alias(f"b{i}") for i in range(64)],
-    )
-    ma = F.array(
-        *[
-            F.col(f"a{i}").cast("double") / F.lit(1e9) / F.col("n_a")
-            for i in range(64)
-        ]
-    )
-    mb = F.array(
-        *[
-            F.col(f"b{i}").cast("double") / F.lit(1e9) / F.col("n_b")
-            for i in range(64)
-        ]
-    )
-    shift = F.sqrt(
-        F.aggregate(
-            F.zip_with(ma, mb, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        .agg(
+            F.expr("count(1) AS n"),
+            *[
+                F.expr(
+                    f"sum(CAST(round(get(v, {i}) * {q9}) AS BIGINT)) AS s{i}"
+                )
+                for i in range(64)
+            ],
         )
     )
-    return pivoted.select(
-        F.col("cid").cast("long").alias("cid"),
+    pivoted = state.groupBy("cid").agg(
+        F.expr("CAST(sum(CASE WHEN h = 0 THEN n END) AS BIGINT) AS n_a"),
+        F.expr("CAST(sum(CASE WHEN h = 1 THEN n END) AS BIGINT) AS n_b"),
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN h = 0 THEN s{i} END) AS BIGINT) AS a{i}"
+            )
+            for i in range(64)
+        ],
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN h = 1 THEN s{i} END) AS BIGINT) AS b{i}"
+            )
+            for i in range(64)
+        ],
+    )
+    ma = (
+        "array("
+        + ", ".join(f"CAST(a{i} AS DOUBLE) / {q9} / n_a" for i in range(64))
+        + ")"
+    )
+    mb = (
+        "array("
+        + ", ".join(f"CAST(b{i} AS DOUBLE) / {q9} / n_b" for i in range(64))
+        + ")"
+    )
+    return pivoted.selectExpr(
+        "CAST(cid AS BIGINT) AS cid",
         "n_a",
         "n_b",
-        F.round(shift, 6).alias("shift_l2"),
+        f"round(sqrt(aggregate(zip_with({ma}, {mb}, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x)), 6) AS shift_l2",
     )
 
 

@@ -475,20 +475,11 @@ def _seed_centroids(base):
 
 
 def _assign_expr(cent_pairs):
-    from .ext.similarity import _as_literal_array
+    # parsed-SQL argmin (optimization r16, guide §7.3 — same tree as
+    # the Column-lambda form, ~0.4 s less driver build time per call)
+    from .ext.similarity import argmin_assign_cols
 
-    def d2_to(cvec):
-        lit = _as_literal_array(cvec)
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
-    best_d2 = F.array_min(d2s)
-    cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
-    best_cid = F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
+    best_cid, best_d2, _d2s = argmin_assign_cols(cent_pairs)
     return best_cid, best_d2
 
 

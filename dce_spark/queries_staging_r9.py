@@ -543,7 +543,7 @@ GROUP BY c.cid"""
     "cell-keyed self-join for the prune pass.",
 )
 def semdedup_prune_embeddings(spark, sf_dir):
-    from .ext.similarity import _as_literal_array, dot_col
+    from .ext.similarity import argmin_assign_cols, semdedup_pair_cosines
     from .queries import _dirty_embeddings
     from .queries_more import _KM_K
 
@@ -552,21 +552,13 @@ def semdedup_prune_embeddings(spark, sf_dir):
     )
     base = df.select("vec_id", F.col("embedding").alias("v"))
 
-    def d2_to(cvec):
-        lit = _as_literal_array(cvec)
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    # argmin with lowest-cid ties — the kmeans_embeddings_2iter shape
+    # verbatim (array of d2 exprs, array_min + array_position), built
+    # as parsed SQL (optimization r16, guide §7.3: the Column-lambda
+    # build cost ~0.4 s of py4j round-trips per assignment)
     def assign(cent_pairs):
-        # argmin with lowest-cid ties — the kmeans_embeddings_2iter
-        # shape verbatim (array of d2 exprs, array_min + array_position)
-        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
-        best_d2 = F.array_min(d2s)
-        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
-        return F.element_at(cids, F.array_position(d2s, best_d2).cast("int"))
+        cid, _best, _d2s = argmin_assign_cols(cent_pairs)
+        return cid
 
     seed_rows = base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
     cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
@@ -597,24 +589,12 @@ def semdedup_prune_embeddings(spark, sf_dir):
         "vec_id", "v", assign(cents1).alias("cid")
     ).persist()
     cells.count()  # materialize: reused by both sides of the self-join
-    n2 = dot_col(F.col("v"), F.col("v"))
-    a = cells.select(
-        F.col("cid"), F.col("vec_id").alias("ia"),
-        F.col("v").alias("va"), n2.alias("na2"),
-    )
-    b = cells.select(
-        F.col("cid"), F.col("vec_id").alias("ib"),
-        F.col("v").alias("vb"), n2.alias("nb2"),
-    )
-    cos = F.round(
-        dot_col(F.col("va"), F.col("vb"))
-        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
-        6,
-    )
+    # within-cell pair cosines via the salted exploding-join kernel
+    # (optimization r16, guide §2.5/§3.3) — identical pair set and 6dp
+    # values, parallelism no longer capped at the k distinct cells
     pruned = (
-        a.join(b, ["cid"])
-        .filter(F.col("ia") < F.col("ib"))
-        .filter(cos >= F.lit(_SEMDEDUP_THR))
+        semdedup_pair_cosines(cells, len(cents1))
+        .filter(F.col("cos") >= F.lit(_SEMDEDUP_THR))
         .select(F.col("ib").alias("vec_id"))
         .distinct()
         .withColumn("__p", F.lit(1))
@@ -1178,7 +1158,7 @@ FROM m GROUP BY cid"""
     "extra shuffle.",
 )
 def cluster_margin_embeddings(spark, sf_dir):
-    from .ext.similarity import _as_literal_array
+    from .ext.similarity import argmin_assign_cols
     from .queries_more import _KM_K
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1187,24 +1167,14 @@ def cluster_margin_embeddings(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
 
-    def d2_to(cvec):
-        lit = _as_literal_array(cvec)
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     seed_rows = base.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
     cents = [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in seed_rows]
 
+    # parsed-SQL argmin (optimization r16, guide §7.3 — same tree as
+    # the Column-lambda form, ~0.4 s less driver build time)
     def assign_expr(cent_pairs):
-        d2s = F.array(*[d2_to(c) for _, c in cent_pairs])
-        best = F.array_min(d2s)
-        cids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_pairs])
-        return d2s, best, F.element_at(
-            cids, F.array_position(d2s, best).cast("int")
-        )
+        cid, best, d2s = argmin_assign_cols(cent_pairs)
+        return d2s, best, cid
 
     _d2s0, _b0, cid0 = assign_expr(cents)
     # NOTE r15: the 64-column wide-aggregate form measured SLOWER than
