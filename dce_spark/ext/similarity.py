@@ -723,19 +723,23 @@ def _adc_col(
         luts.append(
             [sum((a - b) ** 2 for a, b in zip(qs, c)) for c in cb]
         )
-    lut_lit = F.array(*[_as_literal_array(row) for row in luts])
-    adc = F.aggregate(
-        F.zip_with(
-            F.col(codes_col),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: F.element_at(
-                F.element_at(lut_lit, s.cast("int") + 1), c.cast("int") + 1
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # one parsed SQL string (optimization r16, the _d2_fold_sql
+    # rationale): same zip_with/aggregate fold over the same literal
+    # lookup tables the Column-lambda form built, ~100 ms less driver
+    # py4j time per query column
+    lut_sql = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_lit_d(v) for v in row) + ")" for row in luts
+        )
+        + ")"
     )
-    return F.round(adc, 9)
+    return F.expr(
+        f"round(aggregate(zip_with({codes_col}, sequence(0, {m - 1}), "
+        f"(c, s) -> element_at(element_at({lut_sql}, CAST(s AS INT) + 1), "
+        f"CAST(c AS INT) + 1)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x), 9)"
+    )
 
 
 def save_ivfpq_index(

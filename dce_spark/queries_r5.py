@@ -128,8 +128,7 @@ GROUP BY exk.qid"""
 def pq_recall_at_k_embeddings(spark, sf_dir):
     from .ext.similarity import (
         _adc_col,
-        _as_literal_array,
-        _sq_dist_col,
+        _sq_dist_round9_sql,
         pq_encode,
         pq_train,
     )
@@ -163,9 +162,7 @@ def pq_recall_at_k_embeddings(spark, sf_dir):
         ex_structs.append(
             F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                F.round(
-                    _sq_dist_col(F.col("emb"), _as_literal_array(q)), 9
-                ).alias("d"),
+                F.expr(_sq_dist_round9_sql("emb", q)).alias("d"),
             )
         )
 

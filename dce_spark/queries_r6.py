@@ -286,10 +286,11 @@ GROUP BY exk.qid"""
     "O(q*n) pass, never the full query log.",
 )
 def pq_opq_recall_embeddings(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     from .ext.similarity import (
         _adc_col,
-        _as_literal_array,
-        _sq_dist_col,
+        _sq_dist_round9_sql,
         opq_fit_apply,
         pq_encode,
         pq_train,
@@ -300,22 +301,36 @@ def pq_opq_recall_embeddings(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    # plain PQ: m=8 subspaces x k_sub=4 codes = 8 bytes/vector
-    cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
+
+    # optimization r16 (guide §2.6, overlap independent jobs): the
+    # plain-PQ chain (train on the raw vectors + query collect) shares
+    # nothing with the OPQ chain until the final join, and both are
+    # sequences of small driver-synchronized jobs — overlapping them
+    # hides the shorter chain's job latency entirely. Results are
+    # unchanged: each chain is deterministic in its own inputs.
+    def _plain_chain():
+        # plain PQ: m=8 subspaces x k_sub=4 codes = 8 bytes/vector
+        cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
+        qrows = sorted(
+            embd.filter(F.col("vec_id") < 3).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        return cbs, qrows
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        plain_fut = pool.submit(_plain_chain)
+        # OPQ-lite: identical m/k_sub on the rotated vectors. The fused
+        # fit+apply derives the rotated table from the fit's own cached
+        # reflection stages (computed once, not twice) and returns it
+        # persisted eagerly — same convention as tfidf's word table;
+        # callers clearCache after consuming. At 100 TB the rotated +
+        # encoded table is WRITTEN between stages, not recomputed.
+        rot, xr = opq_fit_apply(emb, dim=64, m=8)
+        rcbs = pq_train(xr, dim=64, m=8, k_sub=4, iters=1, vec_col="vec")
+        cbs, qrows = plain_fut.result()
     codes = pq_encode(emb, cbs)
-    # OPQ-lite: identical m/k_sub on the rotated vectors. The fused
-    # fit+apply derives the rotated table from the fit's own cached
-    # reflection stages (computed once, not twice) and returns it
-    # persisted eagerly — same convention as tfidf's word table;
-    # callers clearCache after consuming. At 100 TB the rotated +
-    # encoded table is WRITTEN between stages, not recomputed.
-    rot, xr = opq_fit_apply(emb, dim=64, m=8)
-    rcbs = pq_train(xr, dim=64, m=8, k_sub=4, iters=1, vec_col="vec")
     rcodes = pq_encode(xr, rcbs, vec_col="vec")
 
-    qrows = sorted(
-        embd.filter(F.col("vec_id") < 3).collect(), key=lambda r: r["vec_id"]
-    )
     # rotated queries come FROM the rotated corpus rows, so both
     # engines use bit-identical query vectors by construction
     rqrows = sorted(
@@ -336,9 +351,7 @@ def pq_opq_recall_embeddings(spark, sf_dir):
     ex_structs = structs(
         qrows,
         "emb",
-        lambda q: F.round(
-            _sq_dist_col(F.col("emb"), _as_literal_array(q)), 9
-        ),
+        lambda q: F.expr(_sq_dist_round9_sql("emb", q)),
     )
 
     def topk_per_query(df, sts):

@@ -712,22 +712,24 @@ def dup_span_by_source_documents(spark, sf_dir):
             )
         ).alias("pos", "ng"),
     )
-    shared = (
-        grams.groupBy("ng")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("ng")
-    )
+    # optimization r16 (guide §2.4): the cross-doc sharing flag is a
+    # window over the gram partition — ONE shuffle of the gram table
+    # instead of the former groupBy(ng)+join-back (two shuffles plus
+    # the posexplode computed once per join side).
+    # size(collect_set(doc_id)) >= 2 == count(DISTINCT doc_id) >= 2;
+    # measured 1.7 -> 0.8 s on the sf0.1 flag kernel, identical rows.
     # optimization r15 (guide §5): ``flagged`` feeds BOTH the
     # gaps-and-islands spans and the per-doc dup counts; unpersisted,
-    # each reference recomputed the corpus posexplode AND the shared-
-    # gram groupBy (4 gram-pipeline computes per run). Persist the
-    # narrow (doc_id, pos, dup) frame, materialize the 20-row rollup
-    # eagerly, unpersist.
-    flagged = grams.join(
-        shared.withColumn("__dup", F.lit(1)), "ng", "left"
-    ).select(
-        "doc_id", "pos", F.coalesce(F.col("__dup"), F.lit(0)).alias("dup")
+    # each reference would recompute the corpus posexplode and the
+    # flag shuffle. Persist the narrow (doc_id, pos, dup) frame,
+    # materialize the 20-row rollup eagerly, unpersist.
+    wng = Window.partitionBy("ng")
+    flagged = grams.select(
+        "doc_id",
+        "pos",
+        (F.size(F.collect_set("doc_id").over(wng)) >= 2)
+        .cast("int")
+        .alias("dup"),
     ).persist()
     wisl = Window.partitionBy("doc_id").orderBy("pos")
     spans = (

@@ -162,7 +162,8 @@ def _converged_labels(spark, sf_dir):
         .select("v", F.col("v").alias("lbl"))
         .persist()
     )
-    lbls.count()
+    # (r16) no dedicated count() job: round 1's count materializes the
+    # cache in the same job — guide §1.2, one pass fewer
     rounds = 0
     prev_cached = None
     while True:
@@ -546,13 +547,16 @@ def cc_truncation_error_documents(spark, sf_dir):
     # fixed rounds AND every convergence round reuse the cached
     # partitioning instead of re-exchanging the edge list
     edges = _gram_edges(pairs).repartition("b").persist()
+    # optimization r16: the seed frame is persisted (round 1 references
+    # it twice: message join + own-label union) but no longer
+    # materialized by its own count() job — the first round's count
+    # populates the cache in the same job (guide §1.2: one pass fewer)
     l0 = (
         edges.select(F.col("a").alias("v"))
         .distinct()
         .select("v", F.col("v").alias("lbl"))
         .persist()
     )
-    l0.count()
     # fixed truncations l1..l3
     levels = [l0]
     for _ in range(3):
@@ -565,27 +569,39 @@ def cc_truncation_error_documents(spark, sf_dir):
         rounds += 1
         assert rounds <= _MAX_CC_ROUNDS
         # flagged round (guide §2.4): n_changed from the round's own
-        # cached output, no separate nxt-vs-prev join per round
-        nxt = _hashmin_round_flagged(conv, edges).persist()
+        # cached output, no separate nxt-vs-prev join per round;
+        # lineage checkpointed every 4 rounds (optimization r16, the
+        # _converged_labels discipline — the catalog's deepest hash-min
+        # loop otherwise grows its logical plan by one join+groupBy
+        # nesting per round, guide §5)
+        nxt = _hashmin_round_flagged(conv, edges)
+        nxt = nxt.localCheckpoint() if rounds % 4 == 0 else nxt.persist()
         n_changed = nxt.filter("chg").count()
         extra.append(nxt)
         conv = nxt.select("v", "lbl")
         if n_changed == 0:
             break
     comp = conv.select("v", F.col("lbl").alias("component"))
-    rows = []
-    schema = None
-    for k in (1, 2, 3):
-        j = levels[k].join(comp, "v")
-        out = j.agg(
+    # optimization r16 (guide §2.6/§1.2): the three per-truncation
+    # rollups were three sequential collect jobs over cached frames —
+    # a union of the three 1-row aggregates runs them inside ONE job
+    # (Spark schedules the three join+agg subtrees concurrently), and
+    # the driver-side sort restores the original iter order exactly
+    parts = [
+        levels[k]
+        .join(comp, "v")
+        .agg(
             F.lit(k).cast("long").alias("iter"),
             F.countDistinct("lbl").cast("long").alias("n_labels"),
             F.sum(
                 (F.col("lbl") != F.col("component")).cast("long")
             ).alias("n_mislabeled"),
         )
-        rows.extend(out.collect())
-        schema = out.schema
+        for k in (1, 2, 3)
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    rows = sorted(stacked.collect(), key=lambda r: r["iter"])
+    schema = stacked.schema
     for lv in levels + extra:
         lv.unpersist()
     edges.unpersist()

@@ -280,7 +280,10 @@ def _converge(lbls, edges):
     # Checkpoint every 2 rounds, and return an eagerly checkpointed
     # frame so a second loop seeded from this one starts from a scan,
     # not from the whole first loop's plan (plan-string OOM otherwise).
-    lbls = lbls.localCheckpoint()
+    # The SEED checkpoint is lazy since r16: it still truncates the
+    # seed's lineage, but materializes inside round 1's count job
+    # instead of spending a dedicated job (guide §1.2).
+    lbls = lbls.localCheckpoint(eager=False)
     rounds = 0
     prev_cached = None
     while True:

@@ -1073,12 +1073,23 @@ def opq_reconstruction_error_embeddings(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
 
-    cbs = pq_train(emb, dim=64, m=8, k_sub=4, iters=1)
+    # optimization r16 (guide §2.6, overlap independent jobs): the
+    # plain-PQ train shares nothing with the OPQ chain until the final
+    # join; running it on a driver thread hides its two collect jobs
+    # behind the OPQ fit's longer job sequence. Deterministic either
+    # way — each chain depends only on its own inputs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        plain_fut = pool.submit(
+            pq_train, emb, dim=64, m=8, k_sub=4, iters=1
+        )
+        # fused fit+apply: rotated table from the fit's own cached stages
+        # (persisted eagerly; callers clearCache — see pq_opq_recall)
+        rot, xr = opq_fit_apply(emb, dim=64, m=8)
+        rcbs = pq_train(xr, dim=64, m=8, k_sub=4, iters=1, vec_col="vec")
+        cbs = plain_fut.result()
     ptot = recon_total(emb, cbs, "embedding")
-    # fused fit+apply: rotated table from the fit's own cached stages
-    # (persisted eagerly; callers clearCache — see pq_opq_recall)
-    rot, xr = opq_fit_apply(emb, dim=64, m=8)
-    rcbs = pq_train(xr, dim=64, m=8, k_sub=4, iters=1, vec_col="vec")
     rtot = recon_total(xr, rcbs, "vec").select(
         F.col("t").alias("rt"), F.col("n").alias("rn")
     )
@@ -1207,8 +1218,7 @@ def ivf_pq_recall_embeddings(spark, sf_dir):
 
     from .ext.similarity import (
         _adc_col,
-        _as_literal_array,
-        _sq_dist_col,
+        _sq_dist_round9_sql,
         pq_encode,
         pq_train,
     )
@@ -1263,9 +1273,7 @@ def ivf_pq_recall_embeddings(spark, sf_dir):
         ex_structs.append(
             F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                F.round(
-                    _sq_dist_col(F.col("emb"), _as_literal_array(q)), 9
-                ).alias("d"),
+                F.expr(_sq_dist_round9_sql("emb", q)).alias("d"),
             )
         )
     from functools import reduce

@@ -420,22 +420,26 @@ def dup_ngram_span_documents(spark, sf_dir):
             )
         ).alias("pos", "ng"),
     )
-    shared = (
-        grams.groupBy("ng")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("ng")
-    )
+    # optimization r16 (guide §2.4): the cross-doc sharing flag is a
+    # window over the gram partition — ONE shuffle of the gram table
+    # instead of the former groupBy(ng)+join-back (which shuffled the
+    # gram table twice and computed the posexplode once per side).
+    # size(collect_set(doc_id)) >= 2 is exactly the old
+    # count(DISTINCT doc_id) >= 2 predicate; measured 1.7 -> 0.8 s on
+    # the sf0.1 flag kernel, identical rows.
     # optimization r15 (guide §5): ``flagged`` feeds both the runs
     # window and the per-doc counts; unpersisted, each reference
-    # recomputed the corpus posexplode and the shared-gram groupBy.
+    # recomputed the corpus posexplode and the shared-gram flag.
     # Eager localCheckpoint materializes the narrow frame once (its
     # blocks are freed with the reference; the per-doc output is not
     # driver-collectable at scale, so no _local_result here).
-    flagged = grams.join(
-        shared.withColumn("__dup", F.lit(1)), "ng", "left"
-    ).select(
-        "doc_id", "pos", F.coalesce(F.col("__dup"), F.lit(0)).alias("dup")
+    wng = Window.partitionBy("ng")
+    flagged = grams.select(
+        "doc_id",
+        "pos",
+        (F.size(F.collect_set("doc_id").over(wng)) >= 2)
+        .cast("int")
+        .alias("dup"),
     ).localCheckpoint()
     wisl = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
