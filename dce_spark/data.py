@@ -72,3 +72,19 @@ def ts_nanos(iso_utc: str) -> int:
     fmt = "%Y-%m-%d %H:%M:%S" if " " in iso_utc else "%Y-%m-%d"
     dt = datetime.strptime(iso_utc, fmt).replace(tzinfo=timezone.utc)
     return int(dt.timestamp()) * 1_000_000_000
+
+
+def local_result(spark: SparkSession, out: DataFrame, *release: DataFrame):
+    """Collect a bounded final frame into a local-relation DataFrame,
+    releasing every frame in ``release`` on ALL paths (r16 ADVICE fix:
+    the inline persist -> collect -> unpersist pattern leaked its
+    persisted blocks for the rest of the session when the collect
+    raised). Only for driver-bounded rollups — the _local_result
+    convention of the staged graph queries, centralized in a leaf
+    module so every staging cohort can import it without cycles."""
+    try:
+        rows = out.collect()
+    finally:
+        for fr in release:
+            fr.unpersist()
+    return spark.createDataFrame(rows, out.schema)

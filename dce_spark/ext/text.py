@@ -429,6 +429,12 @@ def bpe_train(
     so iteration N plans O(1) work, not O(N)."""
     cur = words.select("cnt", F.split("w", "").alias("syms")).persist()
     merges: list[tuple[str, str, int]] = []
+    # (r16) deferred-unpersist instead of a count() job per merge: each
+    # iteration's pair-count collect is the job that materializes the
+    # CURRENT symbolization's cache; the parent stays persisted until
+    # then, so lineage still never chains more than one fold deep and
+    # n_merges materialization jobs disappear (guide §1.2).
+    prev = None
     for _ in range(n_merges):
         best = (
             bpe_pair_counts(cur)
@@ -436,6 +442,9 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
@@ -443,9 +452,13 @@ def bpe_train(
         nxt = cur.select(
             "cnt", bpe_merge_fold(F.col("syms"), left, right).alias("syms")
         ).persist()
-        nxt.count()  # materialize before dropping the parent cache
-        cur.unpersist()
-        cur = nxt
+        prev, cur = cur, nxt
+    if prev is not None:
+        # the final symbolization was never the source of a collect —
+        # materialize it before releasing its parent so the returned
+        # frame reads from its own cache, not a recompute chain
+        cur.count()
+        prev.unpersist()
     return merges, cur
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from .data import load_table
+from .data import load_table, local_result
 from .queries import _qsum, _qsum_sql, register
 
 # =====================================================================
@@ -4449,10 +4449,8 @@ def bpe_apply_documents(spark, sf_dir):
     # materialize the 20-row result so the persisted vocabulary frame
     # can be released here (bpe_merges_documents pattern) instead of
     # leaking a cache entry per invocation
-    rows = out.collect()
-    schema = out.schema
-    final.unpersist()
-    return spark.createDataFrame(rows, schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, final)
 
 
 @register(
@@ -4919,7 +4917,14 @@ _promote_staged_r14()
 
 
 def _promote_staged_r15() -> None:
-    from . import queries_staging_r15 as _st
+    # r16: a standalone r14-first import reaches this promotion while
+    # queries_staging_r14 is still partially initialized; r15's
+    # module-scope import of r14's CTEs then raises ImportError. Bail —
+    # r14's tail hook re-invokes this promotion once r14 is complete.
+    try:
+        from . import queries_staging_r15 as _st
+    except ImportError:
+        return
     from .queries import QUERIES
 
     staged = getattr(_st, "STAGED_R15", None)

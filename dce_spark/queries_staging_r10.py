@@ -39,7 +39,7 @@ from typing import Callable
 from pyspark.sql import Window, functions as F
 
 from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
-from .data import load_table
+from .data import load_table, local_result
 
 STAGED_R10: dict[str, "StagedSpec"] = {}
 
@@ -765,9 +765,8 @@ def dup_span_by_source_documents(spark, sf_dir):
         ).alias("mean_max_run"),
         F.max("max_run").cast("long").alias("longest_span"),
     )
-    rows = out.collect()
-    flagged.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, flagged)
 
 
 # ---------------------------------------------------------------------

@@ -53,7 +53,7 @@ from typing import Callable
 from pyspark.sql import Window, functions as F
 
 from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
-from .data import load_table
+from .data import load_table, local_result
 
 STAGED_R12: dict[str, "StagedSpec"] = {}
 
@@ -1415,9 +1415,8 @@ def vocab_overlap_sources_documents(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
-    rows = out.collect()
-    vocab.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, vocab)
 
 
 _CALIB_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]

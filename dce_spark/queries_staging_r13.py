@@ -61,7 +61,14 @@ from typing import Callable
 
 from pyspark.sql import Window, functions as F
 
-from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
+# NOTE r16 (ADVICE fix): no top-of-module catalog bootstrap here. The
+# r14 staging module imports graph helpers FROM this module at module
+# scope, so bootstrapping the catalog before those helpers exist made
+# a standalone r13-first import fail (r13 -> queries -> queries_more
+# promotion -> r14 -> partially-initialized r13). The tail promotion
+# hook bootstraps the whole chain AFTER every definition instead; the
+# promotion loops getattr-guard partially-initialized staging modules,
+# so every import order completes (pinned by tests/test_staging_r13).
 from .data import load_table
 
 STAGED_R13: dict[str, "StagedSpec"] = {}

@@ -75,7 +75,13 @@ from typing import Callable
 
 from pyspark.sql import Window, functions as F
 
-from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
+# NOTE r16 (ADVICE fix): no top-of-module catalog bootstrap — this
+# module imports r13's graph helpers at module scope and r15 imports
+# THIS module's CTEs at module scope, so an early bootstrap made the
+# standalone r14-first import die inside the promotion chain while
+# this module was still empty. The r13 import below runs the full
+# catalog chain (r13's tail hook) with getattr-guarded promotions;
+# the tail hook here finishes the r14 and r15 promotions afterwards.
 from .data import load_table
 
 # deliberate reuse of the r13 cohort's graph + micro-batch machinery:
@@ -1704,15 +1710,21 @@ def curriculum_source_difficulty_psi_documents(spark, sf_dir):
 
 # ---------------------------------------------------------------------
 # Round-14 promotion hook (second pass; see queries_more's re-entrancy
-# note): this module bootstraps the catalog chain BEFORE defining
-# STAGED_R14, so importing THIS module first runs the whole
-# registration chain while STAGED_R14 is still empty. Re-invoking the
-# skip-if-registered promotion here — after all twenty entries exist —
-# makes the catalog complete under either import order (the
-# queries_staging_r8..r13 pattern, verbatim).
+# note): under an r14-first import the catalog chain ran while this
+# module was still empty (the r13 import at the top triggers it), so
+# both the r14 promotion (getattr-guard) and the r15 promotion (r15
+# imports THIS module's CTEs; its import bails while r14 is partial)
+# were skipped. Re-invoking both here — after every definition exists —
+# makes the catalog complete under either import order.
 # ---------------------------------------------------------------------
 
-from .queries_more import _promote_staged_r14 as _promote  # noqa: E402
+from . import queries_more as _qm  # noqa: E402
 
-_promote()
-del _promote
+_qm._promote_staged_r14()
+# the r15 promotion exists only once queries_more has defined it — on
+# the NORMAL chain this module is imported mid-queries_more (before
+# that point) and queries_more's own body runs the r15 promotion later
+_promote_next = getattr(_qm, "_promote_staged_r15", None)
+if _promote_next is not None:
+    _promote_next()
+del _qm, _promote_next

@@ -104,7 +104,12 @@ from typing import Callable
 
 from pyspark.sql import Window, functions as F
 
-from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
+# NOTE r16 (ADVICE fix): no top-of-module catalog bootstrap — this
+# module imports r13/r14 helpers at module scope, so an early
+# bootstrap made standalone staging-first imports die while earlier
+# cohorts were partially initialized. The r13/r14 imports below run
+# the full catalog chain through their own tail hooks; the tail hook
+# here re-invokes the r15 promotion afterwards.
 from .data import load_table
 
 # deliberate reuse of the r13/r14 cohorts' machinery (the graph CTE,

@@ -70,7 +70,7 @@ from typing import Callable
 
 from pyspark.sql import Window, functions as F
 
-from .data import load_table
+from .data import load_table, local_result
 
 STAGED_R6: dict[str, "StagedSpec"] = {}
 
@@ -792,9 +792,8 @@ def source_js_divergence_documents(spark, sf_dir):
             "source", F.col("st").alias("n_tokens"), "js_divergence"
         )
     )
-    rows = out.collect()
-    sw.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, sw)
 
 
 # ---------------------------------------------------------------------
@@ -1210,10 +1209,8 @@ def pagerank_dedup_graph_documents(spark, sf_dir):
         .limit(10)
     )
     # 10-row result: materialize so the edge cache can be released here
-    rows = out.collect()
-    schema = out.schema
-    edges.unpersist()
-    return spark.createDataFrame(rows, schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, edges)
 
 
 # ---------------------------------------------------------------------

@@ -75,7 +75,7 @@ from typing import Callable
 
 from pyspark.sql import Window, functions as F
 
-from .data import load_table
+from .data import load_table, local_result
 
 STAGED_R7: dict[str, "StagedSpec"] = {}
 
@@ -1657,10 +1657,8 @@ def minhash_calibration_documents(spark, sf_dir):
             F.abs(F.col("agree8").cast("double") / F.lit(8) - F.col("exact_j"))
         ).alias("mean_abs_err"),
     )
-    rows = out.collect()
-    for frame in (sh, sigs, pairs):
-        frame.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, sh, sigs, pairs)
 
 
 # ---------------------------------------------------------------------
@@ -2063,9 +2061,8 @@ def source_shingle_containment_documents(spark, sf_dir):
             ).alias("containment"),
         )
     )
-    rows = out.collect()
-    sh.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, sh)
 
 
 # ---------------------------------------------------------------------

@@ -92,7 +92,7 @@ from pyspark.sql import Window, functions as F
 # line just binds the module object; the siblings are complete by
 # then because they precede the staging promotion in the tail order.
 from . import queries as _catalog_bootstrap  # noqa: F401  (import order)
-from .data import load_table
+from .data import load_table, local_result
 
 STAGED_R8: dict[str, "StagedSpec"] = {}
 
@@ -465,9 +465,8 @@ def dedup_threshold_sweep_documents(spark, sf_dir):
         "n_pairs",
         "n_dup_docs",
     )
-    rows = out.collect()
-    shingles.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, shingles)
 
 
 # ---------------------------------------------------------------------
@@ -652,9 +651,8 @@ def lang_confusion_documents(spark, sf_dir):
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    rows = out.collect()
-    tgs.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # r16 ADVICE fix: release the persisted inputs on ALL paths
+    return local_result(spark, out, tgs)
 
 
 # ---------------------------------------------------------------------
