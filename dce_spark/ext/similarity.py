@@ -160,7 +160,7 @@ def ivf_topk(
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (
-        df.withColumn("__cell", cell_assignment(F.col(vec_col), centroids))
+        df.withColumn("__cell", cell_assignment(F.col(vec_col), centroids, vec_sql=f"`{vec_col}`"))
         .filter(F.col("__cell").isin(probe_cells))
         .select(F.col(id_col), cos.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))
@@ -168,13 +168,46 @@ def ivf_topk(
     )
 
 
-def cell_assignment(vec_expr: Column, centroids: list[list[float]]) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text parsing to the SAME fold as :func:`dot_col` (casts
+    included) — the parsed-expression fast path (see _d2_fold_sql)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def cell_assignment(
+    vec_expr: Column,
+    centroids: list[list[float]],
+    vec_sql: str | None = None,
+) -> Column:
     """Nearest-centroid cell id (argmax cosine, first max on ties).
 
     One array of cosine expressions + array_max/array_position — each
     cosine appears exactly once in the tree. The chained
     when(cos_i > best) form duplicated the running-best subtree per
-    centroid (O(2^k) nodes — the same blow-up fixed in k-means)."""
+    centroid (O(2^k) nodes — the same blow-up fixed in k-means).
+
+    ``vec_sql`` (r16): when the vector is a plain named column, pass
+    its SQL text and the whole assignment is built as ONE parsed
+    expression — the same tree, ~0.1 s less driver py4j time per
+    centroid (the _d2_fold_sql rationale). The Column path remains for
+    arbitrary expressions."""
+    if vec_sql is not None:
+        coss = []
+        for c in centroids:
+            lit = "array(" + ", ".join(_lit_d(v) for v in c) + ")"
+            coss.append(
+                f"({_dot_sql(vec_sql, lit)} / "
+                f"(sqrt({_dot_sql(vec_sql, vec_sql)}) "
+                f"* sqrt({_dot_sql(lit, lit)})))"
+            )
+        arr = "array(" + ", ".join(coss) + ")"
+        return F.expr(
+            f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)"
+        )
     coss = F.array(
         *[cosine_col(vec_expr, _as_literal_array(c)) for c in centroids]
     )
@@ -219,7 +252,7 @@ def save_ivf_index(
     assigned = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
-    ).withColumn("cell", cell_assignment(F.col(vec_col), centroids))
+    ).withColumn("cell", cell_assignment(F.col(vec_col), centroids, vec_sql=f"`{vec_col}`"))
     write_partitioned(assigned, path + "/cells", ["cell"], files_per_partition=1)
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
     df.sparkSession.createDataFrame(
@@ -766,7 +799,7 @@ def save_ivfpq_index(
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
-    ).withColumn("cell", cell_assignment(F.col(vec_col), centroids))
+    ).withColumn("cell", cell_assignment(F.col(vec_col), centroids, vec_sql=f"`{vec_col}`"))
     codes = pq_encode(base, codebooks, vec_col=vec_col, id_col=id_col)
     write_partitioned(
         base.select(id_col, "cell").join(codes, id_col),

@@ -138,7 +138,21 @@ def _gram_pairs(spark, sf_dir):
     with a higher-order function. The generated (a, b) multiset is
     exactly the self-join's a < b output (same gram -> same doc set ->
     same ordered pairs), so the n_shared counts and the final pair set
-    are identical. One scan + 3 exchanges instead of two scans + 4."""
+    are identical. One scan + 3 exchanges instead of two scans + 4.
+
+    Skew bound (r16, ADVICE note): a gram shared by k documents holds
+    a k-element posting list and k(k-1)/2 pair structs in ONE executor
+    row before the explode — the same k² candidate mass the old
+    self-join spread across shuffle rows, concentrated per-gram. This
+    is safe while max posting-list size stays memory-bounded (here:
+    dup families of tens of docs -> k² in the thousands; an 8-WORD
+    shingle is far more selective than the single-token hot keys that
+    flood LSH buckets). A corpus whose boilerplate floods a single
+    8-gram past ~10^4 docs needs the cap/salt treatment the LSH path
+    already has (_cap_buckets): filter `size(ids) <= cap` before the
+    pair explode, which is the same recall contract as the capped
+    bucket (only boilerplate-saturated grams are dropped, and a true
+    near-dup pair keeps its other shared grams)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
